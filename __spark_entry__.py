@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship jaccard self-join on sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
+formula is written so both engines execute the *identical* float64 IEEE
+operations (same operand order), so value hashes match exactly. Queries
+whose semantics are not SQL-expressible (LSH top-k, SimHash banding) omit
+the oracle → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +14,705 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_stringsimjoin_spark.functions.tokenizers import (
+    QgramTokenizer,
+    ShingleTokenizer,
+    WhitespaceTokenizer,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_WS = WhitespaceTokenizer(return_set=True)
+_QG3 = QgramTokenizer(qval=3, return_set=True)
+_QG2 = QgramTokenizer(qval=2)  # bag, edit-distance default
+_SH2 = ShingleTokenizer(n=2)
+
+# ---------------------------------------------------------------- helpers --
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _set_sim_part(measure: str, threshold: float):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+        if measure == "overlap_coefficient":
+            # OC uses the inverted-index (all-token) plan, not the prefix kernel
+            from py_stringsimjoin_spark.operators.overlap_join import (
+                overlap_coefficient_join,
+            )
+
+            out = overlap_coefficient_join(
+                part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+                _WS, threshold, allow_empty=False,
+            )
+            return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+                "l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim")
+            )
+        from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+        pairs = set_sim_join_pairs(
+            measure, part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+            _WS, threshold, allow_empty=False, self_join_dedup=True,
+        )
+        return pairs.select(
+            F.col("_l_key").alias("l_p_partkey"),
+            F.col("_r_key").alias("r_p_partkey"),
+            F.col("_sim_score").alias("sim"),
+        )
+
+    return q
+
+
+def _set_sim_part_sql(score: str, threshold: float, tok=_WS, op: str = ">=") -> str:
+    toks = tok.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, {score} AS sim
+FROM pairs WHERE {score} {op} {threshold}
+"""
+
+
+_J_SCORE = "ov::DOUBLE / (ls + rs - ov)"
+_C_SCORE = "ov::DOUBLE / sqrt((ls * rs)::DOUBLE)"
+_D_SCORE = "(2 * ov)::DOUBLE / (ls + rs)"
+_O_SCORE = "ov::DOUBLE"
+_OC_SCORE = "ov::DOUBLE / least(ls, rs)"
+
+
+# ------------------------------------------------------------- entrypoint --
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _set_sim_part("jaccard", 0.5)(spark, SF_DEFAULT)
+
+
+# ----------------------------------------------------------------- queries --
+
+
+def q_jaccard_qgram3(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _QG3, 0.6, allow_empty=False, self_join_dedup=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def q_edit_distance_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.edit_distance_join import edit_distance_join
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = edit_distance_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name", 2,
+        tokenizer=_QG2, out_sim_score=True,
+    )
+    return (
+        out.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+        .select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("dist"))
+    )
+
+
+def _edit_distance_sql() -> str:
+    toks = _QG2.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS s, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(list_distinct(toks)) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+)
+SELECT c.l_id AS l_p_partkey, c.r_id AS r_p_partkey,
+       levenshtein(pa.s, pb.s)::DOUBLE AS dist
+FROM cand c JOIN base pa ON pa.id = c.l_id JOIN base pb ON pb.id = c.r_id
+WHERE levenshtein(pa.s, pb.s) <= 2
+"""
+
+
+def q_jaccard_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = set_sim_join_pairs(
+        "jaccard", docs, docs, "doc_id", "doc_id", "text", "text",
+        _WS, 0.8, allow_empty=False, self_join_dedup=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_doc_id"),
+        F.col("_r_key").alias("r_doc_id"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def _jaccard_docs_sql() -> str:
+    toks = _WS.duckdb_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_doc_id, r_id AS r_doc_id, {_J_SCORE} AS sim
+FROM pairs WHERE {_J_SCORE} >= 0.8
+"""
+
+
+def q_exact_dups_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "group_id", "group_size"
+    )
+
+
+_EXACT_DUPS_SQL = """
+WITH h AS (SELECT doc_id AS id, md5(text) AS hh FROM documents),
+g AS (SELECT hh, min(id) AS group_id, count(*) AS group_size FROM h GROUP BY hh)
+SELECT h.id AS doc_id, g.group_id, g.group_size
+FROM h JOIN g USING (hh) WHERE g.group_size > 1
+"""
+
+
+def q_minhash_pairs_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", tokenizer=_SH2, num_perm=32, bands=8
+    ).select(F.col("l_id").alias("l_doc_id"), F.col("r_id").alias("r_doc_id"))
+
+
+def _minhash_pairs_sql(num_perm: int = 32, bands: int = 8) -> str:
+    from py_stringsimjoin_spark.operators.dedup import (
+        MINHASH_MERSENNE,
+        minhash_perm_params,
+    )
+
+    toks = _SH2.duckdb_sql("text")
+    params = minhash_perm_params(num_perm)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_MERSENNE}))"
+        for a, b in params
+    )
+    rpb = num_perm // bands
+    band_selects = []
+    for bi in range(bands):
+        parts = ", ".join(f"sig[{bi * rpb + j + 1}]::VARCHAR" for j in range(rpb))
+        band_selects.append(
+            f"SELECT id, {bi} AS band, md5(concat_ws(',', '{bi}', {parts})) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT id, toks FROM base WHERE len(toks) > 0
+), th AS (
+  SELECT id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hs FROM nz
+), sig AS (
+  SELECT id, [{sig_exprs}] AS sig FROM th
+), allbands AS ( {bands_sql} )
+SELECT DISTINCT a.id AS l_doc_id, b.id AS r_doc_id
+FROM allbands a JOIN allbands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.textstats import fingerprint_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '')"
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform({_WORDS_SQL}, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)),
+    (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+def q_langid_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.textstats import language_id_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id_col(F.col("text")).alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    from py_stringsimjoin_spark.operators.textstats import STOPWORDS
+
+    hits = {}
+    for lang in sorted(STOPWORDS):
+        markers = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits[lang] = f"len(list_filter(w, x -> list_contains([{markers}], x)))"
+    return f"""
+WITH base AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+h AS (SELECT doc_id, {hits['de']} AS h_de, {hits['en']} AS h_en,
+             {hits['es']} AS h_es, {hits['fr']} AS h_fr FROM base)
+SELECT doc_id,
+  CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def q_tokenstats_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.textstats import (
+        subword_count_col,
+        token_count_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(t).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        subword_count_col(t).cast("long").alias("n_subwords"),
+    )
+
+
+_TOKENSTATS_SQL = f"""
+SELECT doc_id,
+  len({_WORDS_SQL})::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  (len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t <> ''))
+   + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))::BIGINT AS n_subwords
+FROM documents
+"""
+
+
+def q_quality_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.textstats import quality_score_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+def _quality_sql() -> str:
+    from py_stringsimjoin_spark.operators.textstats import STOPWORDS
+
+    allw = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n, {_WORDS_SQL} AS w,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+    CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len(w) > 0 THEN alpha::DOUBLE / len(w) ELSE 0.0 END AS mean_wlen,
+    len(list_filter(w, x -> list_contains([{allw}], x))) AS stop_hits,
+    len(w) AS n_words
+  FROM base
+)
+SELECT doc_id,
+  round(0.3 * len_band + 0.3 * alpha_ratio
+        + 0.2 * (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.5 END)
+        + 0.2 * (CASE WHEN n_words = 0 THEN 0.0
+                      ELSE least(stop_hits::DOUBLE / 2.0, 1.0) END), 6) AS quality
+FROM m
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.ann import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    list_aggregate(list_transform(range(1, len(qe) + 1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE), 'sum')
+    / (sqrt(list_aggregate(list_transform(qe, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(ce, x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_cosine_pairs_emb(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.ann import exact_cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select(
+        F.col("l_id").alias("l_vec_id"),
+        F.col("r_id").alias("r_vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+_COSINE_PAIRS_SQL = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT a.vec_id AS l_vec_id, b.vec_id AS r_vec_id,
+    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS cos
+  FROM v a, v b WHERE a.vec_id < b.vec_id
+)
+SELECT l_vec_id, r_vec_id, round(cos, 4) AS cosine FROM s WHERE cos >= 0.4
+"""
+
+
+def q_size_filter_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.filters import SizeFilter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    f = SizeFilter(_WS, "JACCARD", 0.9)
+    out = f.filter_tables(docs, docs, "doc_id", "doc_id", "text", "text")
+    return out.where(F.col("l_doc_id") < F.col("r_doc_id")).select(
+        "l_doc_id", "r_doc_id"
+    )
+
+
+def _size_filter_sql() -> str:
+    toks = _WS.duckdb_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, len({toks}) AS sz FROM documents WHERE text IS NOT NULL
+)
+SELECT a.id AS l_doc_id, b.id AS r_doc_id
+FROM base a JOIN base b
+  ON a.id < b.id
+ AND b.sz >= ceil(round(0.9 * a.sz, 4))
+ AND b.sz <= floor(round(a.sz / 0.9, 4))
+"""
+
+
+def q_prefix_filter_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.filters import PrefixFilter
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    f = PrefixFilter(_WS, "JACCARD", 0.7)
+    out = f.filter_tables(part, part, "p_partkey", "p_partkey", "p_name", "p_name")
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+        "l_p_partkey", "r_p_partkey"
+    )
+
+
+def _ordering_sql(toks_expr: str, table: str, attr: str) -> str:
+    """Shared CTE text: global (count, token) ordering → per-row sorted rank
+    arrays — byte-for-byte the ordering the Spark engine computes."""
+    return f"""
+base AS (
+  SELECT {attr} AS id, {toks_expr} AS toks FROM {table} WHERE __JOINATTR__ IS NOT NULL
+), tok AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), freq AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+), ord AS (
+  SELECT tok, row_number() OVER (ORDER BY c, tok) - 1 AS rnk FROM freq
+), rk AS (
+  SELECT id, list_sort(list(rnk)) AS rks FROM tok JOIN ord USING (tok) GROUP BY id
+)"""
+
+
+def _prefix_filter_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    ordering = _ordering_sql(toks, "part", "p_partkey").replace("__JOINATTR__", "p_name")
+    return f"""
+WITH {ordering},
+pfx AS (
+  SELECT id, unnest(list_slice(rks, 1, (len(rks) - ceil(0.7 * len(rks)) + 1)::INT)) AS rnk
+  FROM rk WHERE len(rks) > 0
+)
+SELECT DISTINCT a.id AS l_p_partkey, b.id AS r_p_partkey
+FROM pfx a JOIN pfx b ON a.rnk = b.rnk AND a.id < b.id
+"""
+
+
+def q_position_filter_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.filters import PositionFilter
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    f = PositionFilter(_WS, "JACCARD", 0.7)
+    out = f.filter_tables(part, part, "p_partkey", "p_partkey", "p_name", "p_name")
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+        "l_p_partkey", "r_p_partkey"
+    )
+
+
+def _position_filter_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    ordering = _ordering_sql(toks, "part", "p_partkey").replace("__JOINATTR__", "p_name")
+    return f"""
+WITH {ordering},
+pfx AS (
+  SELECT id, rks, len(rks) AS sz FROM rk WHERE len(rks) > 0
+), ex AS (
+  SELECT id, sz, rnk, list_position(rks, rnk) - 1 AS pos
+  FROM (SELECT id, rks, sz,
+               unnest(list_slice(rks, 1, (sz - ceil(0.7 * sz) + 1)::INT)) AS rnk
+        FROM pfx)
+), j AS (
+  SELECT a.id AS l_id, b.id AS r_id, a.rnk AS rnk,
+         a.pos AS lp, b.pos AS rp, a.sz AS ls, b.sz AS rs
+  FROM ex a JOIN ex b ON a.rnk = b.rnk AND a.id < b.id
+  WHERE b.sz >= ceil(round(0.7 * a.sz, 4))
+    AND b.sz <= floor(round(a.sz / 0.7, 4))
+), g AS (
+  SELECT l_id, r_id, arg_min(lp, rnk) AS lp, arg_min(rp, rnk) AS rp,
+         any_value(ls) AS ls, any_value(rs) AS rs
+  FROM j GROUP BY 1, 2
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey FROM g
+WHERE 1 + least(ls - lp - 1, rs - rp - 1) >= ceil(round((0.7 / 1.7) * (ls + rs), 4))
+"""
+
+
+def q_apply_matcher_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey", "p_partkey",
+        "p_name", "p_name", _WS, "jaccard", 0.6,
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
+
+
+def q_connected_components_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.connected_components import (
+        connected_components,
+    )
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    comp = connected_components(pairs, "_l_key", "_r_key")
+    return comp.select("node", "component")
+
+
+def _connected_components_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), match_pairs AS (
+  SELECT l_id, r_id FROM pairs WHERE {_J_SCORE} >= 0.5
+), nodes AS (
+  SELECT DISTINCT id AS node FROM (
+    SELECT l_id AS id FROM match_pairs UNION SELECT r_id FROM match_pairs
+  )
+), edges AS (
+  SELECT l_id AS a, r_id AS b FROM match_pairs
+  UNION SELECT r_id, l_id FROM match_pairs
+), reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node
+"""
+
+
+def q_profile_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.profiler import profile_table_for_join
+
+    part = _read(spark, sf_dir, "part")
+    return profile_table_for_join(part, ["p_partkey", "p_name"]).select(
+        "attribute", "unique_values", "missing_values", "total_rows"
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'p_partkey' AS attribute, count(DISTINCT p_partkey)::BIGINT AS unique_values,
+       sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing_values,
+       count(*)::BIGINT AS total_rows FROM part
+UNION ALL
+SELECT 'p_name', count(DISTINCT p_name)::BIGINT,
+       sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(*)::BIGINT FROM part
+"""
+
+
+# --------------------------------------------------- rows-only (no oracle) --
+
+
+def q_simhash_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8).select(
+        F.col("l_id").alias("l_doc_id"),
+        F.col("r_id").alias("r_doc_id"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_topk_emb(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.ann import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = lsh_topk(emb, queries, k=5, nbits=32, bands=8)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_overlap_filter_part(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = OverlapFilter(_WS, 2).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+        "l_p_partkey", "r_p_partkey"
+    )
+
+
+def _overlap_filter_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+)
+SELECT a.id AS l_p_partkey, b.id AS r_p_partkey
+FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+# -------------------------------------------------------------- registry --
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "jaccard_part": _set_sim_part("jaccard", 0.5),
+        "cosine_part": _set_sim_part("cosine", 0.7),
+        "dice_part": _set_sim_part("dice", 0.6),
+        "overlap_coefficient_part": _set_sim_part("overlap_coefficient", 1.0),
+        "jaccard_part_qgram3": q_jaccard_qgram3,
+        "edit_distance_part": q_edit_distance_part,
+        "jaccard_docs": q_jaccard_docs,
+        "exact_dups_docs": q_exact_dups_docs,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "langid_docs": q_langid_docs,
+        "tokenstats_docs": q_tokenstats_docs,
+        "quality_docs": q_quality_docs,
+        "ann_topk_embeddings": q_ann_topk,
+        "cosine_pairs_embeddings": q_cosine_pairs_emb,
+        "size_filter_docs": q_size_filter_docs,
+        "prefix_filter_part": q_prefix_filter_part,
+        "position_filter_part": q_position_filter_part,
+        "overlap_filter_part": q_overlap_filter_part,
+        "apply_matcher_part": q_apply_matcher_part,
+        "connected_components_part": q_connected_components_part,
+        "profile_part": q_profile_part,
+        # rows-only (no SQL-expressible oracle: LSH banding internals)
+        "simhash_pairs_docs": q_simhash_docs,
+        "lsh_topk_embeddings": q_lsh_topk_emb,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qg3 = _QG3
+    return {
+        "jaccard_part": _set_sim_part_sql(_J_SCORE, 0.5),
+        "cosine_part": _set_sim_part_sql(_C_SCORE, 0.7),
+        "dice_part": _set_sim_part_sql(_D_SCORE, 0.6),
+        "overlap_coefficient_part": _set_sim_part_sql(_OC_SCORE, 1.0),
+        "jaccard_part_qgram3": _set_sim_part_sql(_J_SCORE, 0.6, tok=qg3),
+        "edit_distance_part": _edit_distance_sql(),
+        "jaccard_docs": _jaccard_docs_sql(),
+        "exact_dups_docs": _EXACT_DUPS_SQL,
+        "minhash_pairs_docs": _minhash_pairs_sql(),
+        "fingerprint_docs": _FINGERPRINT_SQL,
+        "langid_docs": _langid_sql(),
+        "tokenstats_docs": _TOKENSTATS_SQL,
+        "quality_docs": _quality_sql(),
+        "ann_topk_embeddings": _ANN_TOPK_SQL,
+        "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
+        "size_filter_docs": _size_filter_sql(),
+        "prefix_filter_part": _prefix_filter_sql(),
+        "position_filter_part": _position_filter_sql(),
+        "overlap_filter_part": _overlap_filter_sql(),
+        "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
+        "connected_components_part": _connected_components_sql(),
+        "profile_part": _PROFILE_SQL,
+    }

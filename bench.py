@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Also usable for the two-parallelism scaling evidence:
+    SPARK_GRAFT_CPUS=8  python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+(see scripts/scaling_bench.py, which runs both and writes BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from py_stringsimjoin_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name="bench")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    bench_queries = [
+        "jaccard_part",
+        "cosine_part",
+        "edit_distance_part",
+        "jaccard_docs",
+        "minhash_pairs_docs",
+        "simhash_pairs_docs",
+        "ann_topk_embeddings",
+        "cosine_pairs_embeddings",
+        "tokenstats_docs",
+        "connected_components_part",
+    ]
+    for name in bench_queries:
+        q = qs[name]
+        t0 = time.time()
+        n = q(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    # full record-linkage pipeline on a synthetic pages corpus whose size
+    # scales with sf (sf0.1 → ~20k base pages → ~35k total pages)
+    from py_stringsimjoin_spark.plans.pipeline import LinkagePipeline
+    from py_stringsimjoin_spark.sources.pages import generate_pages
+
+    n_base = max(int(200_000 * sf), 1000) if sf > 0 else 2000
+    wd = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        pages = generate_pages(spark, n_base=n_base, dup_fraction=0.35, seed=42)
+        t0 = time.time()
+        pipe = LinkagePipeline(spark, wd, threshold=0.6)
+        pipe.run(pages.drop("cluster_id"))
+        timings["pages_pipeline"] = round(time.time() - t0, 3)
+        m = pipe.metrics()
+        extras["pipeline_pages"] = m["01_extract"]["n_rows"]
+        extras["pipeline_candidates"] = m["03_scoring"]["candidates_scored"]
+        extras["pipeline_matches"] = m["03_scoring"]["n_rows"]
+        extras["candidate_pairs_per_sec"] = m["03_scoring"]["candidate_pairs_per_sec"]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

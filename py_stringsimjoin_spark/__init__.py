@@ -1,0 +1,52 @@
+"""py_stringsimjoin_spark — PySpark-native string-similarity record linkage.
+
+A brand-new Spark-first engine with the query capabilities of
+anhaidgroup/py_stringsimjoin (reference at /root/reference, v0.3.6): threshold
+similarity joins (Jaccard, cosine, Dice, overlap, overlap coefficient, edit
+distance), composable blocking filters, an apply_matcher verifier, a join
+profiler, plus the large-scale extensions a web-scale training-data pipeline
+needs (dedup, ANN search, text stats, transitive clustering, checkpointed
+resumable pipelines).
+"""
+
+from .functions.converters import dataframe_column_to_str
+from .functions.tokenizers import QgramTokenizer, ShingleTokenizer, WhitespaceTokenizer
+from .operators.connected_components import connected_components
+from .operators.edit_distance_join import edit_distance_join
+from .operators.filters import (
+    OverlapFilter,
+    PositionFilter,
+    PrefixFilter,
+    SizeFilter,
+    SuffixFilter,
+)
+from .operators.matcher import apply_matcher
+from .operators.overlap_join import overlap_coefficient_join, overlap_join
+from .operators.profiler import profile_table_for_join
+from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
+from .session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QgramTokenizer",
+    "ShingleTokenizer",
+    "WhitespaceTokenizer",
+    "jaccard_join",
+    "cosine_join",
+    "dice_join",
+    "overlap_join",
+    "overlap_coefficient_join",
+    "edit_distance_join",
+    "set_sim_join",
+    "OverlapFilter",
+    "SizeFilter",
+    "PrefixFilter",
+    "PositionFilter",
+    "SuffixFilter",
+    "apply_matcher",
+    "profile_table_for_join",
+    "connected_components",
+    "dataframe_column_to_str",
+    "get_spark",
+]

@@ -1,0 +1,34 @@
+"""Numeric → string bridge with NaN preservation.
+
+Re-expresses the reference's ``dataframe_column_to_str`` / ``series_to_str``
+(/root/reference/py_stringsimjoin/utils/converter.py:4-153): integer-valued
+floats render without a trailing ``.0`` (1989.0 -> "1989"), NULL/NaN stays
+NULL. Pure Column expression — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_to_str(col: Column, dtype: T.DataType) -> Column:
+    """Cast a numeric/string column to string, int-valued floats sans '.0'."""
+    if isinstance(dtype, T.StringType):
+        return col
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        as_long = col.cast("bigint")
+        return F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(None)).otherwise(
+            F.when(col == as_long.cast(dtype), as_long.cast("string")).otherwise(
+                col.cast("string")
+            )
+        )
+    # integral types
+    return col.cast("string")
+
+
+def dataframe_column_to_str(df: DataFrame, col_name: str, out_col: str | None = None) -> DataFrame:
+    """Return df with ``col_name`` (or ``out_col``) as the stringified column."""
+    dtype = df.schema[col_name].dataType
+    return df.withColumn(out_col or col_name, column_to_str(F.col(col_name), dtype))

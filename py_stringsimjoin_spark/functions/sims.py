@@ -1,0 +1,140 @@
+"""Vectorized similarity kernels used inside pandas/Arrow UDF batches.
+
+These are the verification-stage kernels — the Spark analogue of the
+reference's Cython merge-scan measures
+(/root/reference/py_stringsimjoin/similarity_measure/jaccard.pyx:4-21,
+cosine.pyx, dice.pyx, edit_distance.pyx:13-47). All operate on a whole Arrow
+batch at once with numpy — no per-row Python in the formulas; the only Python
+loops are over string-length (Levenshtein DP columns) or batch assembly.
+
+Empty-set semantics (SURVEY.md §1.2): sim(∅,∅)=1.0 for jaccard/cosine/dice/
+overlap-coefficient, sim(∅,X)=0.0. Scores are float64, NOT rounded
+(the reference's default Cython kernels don't round; set_sim_join_cy.pyx:132).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SET_SIM_MEASURES = ("jaccard", "cosine", "dice", "overlap", "overlap_coefficient")
+
+_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _flatten(arrays) -> tuple[np.ndarray, np.ndarray]:
+    """list-of-int-arrays -> (flat int64 keys pair_id*2^32+token, lengths)."""
+    n = len(arrays)
+    lens = np.fromiter((0 if a is None else len(a) for a in arrays), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), lens
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrays if a is not None and len(a)])
+    ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return ids * _SHIFT + flat, lens
+
+
+def batch_overlap(l_arrays, r_arrays) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact set-overlap per pair for a batch.
+
+    ``l_arrays[i]`` / ``r_arrays[i]`` are sorted, duplicate-free int token-id
+    arrays (token ranks). Returns (overlap, l_size, r_size) int64 arrays.
+    Fully vectorized: encodes (pair_id, token) into one int64 key space and
+    intersects the two key sets in one shot.
+    """
+    n = len(l_arrays)
+    lk, l_lens = _flatten(l_arrays)
+    rk, r_lens = _flatten(r_arrays)
+    if len(lk) == 0 or len(rk) == 0:
+        return np.zeros(n, np.int64), l_lens, r_lens
+    common = np.intersect1d(lk, rk, assume_unique=True)
+    overlap = np.bincount((common // _SHIFT).astype(np.int64), minlength=n).astype(np.int64)
+    return overlap, l_lens, r_lens
+
+
+def score_from_overlap(measure: str, overlap, l_size, r_size) -> np.ndarray:
+    """Set-sim score formulas on vectorized overlap/sizes (float64)."""
+    o = overlap.astype(np.float64)
+    ls = l_size.astype(np.float64)
+    rs = r_size.astype(np.float64)
+    both_empty = (l_size == 0) & (r_size == 0)
+    any_empty = (l_size == 0) | (r_size == 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if measure == "jaccard":
+            s = o / (ls + rs - o)
+        elif measure == "cosine":
+            s = o / np.sqrt(ls * rs)
+        elif measure == "dice":
+            s = 2.0 * o / (ls + rs)
+        elif measure == "overlap":
+            return o  # integer-valued; no empty-empty special case
+        elif measure == "overlap_coefficient":
+            s = o / np.minimum(ls, rs)
+        else:
+            raise ValueError(f"unknown measure {measure!r}")
+    s = np.where(any_empty, 0.0, s)
+    s = np.where(both_empty, 1.0, s)
+    return s
+
+
+def batch_set_sim(measure: str, l_arrays, r_arrays) -> np.ndarray:
+    overlap, ls, rs = batch_overlap(l_arrays, r_arrays)
+    return score_from_overlap(measure, overlap, ls, rs)
+
+
+def _encode_strings(strs, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """list[str] -> (codepoint matrix padded with -1, lengths)."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), np.int64, n)
+    mat = np.full((n, max_len), -1, dtype=np.int64)
+    for i, s in enumerate(strs):  # per-row fill; cheap vs the DP below
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return mat, lens
+
+
+def batch_levenshtein(l_strs, r_strs) -> np.ndarray:
+    """Levenshtein distance for a batch of string pairs.
+
+    Vectorized across the batch: the DP loops run over string positions
+    (<= max length), each step a numpy op over all pairs at once. The
+    row-insertion dependency is resolved with the slope-1 running-minimum
+    trick: e[j] = min(t[j], e[j-1]+1)  ==  cummin(t[j]-j)+j.
+    """
+    n = len(l_strs)
+    if n == 0:
+        return np.empty(0, np.int64)
+    l_strs = ["" if s is None else s for s in l_strs]
+    r_strs = ["" if s is None else s for s in r_strs]
+    la = max((len(s) for s in l_strs), default=0)
+    lb = max((len(s) for s in r_strs), default=0)
+    A, alen = _encode_strings(l_strs, la)
+    B, blen = _encode_strings(r_strs, lb)
+    # B padded with -2 so pad never equals A's -1 pad (no phantom matches)
+    B[B == -1] = -2
+
+    prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64), (n, lb + 1)).copy()
+    out = np.empty(n, dtype=np.int64)
+    done = alen == 0
+    out[done] = blen[done]
+    jgrid = np.arange(1, lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int64)  # (n, lb)
+        t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        # fold in cur[j-1]+1 chain: seed with cur[0]=i at j=0
+        shifted = np.concatenate(
+            [np.full((n, 1), i, dtype=np.int64), t - jgrid], axis=1
+        )
+        cur_rest = np.minimum.accumulate(shifted, axis=1)[:, 1:] + jgrid
+        cur = np.concatenate([np.full((n, 1), i, dtype=np.int64), cur_rest], axis=1)
+        newly = alen == i
+        if newly.any():
+            out[newly] = cur[newly, blen[newly]]
+        prev = cur
+    return out
+
+
+def batch_cosine_embeddings(q: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Cosine similarity matrix between query rows q (m,d) and X (n,d)."""
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return qn @ xn.T

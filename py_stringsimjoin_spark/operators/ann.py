@@ -1,0 +1,280 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+* ``brute_force_topk`` — exact cosine top-k. Queries are collected (they are
+  few by definition) and broadcast as a numpy matrix; every corpus partition
+  computes one vectorized matmul per Arrow batch inside ``mapInPandas``, then
+  a per-query ``row_number`` window picks global top-k. Reading N corpus rows
+  once is optimal for exact search; nothing is quadratic.
+* ``lsh_topk`` — random-hyperplane (SimHash-for-vectors) bucketed search:
+  sign-bit signature → banded buckets → candidates → exact cosine rerank.
+  The scale path when queries are many: candidates ≪ corpus.
+* ``cosine_neardup_pairs`` — corpus self-join for embedding near-duplicate
+  pairs at a cosine threshold, via the same LSH bucketing.
+
+Hyperplanes are seeded numpy Gaussians — deterministic across runs/retries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    rows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in rows]
+    Q = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return qids, Q
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    query_id_col = query_id_col or id_col
+    qids, Q = _collect_queries(queries, query_id_col, vec_col)
+    if len(qids) == 0:
+        raise ValueError("no query vectors")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    bQ = spark.sparkContext.broadcast((qids, Qn))
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        qids_l, Qn_l = bQ.value
+        m = len(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Qn_l @ Xn.T  # (m, batch)
+            # keep only each query's local top-k from this batch
+            kk = min(k + 1, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(m), kk)
+            ni = idx.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": [qids_l[i] for i in qi],
+                    "neighbor_id": pdf[id_col].to_numpy()[ni],
+                    "cosine": S[qi, ni],
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    if exclude_self:
+        local = local.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def exact_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact self-join pairs (l_id < r_id, cosine ≥ threshold).
+
+    Broadcasts the corpus matrix to every partition (one matmul per Arrow
+    batch) — exact and simple, but O(n²) compute with an O(n·d) broadcast:
+    right for side tables up to ~10^6 rows. At corpus scale use
+    ``cosine_neardup_pairs`` (LSH-bucketed, approximate-complete)."""
+    qids, Q = _collect_queries(corpus, id_col, vec_col)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    bQ = spark.sparkContext.broadcast((qids, Qn))
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("l_id", id_type),
+            T.StructField("r_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        qids_l, Qn_l = bQ.value
+        qarr = np.asarray(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Qn_l @ Xn.T  # (corpus, batch)
+            rid = pdf[id_col].to_numpy()
+            qi, bi = np.nonzero((S >= threshold) & (qarr[:, None] < rid[None, :]))
+            yield pd.DataFrame(
+                {"l_id": qarr[qi], "r_id": rid[bi], "cosine": S[qi, bi]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim)
+
+
+def signature_col(vec_col, planes: np.ndarray) -> "F.Column":
+    """Sign-bit signature as array<int> of band keys is built by the callers;
+    here: array<boolean> bits via JVM dot products would need a UDF per
+    plane — instead callers use ``_add_signature`` (vectorized numpy)."""
+    raise NotImplementedError("use _add_signature")
+
+
+def _add_signature(df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, bands: int):
+    """mapInPandas: one matmul per batch → per-band bucket strings."""
+    nbits = planes.shape[0]
+    rpb = nbits // bands
+    spark = df.sparkSession
+    bP = spark.sparkContext.broadcast(planes)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.StringType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        P = bP.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (X @ P.T) > 0  # (n, nbits)
+            recs = {"id": [], "band": [], "bucket": []}
+            packed = np.packbits(bits, axis=1)
+            for bi in range(bands):
+                seg = bits[:, bi * rpb : (bi + 1) * rpb]
+                keys = np.packbits(seg, axis=1)
+                for i in range(len(pdf)):
+                    recs["id"].append(pdf[id_col].iloc[i])
+                    recs["band"].append(bi)
+                    recs["bucket"].append(keys[i].tobytes().hex())
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket-join candidates, exact rerank."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, nbits, seed)
+    c_sig = _add_signature(corpus, id_col, vec_col, planes, bands)
+    q_sig = _add_signature(queries, id_col, vec_col, planes, bands).withColumnsRenamed(
+        {"id": "query_id"}
+    )
+    cand = (
+        q_sig.join(c_sig, ["band", "bucket"])
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = (
+        cand.join(q_vec, "query_id")
+        .join(c_vec, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(F.aggregate(F.transform("_qv", lambda a: a.cast("double") * a), F.lit(0.0), lambda acc, x: acc + x))
+                * F.sqrt(F.aggregate(F.transform("_cv", lambda a: a.cast("double") * a), F.lit(0.0), lambda acc, x: acc + x))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Self-join near-duplicate pairs (l_id < r_id, cosine ≥ threshold)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, nbits, seed)
+    sig = _add_signature(corpus, id_col, vec_col, planes, bands)
+    a = sig.select(F.col("id").alias("l_id"), "band", "bucket")
+    b = sig.select(F.col("id").alias("r_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda u: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(u, lambda x: x.cast("double") * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        cand.join(v.withColumnsRenamed({"_id": "l_id", "_v": "_lv"}), "l_id")
+        .join(v.withColumnsRenamed({"_id": "r_id", "_v": "_rv"}), "r_id")
+        .withColumn("cosine", dot("_lv", "_rv") / (norm("_lv") * norm("_rv")))
+        .where(F.col("cosine") >= threshold)
+        .select("l_id", "r_id", "cosine")
+    )

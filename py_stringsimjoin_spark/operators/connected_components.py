@@ -1,0 +1,89 @@
+"""Transitive clustering: connected components over match-pair edges.
+
+The reference stops at pair output; the record-linkage pipeline
+(BASELINE.json north_star) additionally needs transitive clustering. This is
+the alternating large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame
+self-joins — the standard scalable CC formulation (GraphFrames uses the same
+scheme). Converges in O(log² n) rounds; every round is checkpointed
+(``localCheckpoint``) to cut lineage so 10^12-edge inputs don't build
+unbounded DAGs.
+
+Cluster id = min(node id) per component (deterministic, data-derived — never
+partition-order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to u's min
+    neighbor (including u)."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+    m = m.withColumn("m", F.least("src", "m"))
+    return (
+        nbrs.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect all ≤-neighbors to u's min neighbor."""
+    dir_edges = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = dir_edges.groupBy("src").agg(F.min("dst").alias("m"))
+    m = m.withColumn("m", F.least("src", "m"))
+    joined = dir_edges.join(m, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
+        joined.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """edges(src, dst) -> DataFrame(node, component) for every node in edges.
+
+    ``component`` is the minimum node id of the component. Isolated nodes
+    (absent from edges) are the caller's to add — they are their own cluster.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the edge set is stable
+        delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if delta == 0:
+            break
+    # after convergence every edge points node -> component-min
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    roots = all_nodes.join(comp, "node", "left_anti").select(
+        F.col("node"), F.col("node").alias("component")
+    )
+    return comp.unionByName(roots)

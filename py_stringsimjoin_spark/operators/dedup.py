@@ -1,0 +1,272 @@
+"""Document deduplication suite for web-scale training-data pipelines.
+
+Beyond the reference's pairwise joins, a 100 TB corpus pipeline needs
+first-class dedup operators. All are declarative DataFrame plans:
+
+* ``exact_duplicates``      — md5(text) hash groupBy (zero UDF)
+* ``minhash_lsh_pairs``     — shingle → minhash signature → banded bucket
+                              self-join → candidates (all JVM expressions;
+                              hash functions are md5-derived so the same
+                              pipeline is reproducible in any engine)
+* ``minhash_dedup``         — candidates → exact shingle-Jaccard verify →
+                              threshold pairs
+* ``simhash_pairs``         — 64-bit SimHash, banded hamming-≤k candidate
+                              generation + exact bit_count verify (zero UDF)
+* ``ngram_jaccard_dedup``   — n-gram shingle Jaccard join (reuses the
+                              prefix-filter join kernel)
+* ``dedup_groups``          — pairs → connected components → (id, group_id)
+
+Scale: every operator is explode + hash-join + groupBy shaped — shuffles on
+token/band keys, AQE-skew-safe, no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizers import ShingleTokenizer, Tokenizer
+from .connected_components import connected_components
+from .set_sim_join import set_sim_join_pairs
+
+# 31-bit Mersenne prime. Token hashes are 28-bit (7 md5 hex chars) and the
+# permutation multipliers are < 2^31, so a*x+b stays < 2^63 — NO int64
+# overflow in any engine. That makes the exact same signature reproducible in
+# Spark, DuckDB, pandas, anywhere (overflow wrapping is engine-specific;
+# staying under 2^63 sidesteps it entirely).
+MINHASH_MERSENNE = (1 << 31) - 1
+
+
+def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    params = []
+    a, b = 0x9E3779B9, 0xC2B2AE35
+    for i in range(num_perm):
+        params.append(
+            (((a * (2 * i + 1)) % MINHASH_MERSENNE) | 1, (b * (i + 1)) % MINHASH_MERSENNE)
+        )
+    return params
+
+
+def _token_hash_col(tok_col) -> "F.Column":
+    # md5 → first 7 hex chars (28 bits) → bigint: portable across engines
+    return F.conv(F.substring(F.md5(tok_col), 1, 7), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, group_id, group_size) for rows whose text appears more than once;
+    group_id = min(id) over identical md5(text)."""
+    h = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h"))
+    g = h.groupBy("_h").agg(
+        F.min("id").alias("group_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(g, "_h")
+        .where(F.col("group_size") > 1)
+        .select("id", "group_id", "group_size")
+    )
+
+
+def minhash_signature_col(tokens_col, num_perm: int = 64) -> "F.Column":
+    """array<long> MinHash signature from an array<string> token column —
+    pure Spark expressions (min over permuted token hashes)."""
+    th = F.transform(tokens_col, _token_hash_col)
+
+    def _perm_fn(a, b):
+        # factory, NOT default-arg lambda: PySpark counts lambda params
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MERSENNE)
+
+    sigs = [
+        F.array_min(F.transform(th, _perm_fn(a, b)))
+        for a, b in minhash_perm_params(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (l_id < r_id) sharing ≥1 LSH band bucket."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    tok = tokenizer or ShingleTokenizer(n=3)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_t")))
+        .where(F.size("_tokens") > 0)
+        .withColumn("_sig", minhash_signature_col(F.col("_tokens"), num_perm))
+    )
+    band_rows = base.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(bi),
+                            *[
+                                F.col("_sig")[bi * rows_per_band + j].cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    a = band_rows.select(F.col("id").alias("l_id"), "_band", "_bucket")
+    b = band_rows.select(F.col("id").alias("r_id"), "_band", "_bucket")
+    return (
+        a.join(b, ["_band", "_bucket"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    tokenizer: Tokenizer | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold →
+    (l_id, r_id, jaccard)."""
+    tok = tokenizer or ShingleTokenizer(n=3)
+    cand = minhash_lsh_pairs(df, id_col, text_col, tok, num_perm, bands)
+    toks = (
+        df.select(F.col(id_col).alias("id"), tok.spark_col(F.col(text_col)).alias("_tk"))
+        .where(F.col("_tk").isNotNull())
+    )
+    l = toks.select(F.col("id").alias("l_id"), F.col("_tk").alias("_lt"))
+    r = toks.select(F.col("id").alias("r_id"), F.col("_tk").alias("_rt"))
+    j = (
+        cand.join(l, "l_id")
+        .join(r, "r_id")
+        .withColumn("_ov", F.size(F.array_intersect("_lt", "_rt")))
+        .withColumn(
+            "jaccard",
+            F.col("_ov").cast("double")
+            / (F.size("_lt") + F.size("_rt") - F.col("_ov")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("l_id", "r_id", "jaccard")
+
+
+def simhash_col(tokens_col, bits: int = 64) -> "F.Column":
+    """64-bit SimHash as a bigint column — majority vote per bit over token
+    hashes, pure JVM bit arithmetic. Token hashes are 28-bit md5 slices, so
+    bit i draws from md5(token + salt_{i//28}) at position i%28."""
+    n_salts = (bits + 27) // 28
+
+    def _salted_fn(s):
+        if s == 0:
+            return lambda t: _token_hash_col(t)
+        return lambda t: _token_hash_col(F.concat(t, F.lit(f"#{s}")))
+
+    def _vote_fn(k):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, k).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    hashes = [F.transform(tokens_col, _salted_fn(s)) for s in range(n_salts)]
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(hashes[i // 28], F.lit(0), _vote_fn(i % 28))
+        expr = expr + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return expr
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into (max_hamming+1) blocks —
+    any qualifying pair agrees exactly on ≥1 block (pigeonhole) → block-value
+    bucket join; verify with bit_count(xor). Zero UDFs end to end.
+    """
+    tok = tokenizer or ShingleTokenizer(n=2)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_t")))
+        .where(F.size("_tokens") > 0)
+        .withColumn("_sh", simhash_col(F.col("_tokens")))
+    )
+    blocks = base.select(
+        "id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("_blk", "_val"),
+    )
+    a = blocks.select(F.col("id").alias("l_id"), F.col("_sh").alias("_lsh"), "_blk", "_val")
+    b = blocks.select(F.col("id").alias("r_id"), F.col("_sh").alias("_rsh"), "_blk", "_val")
+    return (
+        a.join(b, ["_blk", "_val"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", "_lsh", "_rsh")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_lsh").bitwiseXOR(F.col("_rsh"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs via the prefix-filter join
+    kernel (guaranteed complete, unlike LSH)."""
+    tok = ShingleTokenizer(n=n)
+    pairs = set_sim_join_pairs(
+        "jaccard", df, df, id_col, id_col, text_col, text_col, tok, threshold,
+        allow_empty=False, self_join_dedup=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_id"),
+        F.col("_r_key").alias("r_id"),
+        F.col("_sim_score").alias("jaccard"),
+    )
+
+
+def dedup_groups(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """(id, group_id): transitive closure of dup pairs; singletons keep
+    their own id."""
+    comp = connected_components(pairs, "l_id", "r_id")
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(comp, ids["id"] == comp["node"], "left").select(
+        "id", F.coalesce("component", "id").alias("group_id")
+    )

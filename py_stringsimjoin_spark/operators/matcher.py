@@ -1,0 +1,124 @@
+"""apply_matcher — verify an arbitrary similarity function over a candset.
+
+Parity: /root/reference/py_stringsimjoin/matcher/apply_matcher.py:31-229.
+The candset (a pair table from a filter or join) is joined back to both base
+tables and scored inside one Arrow-batched ``mapInPandas`` stage. The user
+similarity function comes in two flavors:
+
+* a measure name ("jaccard" | "cosine" | "dice" | "overlap" |
+  "overlap_coefficient" | "edit_distance") → fully vectorized numpy kernel;
+* a Python callable ``f(l_tokens_or_str, r_tokens_or_str) -> float`` applied
+  per row inside the batch (the reference's arbitrary-UDF surface,
+  apply_matcher.py:77 — inherently the slow path; prefer measure names).
+
+All six comparison ops are allowed (utils/generic_helper.py:10-15). The
+candset's own columns (including any ``_id``) pass through untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.sims import batch_levenshtein, batch_set_sim
+from ..functions.tokenizers import Tokenizer
+from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_comp_op
+
+_MEASURES = ("jaccard", "cosine", "dice", "overlap", "overlap_coefficient")
+
+
+def apply_matcher(
+    candset: DataFrame,
+    candset_l_key_attr: str,
+    candset_r_key_attr: str,
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_match_attr: str,
+    r_match_attr: str,
+    tokenizer: Tokenizer | None,
+    sim_function,
+    threshold: float,
+    comp_op: str = ">=",
+    allow_missing: bool = False,
+    out_sim_score: bool = True,
+) -> DataFrame:
+    validate_attr(candset, candset_l_key_attr, "candset")
+    validate_attr(candset, candset_r_key_attr, "candset")
+    validate_attr(ltable, l_key_attr, "left")
+    validate_attr(rtable, r_key_attr, "right")
+    validate_attr(ltable, l_match_attr, "left")
+    validate_attr(rtable, r_match_attr, "right")
+    validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
+
+    l_sel = ltable.select(
+        F.col(l_key_attr).alias("__lk"), F.col(l_match_attr).alias("__lv")
+    )
+    r_sel = rtable.select(
+        F.col(r_key_attr).alias("__rk"), F.col(r_match_attr).alias("__rv")
+    )
+    joined = candset.join(
+        l_sel, candset[candset_l_key_attr] == l_sel["__lk"], "left"
+    ).join(r_sel, candset[candset_r_key_attr] == r_sel["__rk"], "left")
+
+    out_fields = [f for f in candset.schema.fields]
+    out_schema = T.StructType(
+        out_fields + ([T.StructField("_sim_score", T.DoubleType())] if out_sim_score else [])
+    )
+    cand_cols = candset.columns
+    cmp = COMP_OP_NUMPY[comp_op]
+    tok = tokenizer
+    simf = sim_function
+
+    def score_batch(l_vals, r_vals) -> np.ndarray:
+        if isinstance(simf, str) and simf in _MEASURES:
+            # tokenize → int-encode via shared vocab → vectorized set-sim
+            l_toks = [None if v is None else (tok.tokenize(v) if tok else v.split()) for v in l_vals]
+            r_toks = [None if v is None else (tok.tokenize(v) if tok else v.split()) for v in r_vals]
+            vocab: dict = {}
+
+            def enc(ts):
+                if ts is None:
+                    return None
+                ids = {vocab.setdefault(t, len(vocab)) for t in ts}
+                return np.fromiter(sorted(ids), np.int64, len(ids))
+
+            le = [enc(t) for t in l_toks]
+            re_ = [enc(t) for t in r_toks]
+            return batch_set_sim(simf, le, re_)
+        if isinstance(simf, str) and simf == "edit_distance":
+            return batch_levenshtein(list(l_vals), list(r_vals)).astype(float)
+        scores = np.empty(len(l_vals), dtype=np.float64)
+        for i, (lv, rv) in enumerate(zip(l_vals, r_vals)):
+            la = tok.tokenize(lv) if tok else lv
+            ra = tok.tokenize(rv) if tok else rv
+            scores[i] = simf(la, ra)
+        return scores
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            l_vals = pdf["__lv"].tolist()
+            r_vals = pdf["__rv"].tolist()
+            miss = np.array([(a is None) or (b is None) for a, b in zip(l_vals, r_vals)])
+            scores = np.full(len(pdf), np.nan)
+            nm = ~miss
+            if nm.any():
+                lv = [l_vals[i] for i in np.flatnonzero(nm)]
+                rv = [r_vals[i] for i in np.flatnonzero(nm)]
+                scores[nm] = score_batch(lv, rv)
+            keep = np.zeros(len(pdf), dtype=bool)
+            keep[nm] = cmp(scores[nm], threshold)
+            if allow_missing:
+                keep |= miss
+            out = pdf.loc[keep, cand_cols].copy()
+            if out_sim_score:
+                s = scores[keep]
+                out["_sim_score"] = np.where(np.isnan(s), None, s)
+            yield out
+
+    return joined.mapInPandas(fn, out_schema)

@@ -1,0 +1,177 @@
+"""Overlap and overlap-coefficient joins — pure DataFrame plans, zero UDFs.
+
+Parity: /root/reference/py_stringsimjoin/join/overlap_join_py.py:97-104 (via
+OverlapFilter) and join/overlap_coefficient_join_py.py:228-330. Both measures
+count exact set overlap, so the whole join is expressible JVM-side:
+
+    tokenize (set) → explode all tokens → hash equi-join on token
+    → groupBy pair: count(*) = |∩|  (+ sizes for the coefficient)
+    → threshold predicate (HAVING)
+
+No prefix/position filtering is needed for exactness — any qualifying pair
+shares ≥1 token (thresholds are > 0), so the token join finds all of them.
+``allow_empty`` applies to overlap_coefficient only (sim(∅,∅)=1); the
+reference ignores it for OVERLAP (filter/position_filter.py:394-396).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.output import assemble_output
+from ..plans.validation import (
+    COMP_OP_FN,
+    validate_attr,
+    validate_comp_op,
+    validate_output_attrs,
+    validate_threshold,
+    validate_tokenizer,
+)
+from .missing_pairs import missing_pairs
+from .set_sim_join import as_set_tokenizer
+
+_COMP_COL = {
+    ">=": lambda c, t: c >= t,
+    ">": lambda c, t: c > t,
+    "<=": lambda c, t: c <= t,
+    "<": lambda c, t: c < t,
+    "=": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+}
+
+
+def comp_col(comp_op: str, col: Column, threshold) -> Column:
+    return _COMP_COL[comp_op](col, F.lit(threshold))
+
+
+def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, with_sizes: bool):
+    l_nn = (
+        ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
+        .where(F.col("_l_str").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_l_str")))
+    )
+    r_nn = (
+        rtable.select(F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str"))
+        .where(F.col("_r_str").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_r_str")))
+    )
+    if with_sizes:
+        l_nn = l_nn.withColumn("_l_size", F.size("_tokens"))
+        r_nn = r_nn.withColumn("_r_size", F.size("_tokens"))
+    l_ex = l_nn.select(
+        "_l_key", *(["_l_size"] if with_sizes else []), F.explode("_tokens").alias("_tok")
+    )
+    r_ex = r_nn.select(
+        "_r_key", *(["_r_size"] if with_sizes else []), F.explode("_tokens").alias("_tok")
+    )
+    return l_nn, r_nn, l_ex.join(r_ex, "_tok")
+
+
+def overlap_join(
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer,
+    threshold: float,
+    comp_op: str = ">=",
+    allow_missing: bool = False,
+    l_out_attrs=None,
+    r_out_attrs=None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    add_dense_id: bool = False,
+) -> DataFrame:
+    """|tok(l) ∩ tok(r)| comp_op threshold (integer overlap count)."""
+    for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
+                        (ltable, l_join_attr, "left"), (rtable, r_join_attr, "right")):
+        validate_attr(df, a, side)
+    validate_tokenizer(tokenizer)
+    validate_threshold(threshold, "overlap")
+    validate_comp_op(comp_op, (">=", ">", "="))
+    validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
+    tok = as_set_tokenizer(tokenizer)
+
+    _, _, joined = _token_pairs(
+        ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, False
+    )
+    pairs = (
+        joined.groupBy("_l_key", "_r_key")
+        .agg(F.count("*").cast("double").alias("_sim_score"))
+        .where(comp_col(comp_op, F.col("_sim_score"), float(threshold)))
+    )
+    if allow_missing:
+        pairs = pairs.unionByName(
+            missing_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+        )
+    return assemble_output(
+        pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+        l_out_prefix, r_out_prefix, "_sim_score" if out_sim_score else None, add_dense_id,
+    )
+
+
+def overlap_coefficient_join(
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer,
+    threshold: float,
+    comp_op: str = ">=",
+    allow_empty: bool = True,
+    allow_missing: bool = False,
+    l_out_attrs=None,
+    r_out_attrs=None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    add_dense_id: bool = False,
+) -> DataFrame:
+    """|∩| / min(|X|, |Y|) comp_op threshold
+    (overlap_coefficient_join_py.py:300-303)."""
+    for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
+                        (ltable, l_join_attr, "left"), (rtable, r_join_attr, "right")):
+        validate_attr(df, a, side)
+    validate_tokenizer(tokenizer)
+    validate_threshold(threshold, "overlap_coefficient")
+    validate_comp_op(comp_op, (">=", ">", "="))
+    validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
+    tok = as_set_tokenizer(tokenizer)
+
+    l_nn, r_nn, joined = _token_pairs(
+        ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, True
+    )
+    pairs = (
+        joined.groupBy("_l_key", "_r_key")
+        .agg(
+            F.count("*").alias("_ov"),
+            F.first("_l_size").alias("_ls"),
+            F.first("_r_size").alias("_rs"),
+        )
+        .withColumn(
+            "_sim_score",
+            F.col("_ov").cast("double") / F.least("_ls", "_rs").cast("double"),
+        )
+        .where(comp_col(comp_op, F.col("_sim_score"), float(threshold)))
+        .select("_l_key", "_r_key", "_sim_score")
+    )
+    if allow_empty and COMP_OP_FN[comp_op](1.0, threshold):
+        l_empty = l_nn.where(F.size("_tokens") == 0).select("_l_key")
+        r_empty = r_nn.where(F.size("_tokens") == 0).select("_r_key")
+        pairs = pairs.unionByName(
+            l_empty.crossJoin(r_empty).withColumn("_sim_score", F.lit(1.0))
+        )
+    if allow_missing:
+        pairs = pairs.unionByName(
+            missing_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+        )
+    return assemble_output(
+        pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+        l_out_prefix, r_out_prefix, "_sim_score" if out_sim_score else None, add_dense_id,
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, whole-stage
+codegen) — no UDFs anywhere:
+
+* ``language_id``       — stopword-hit n-gram heuristic over a small
+                          per-language marker list
+* ``quality_score``     — length / punctuation / stopword-ratio composite
+* ``token_stats``       — whitespace token count + BPE-ish subword count
+* ``fingerprint``       — polynomial rolling hash of the normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "por", "con"],
+}
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+
+def _hit_count(words: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def language_id_col(text_col: Column) -> Column:
+    """Predicted language code ('en'/'de'/'fr'/'es'/'und') by max stopword
+    hits; ties and zero hits resolve deterministically ('und' when no
+    marker appears, else alphabetically-first max)."""
+    words = _words(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (-_hit_count(words, STOPWORDS[lang])).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_min(scored)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_col(text_col: Column) -> Column:
+    """[0,1] composite: length band + alpha ratio + mean word length band +
+    stopword presence (all deterministic arithmetic)."""
+    n = F.length(text_col)
+    words = _words(text_col)
+    n_words = F.size(words)
+    alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(0.0)
+    mean_wlen = F.when(n_words > 0, (alpha + 0).cast("double") / n_words).otherwise(0.0)
+    len_band = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(
+        F.when(n > 0, 0.5).otherwise(0.0)
+    )
+    wlen_band = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.5)
+    stop_hits = _hit_count(words, [w for ws in STOPWORDS.values() for w in ws])
+    stop_band = F.when(n_words == 0, 0.0).otherwise(
+        F.least(stop_hits.cast("double") / 2.0, F.lit(1.0))
+    )
+    return F.round(
+        0.3 * len_band + 0.3 * alpha_ratio + 0.2 * wlen_band + 0.2 * stop_band, 6
+    )
+
+
+def token_count_col(text_col: Column) -> Column:
+    return F.size(_words(text_col))
+
+
+def subword_count_col(text_col: Column) -> Column:
+    """BPE-ish proxy: count of alnum runs + punctuation marks (what a
+    byte-pair tokenizer roughly splits on)."""
+    runs = F.size(
+        F.filter(F.split(text_col, r"[^A-Za-z0-9]+"), lambda t: t != "")
+    )
+    punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    return runs + punct
+
+
+def fingerprint_col(text_col: Column) -> Column:
+    """Polynomial rolling hash (base 31, mod 2^31-1) folded over the
+    lowercased words' 28-bit md5 hashes — a deterministic document
+    fingerprint via ``F.aggregate`` (no UDF). Operands stay < 2^63, so the
+    identical formula reproduces in any engine (incl. the DuckDB oracle)."""
+    words = _words(text_col)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
+    )
+    mod = F.lit((1 << 31) - 1)
+    return F.aggregate(
+        hashes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % mod
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        language_id_col(t).alias("pred_lang"),
+        quality_score_col(t).alias("quality"),
+        token_count_col(t).alias("n_tokens"),
+        subword_count_col(t).alias("n_subwords"),
+        F.length(t).alias("n_chars"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

