@@ -101,18 +101,37 @@ def edit_distance_join(
         .where(F.col("_l_str").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_l_str")))
     )
-    r_nn = (
-        rtable.select(F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str"))
-        .where(F.col("_r_str").isNotNull())
-        .withColumn("_tokens", tok.spark_col(F.col("_r_str")))
-    )
-    ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
-    l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
-        "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
-    ).persist()
-    r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size").select(
-        "_r_key", F.length("_r_str").alias("_r_len"), "_ranked", "_size"
-    ).persist()
+    is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    if is_self:
+        # tokenize/order/rank once; alias for the right side (see set_sim_join)
+        r_nn = l_nn.select(
+            F.col("_l_key").alias("_r_key"),
+            F.col("_l_str").alias("_r_str"),
+            "_tokens",
+        )
+        ordering = build_token_ordering([(l_nn, "_tokens")]).persist()
+        l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
+            "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
+        ).persist()
+        r_rk = l_rk.select(
+            F.col("_l_key").alias("_r_key"),
+            F.col("_l_len").alias("_r_len"),
+            "_ranked",
+            "_size",
+        )
+    else:
+        r_nn = (
+            rtable.select(F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str"))
+            .where(F.col("_r_str").isNotNull())
+            .withColumn("_tokens", tok.spark_col(F.col("_r_str")))
+        )
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
+        l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
+            "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
+        ).persist()
+        r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size").select(
+            "_r_key", F.length("_r_str").alias("_r_len"), "_ranked", "_size"
+        ).persist()
 
     pl = (
         l_rk.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q))

@@ -354,21 +354,23 @@ class PositionFilter(PrefixFilter):
             (F.col("_rs") >= fm.size_lower_bound_col(F.col("_ls"), self.measure, self.threshold))
             & (F.col("_rs") <= fm.size_upper_bound_col(F.col("_ls"), self.measure, self.threshold))
         )
+        # packed-int64 min → HashAggregate (see set_sim_join.py for soundness)
+        packed = (
+            F.shiftleft(F.col("_tok"), 30)
+            + F.shiftleft(F.least(F.col("_lp"), F.lit(32767)).cast("long"), 15)
+            + F.least(F.col("_rp"), F.lit(32767)).cast("long")
+        )
         cand = joined.groupBy("_l_key", "_r_key").agg(
-            F.min(
-                F.struct(
-                    F.col("_tok").alias("rk"), F.col("_lp").alias("lp"),
-                    F.col("_rp").alias("rp"), F.col("_ls").alias("ls"),
-                    F.col("_rs").alias("rs"),
-                )
-            ).alias("_m")
+            F.min(packed).alias("_mp"),
+            F.min("_ls").alias("_gls"),
+            F.min("_rs").alias("_grs"),
         )
-        ub = F.lit(1) + F.least(
-            F.col("_m.ls") - F.col("_m.lp") - 1, F.col("_m.rs") - F.col("_m.rp") - 1
-        )
+        lp = F.shiftright(F.col("_mp"), 15).bitwiseAND(F.lit(32767))
+        rp = F.col("_mp").bitwiseAND(F.lit(32767))
+        ub = F.lit(1) + F.least(F.col("_gls") - lp - 1, F.col("_grs") - rp - 1)
         pairs = cand.where(
             ub >= fm.overlap_threshold_col(
-                F.col("_m.ls"), F.col("_m.rs"), self.measure, self.threshold, self.qval
+                F.col("_gls"), F.col("_grs"), self.measure, self.threshold, self.qval
             )
         ).select("_l_key", "_r_key")
         if self.allow_empty and self.measure in ("jaccard", "cosine", "dice"):

@@ -122,17 +122,31 @@ def set_sim_join_pairs(
     l_nn = l_proj.where(F.col("_l_str").isNotNull()).withColumn(
         "_tokens", tok.spark_col(F.col("_l_str"))
     )
-    r_nn = r_proj.where(F.col("_r_str").isNotNull()).withColumn(
-        "_tokens", tok.spark_col(F.col("_r_str"))
-    )
-
-    ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
-    l_rk = add_ranked_tokens(
-        l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
-    ).select("_l_key", "_l_ranked", "_l_size").persist()
-    r_rk = add_ranked_tokens(
-        r_nn, ["_r_key"], "_tokens", ordering, "_r_ranked", "_r_size"
-    ).select("_r_key", "_r_ranked", "_r_size").persist()
+    # self-join detection: same table object + same attrs → tokenize, build
+    # the ordering, and rank ONCE; the right side is an alias of the left
+    # cache (halves the prep work for clustering/dedup pipelines)
+    is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    if is_self:
+        ordering = build_token_ordering([(l_nn, "_tokens")]).persist()
+        l_rk = add_ranked_tokens(
+            l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
+        ).select("_l_key", "_l_ranked", "_l_size").persist()
+        r_rk = l_rk.select(
+            F.col("_l_key").alias("_r_key"),
+            F.col("_l_ranked").alias("_r_ranked"),
+            F.col("_l_size").alias("_r_size"),
+        )
+    else:
+        r_nn = r_proj.where(F.col("_r_str").isNotNull()).withColumn(
+            "_tokens", tok.spark_col(F.col("_r_str"))
+        )
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
+        l_rk = add_ranked_tokens(
+            l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
+        ).select("_l_key", "_l_ranked", "_l_size").persist()
+        r_rk = add_ranked_tokens(
+            r_nn, ["_r_key"], "_tokens", ordering, "_r_ranked", "_r_size"
+        ).select("_r_key", "_r_ranked", "_r_size").persist()
 
     pl = (
         l_rk.withColumn(
@@ -162,28 +176,31 @@ def set_sim_join_pairs(
     if self_join_dedup:
         joined = joined.where(F.col("_l_key") < F.col("_r_key"))
 
+    # pack (rank, l_pos, r_pos) into one int64 so the per-pair min is a
+    # HashAggregate, not a SortAggregate (min-of-struct forces sort-based
+    # aggregation). Rank is unique per token, so min(packed) IS the min-rank
+    # shared token; positions are clamped to 15 bits — clamping can only
+    # loosen (never tighten) the bound, so pruning stays sound. Sizes are
+    # constant within a (l_key, r_key) group.
+    packed = (
+        F.shiftleft(F.col("_tok"), 30)
+        + F.shiftleft(F.least(F.col("_l_pos"), F.lit(32767)).cast("long"), 15)
+        + F.least(F.col("_r_pos"), F.lit(32767)).cast("long")
+    )
     cand = joined.groupBy("_l_key", "_r_key").agg(
-        F.min(
-            F.struct(
-                F.col("_tok").alias("rk"),
-                F.col("_l_pos").alias("lp"),
-                F.col("_r_pos").alias("rp"),
-                F.col("_l_size").alias("ls"),
-                F.col("_r_size").alias("rs"),
-            )
-        ).alias("_m")
+        F.min(packed).alias("_mp"),
+        F.min("_l_size").alias("_ls"),
+        F.min("_r_size").alias("_rs"),
     )
     if position_filter and measure != "overlap_coefficient":
         # min-rank shared token ⇒ sound overlap upper bound (PPJoin-style):
         # overlap ≤ 1 + min(remaining_l, remaining_r) after that token.
-        ub = F.lit(1) + F.least(
-            F.col("_m.ls") - F.col("_m.lp") - 1, F.col("_m.rs") - F.col("_m.rp") - 1
-        )
+        lp = F.shiftright(F.col("_mp"), 15).bitwiseAND(F.lit(32767))
+        rp = F.col("_mp").bitwiseAND(F.lit(32767))
+        ub = F.lit(1) + F.least(F.col("_ls") - lp - 1, F.col("_rs") - rp - 1)
         cand = cand.where(
             ub
-            >= fm.overlap_threshold_col(
-                F.col("_m.ls"), F.col("_m.rs"), measure, threshold
-            )
+            >= fm.overlap_threshold_col(F.col("_ls"), F.col("_rs"), measure, threshold)
         )
     cand = cand.select("_l_key", "_r_key")
 

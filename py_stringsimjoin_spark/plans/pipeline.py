@@ -128,9 +128,7 @@ class LinkagePipeline:
         mismatches = (
             pages.select("url", F.col("text").alias("stored"))
             .join(extracted.select("url", "text"), "url")
-            .where(
-                ~(F.col("stored") <=> F.col("text"))
-            )
+            .where(~F.col("stored").eqNullSafe(F.col("text")))
             .limit(1)
             .count()
         )

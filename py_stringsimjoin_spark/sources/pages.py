@@ -28,16 +28,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-VOCAB = [
-    f"{p}{s}"
-    for p in (
-        "data web page crawl index token rank merge shard fetch parse render "
-        "link host path query cache store batch queue graph node edge label "
-        "score match block clean filter group sort scan read write split join "
-        "count hash tree list map set heap disk core task"
-    ).split()
-    for s in ("", "er", "ing")
-]
+# Zipf-like vocabulary: word index drawn log-uniformly from [1, VOCAB_SIZE]
+# (P(idx ≤ x) = log x / log V — density ∝ 1/x). Web text is Zipfian; the long
+# tail of rare words is what makes prefix blocking selective. A small flat
+# vocabulary would make every token a hot token and candidate generation
+# quadratic — unrepresentative of the Common-Crawl shape this stands in for.
+VOCAB_SIZE = 50_000
+_COMMON = (
+    "the a of and to in is that for with data web page crawl index token "
+    "rank merge shard fetch parse render link host path query cache store"
+).split()
+
+
+def _zipf_word(rng: random.Random) -> str:
+    idx = int(VOCAB_SIZE ** rng.random())
+    if idx <= len(_COMMON):
+        return _COMMON[idx - 1]
+    return f"w{idx:05d}"
+
 
 LANGS = ["en", "en", "en", "en", "de", "fr", "es", "zh"]
 
@@ -83,8 +91,8 @@ def _make_html(title: str, body: str) -> bytes:
 
 
 def _base_page(rng: random.Random, base_id: int):
-    title = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(4, 8)))
-    body = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(30, 60)))
+    title = " ".join(_zipf_word(rng) for _ in range(rng.randint(4, 8)))
+    body = " ".join(_zipf_word(rng) for _ in range(rng.randint(30, 60)))
     host = f"site{rng.randint(0, 99)}.example.com"
     path = f"/{rng.choice(['a', 'b', 'c', 'docs', 'blog'])}/{base_id}"
     lang = rng.choice(LANGS)
@@ -109,7 +117,7 @@ def _perturb(rng: random.Random, title: str, body: str):
             j = rng.randrange(len(w))
             t_toks[i] = w[:j] + rng.choice("xyz") + w[j + 1 :]
     else:  # append a body token
-        b_toks.append(rng.choice(VOCAB))
+        b_toks.append(_zipf_word(rng))
     return " ".join(t_toks), " ".join(b_toks)
 
 
