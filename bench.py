@@ -56,6 +56,7 @@ def main() -> int:
         n = q(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         extras[f"{name}_rows"] = n
+        print(f"[bench] {name}: {timings[name]}s rows={n}", file=sys.stderr, flush=True)
 
     # full record-linkage pipeline on a synthetic pages corpus whose size
     # scales with sf (sf0.1 → ~20k base pages → ~35k total pages)

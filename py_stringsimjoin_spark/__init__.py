@@ -9,10 +9,10 @@ needs (dedup, ANN search, text stats, transitive clustering, checkpointed
 resumable pipelines).
 """
 
-from .functions.converters import dataframe_column_to_str
+from .functions.converters import dataframe_column_to_str, remove_non_ascii_col
 from .functions.tokenizers import QgramTokenizer, ShingleTokenizer, WhitespaceTokenizer
 from .operators.connected_components import connected_components
-from .operators.edit_distance_join import edit_distance_join
+from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
 from .operators.filters import (
     OverlapFilter,
     PositionFilter,
@@ -25,6 +25,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
 from .session import get_spark
+from .sources.datasets import load_books_dataset, load_person_dataset
 
 __version__ = "0.1.0"
 
@@ -38,6 +39,10 @@ __all__ = [
     "overlap_join",
     "overlap_coefficient_join",
     "edit_distance_join",
+    "disk_edit_distance_join",
+    "load_books_dataset",
+    "load_person_dataset",
+    "remove_non_ascii_col",
     "set_sim_join",
     "OverlapFilter",
     "SizeFilter",

@@ -32,3 +32,9 @@ def dataframe_column_to_str(df: DataFrame, col_name: str, out_col: str | None = 
     """Return df with ``col_name`` (or ``out_col``) as the stringified column."""
     dtype = df.schema[col_name].dataType
     return df.withColumn(out_col or col_name, column_to_str(F.col(col_name), dtype))
+
+
+def remove_non_ascii_col(col: Column) -> Column:
+    """Strip non-ASCII characters (utils/generic_helper.py:111-112) — as a
+    native regexp expression."""
+    return F.regexp_replace(col, r"[^\x00-\x7F]", "")

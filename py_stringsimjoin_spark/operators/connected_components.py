@@ -73,13 +73,25 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def _signature(df: DataFrame):
+        # one cheap agg job per round instead of two exceptAll scans; the
+        # edge sets are duplicate-free, so (count, sum of 64-bit pair
+        # hashes) equality pinpoints set equality up to a 2^-64 collision
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: immune to int64 overflow under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(e)
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the edge set is stable
-        delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        sig2 = _signature(e2)
         e = e2
-        if delta == 0:
+        if sig2 == sig:
             break
+        sig = sig2
     # after convergence every edge points node -> component-min
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     comp = comp.groupBy("node").agg(F.min("component").alias("component"))

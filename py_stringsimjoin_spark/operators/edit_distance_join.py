@@ -170,3 +170,37 @@ def edit_distance_join(
         pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
         l_out_prefix, r_out_prefix, "_sim_score" if out_sim_score else None, add_dense_id,
     )
+
+
+def disk_edit_distance_join(
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    threshold: float,
+    output_file_path: str,
+    comp_op: str = "<=",
+    output_format: str = "parquet",
+    **kwargs,
+) -> bool:
+    """Bounded-memory edit-distance join straight to a sink.
+
+    Parity with the reference's J7 disk join
+    (/root/reference/py_stringsimjoin/join/disk_edit_distance_join.py:12):
+    there it exists because the in-memory engine can't hold the output; on
+    Spark the shuffle already spills, so this is the same plan ending in a
+    distributed ``df.write`` instead of a return — the ``data_limit`` /
+    ``temp_dir`` machinery is subsumed by the engine. Returns True like the
+    reference."""
+    out = edit_distance_join(
+        ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+        threshold, comp_op=comp_op, **kwargs,
+    )
+    writer = out.write.mode("overwrite")
+    if output_format == "csv":
+        writer.option("header", "true").csv(output_file_path)
+    else:
+        writer.parquet(output_file_path)
+    return True

@@ -23,7 +23,7 @@ its pair/candset refinement modes only.
 
 from __future__ import annotations
 
-from math import ceil, floor
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

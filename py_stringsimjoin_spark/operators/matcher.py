@@ -29,6 +29,91 @@ from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_comp_op
 _MEASURES = ("jaccard", "cosine", "dice", "overlap", "overlap_coefficient")
 
 
+def verify_pairs(
+    candset: DataFrame,
+    candset_l_key_attr: str,
+    candset_r_key_attr: str,
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_match_attr: str,
+    r_match_attr: str,
+    tokenizer: Tokenizer,
+    measure: str,
+    threshold: float,
+    comp_op: str = ">=",
+) -> DataFrame:
+    """Fast candidate-pair verifier: the pipeline's scoring stage.
+
+    Unlike ``apply_matcher`` (which supports arbitrary Python sim functions
+    and therefore tokenizes per value in Python), this path keeps ALL
+    tokenization in Spark expressions and does the pairwise math in one
+    Arrow-batched ``mapInPandas``: per batch, tokens are integer-encoded with
+    a single vectorized ``pd.factorize`` and overlaps computed by one
+    int64-keyspace intersection (functions/sims.py) — no per-row Python.
+
+    Returns candset key columns + ``_sim_score`` for pairs passing
+    ``comp_op threshold``.
+    """
+    from .set_sim_join import as_set_tokenizer
+
+    validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
+    tok = as_set_tokenizer(tokenizer)
+    l_tok = ltable.select(
+        F.col(l_key_attr).alias("__lk"), tok.spark_col(F.col(l_match_attr)).alias("__lt")
+    )
+    r_tok = rtable.select(
+        F.col(r_key_attr).alias("__rk"), tok.spark_col(F.col(r_match_attr)).alias("__rt")
+    )
+    joined = (
+        candset.select(candset_l_key_attr, candset_r_key_attr)
+        .join(l_tok, candset[candset_l_key_attr] == l_tok["__lk"])
+        .join(r_tok, candset[candset_r_key_attr] == r_tok["__rk"])
+        .select(
+            F.col(candset_l_key_attr), F.col(candset_r_key_attr), "__lt", "__rt"
+        )
+    )
+    cmp = COMP_OP_NUMPY[comp_op]
+    out_schema = T.StructType(
+        [
+            candset.schema[candset_l_key_attr],
+            candset.schema[candset_r_key_attr],
+            T.StructField("_sim_score", T.DoubleType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..functions.sims import batch_set_sim
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            l_lists = [np.asarray(v if v is not None else [], dtype=object) for v in pdf["__lt"]]
+            r_lists = [np.asarray(v if v is not None else [], dtype=object) for v in pdf["__rt"]]
+            l_lens = np.fromiter((len(a) for a in l_lists), np.int64, len(pdf))
+            r_lens = np.fromiter((len(a) for a in r_lists), np.int64, len(pdf))
+            flat = np.concatenate(
+                [a for a in l_lists if len(a)] + [a for a in r_lists if len(a)]
+                or [np.empty(0, object)]
+            )
+            codes, _ = pd.factorize(flat)
+            n_l = int(l_lens.sum())
+            l_enc = np.split(codes[:n_l].astype(np.int64), np.cumsum(l_lens)[:-1])
+            r_enc = np.split(codes[n_l:].astype(np.int64), np.cumsum(r_lens)[:-1])
+            scores = batch_set_sim(measure, l_enc, r_enc)
+            mask = cmp(scores, threshold)
+            out = pdf.loc[mask, [candset_l_key_attr, candset_r_key_attr]].copy()
+            out["_sim_score"] = scores[mask]
+            out.columns = names
+            yield out
+
+    return joined.mapInPandas(fn, out_schema)
+
+
 def apply_matcher(
     candset: DataFrame,
     candset_l_key_attr: str,

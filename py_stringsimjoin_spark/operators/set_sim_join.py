@@ -46,6 +46,38 @@ from .token_ordering import add_ranked_tokens, build_token_ordering
 
 _EMPTY_OK = ("jaccard", "cosine", "dice", "overlap_coefficient")
 
+_COMP_COL_FN = {
+    ">=": lambda c, t: c >= t,
+    ">": lambda c, t: c > t,
+    "=": lambda c, t: c == t,
+}
+
+
+def _append_empty_and_missing(
+    pairs, measure, comp_op, threshold, allow_empty, allow_missing,
+    l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
+    l_join_attr, r_join_attr, self_join_dedup, with_score,
+):
+    """Union the allow_empty (empty×empty, score 1.0) and allow_missing
+    (NULL-attr cross pairs, NULL score) rows onto a pair result."""
+    if allow_empty and measure in _EMPTY_OK and COMP_OP_FN[comp_op](1.0, threshold):
+        l_empty = l_rk.where(F.col("_l_size") == 0).select("_l_key")
+        r_empty = r_rk.where(F.col("_r_size") == 0).select("_r_key")
+        empties = l_empty.crossJoin(r_empty)
+        if self_join_dedup:
+            empties = empties.where(F.col("_l_key") < F.col("_r_key"))
+        if with_score:
+            empties = empties.withColumn("_sim_score", F.lit(1.0).cast("double"))
+        pairs = pairs.unionByName(empties)
+    if allow_missing:
+        mp = missing_pairs(
+            ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+        )
+        if not with_score:
+            mp = mp.select("_l_key", "_r_key")
+        pairs = pairs.unionByName(mp)
+    return pairs
+
 
 def as_set_tokenizer(tokenizer: Tokenizer) -> Tokenizer:
     """Set-semantics copy (set-sim joins force return_set=True,
@@ -95,6 +127,7 @@ def set_sim_join_pairs(
     position_filter: bool = True,
     self_join_dedup: bool = False,
     verify: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
 
@@ -103,6 +136,19 @@ def set_sim_join_pairs(
     groupBy so the shuffle halves. ``verify=False`` stops after the
     filter stack and returns candidate pairs without scores (blocking
     mode; _sim_score column absent).
+
+    ``strategy``: physical-plan choice, the engine's one cost-based
+    decision (Catalyst can't see it — it's domain logic):
+      * ``"prefix"``  — prefix-explode + filters + Arrow-batched verify;
+        wins when prefixes are much shorter than token sets (long texts,
+        high thresholds).
+      * ``"count"``   — explode ALL tokens, equi-join, groupBy-count =
+        exact overlap, score as pure JVM arithmetic (zero UDF); wins when
+        ℓ(n) ≈ n (short token sets / low thresholds), where the prefix
+        plan pays its extra joins + Python stage for no pruning.
+      * ``"auto"``    — one tiny stats job (avg token count + avg prefix
+        length on the left side) picks between them: count when the
+        prefix would keep >60% of tokens or sets average ≤4 tokens.
     """
     validate_attr(ltable, l_key_attr, "left")
     validate_attr(rtable, r_key_attr, "right")
@@ -147,6 +193,60 @@ def set_sim_join_pairs(
         r_rk = add_ranked_tokens(
             r_nn, ["_r_key"], "_tokens", ordering, "_r_ranked", "_r_size"
         ).select("_r_key", "_r_ranked", "_r_size").persist()
+
+    if strategy not in ("auto", "prefix", "count"):
+        raise AssertionError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        stats = l_rk.agg(
+            F.avg("_l_size").alias("s"),
+            F.avg(fm.prefix_length_col(F.col("_l_size"), measure, threshold)).alias("p"),
+        ).first()
+        avg_size = stats["s"] or 0.0
+        avg_pfx = stats["p"] or 0.0
+        strategy = (
+            "count"
+            if avg_size <= 4 or (avg_size > 0 and avg_pfx / avg_size > 0.6)
+            else "prefix"
+        )
+
+    if strategy == "count":
+        ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))
+        ex_r = r_rk.select("_r_key", "_r_size", F.explode("_r_ranked").alias("_tok"))
+        joined = ex_l.join(ex_r, "_tok").where(
+            (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
+            & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
+        )
+        if self_join_dedup:
+            joined = joined.where(F.col("_l_key") < F.col("_r_key"))
+        grouped = joined.groupBy("_l_key", "_r_key").agg(
+            F.count("*").alias("_ov"),
+            F.min("_l_size").alias("_ls"),
+            F.min("_r_size").alias("_rs"),
+        )
+        ov = F.col("_ov").cast("double")
+        ls = F.col("_ls").cast("double")
+        rs = F.col("_rs").cast("double")
+        if measure == "jaccard":
+            score = ov / (ls + rs - ov)
+        elif measure == "cosine":
+            score = ov / F.sqrt(ls * rs)
+        elif measure == "dice":
+            score = F.lit(2.0) * ov / (ls + rs)
+        else:
+            raise AssertionError(measure)
+        pairs = (
+            grouped.withColumn("_sim_score", score)
+            .where(_COMP_COL_FN[comp_op](F.col("_sim_score"), F.lit(threshold)))
+            .select("_l_key", "_r_key", "_sim_score")
+        )
+        if not verify:
+            pairs = pairs.select("_l_key", "_r_key")
+        pairs = _append_empty_and_missing(
+            pairs, measure, comp_op, threshold, allow_empty, allow_missing,
+            l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
+            l_join_attr, r_join_attr, self_join_dedup, with_score=verify,
+        )
+        return pairs
 
     pl = (
         l_rk.withColumn(
@@ -205,14 +305,11 @@ def set_sim_join_pairs(
     cand = cand.select("_l_key", "_r_key")
 
     if not verify:
-        if allow_empty and measure in _EMPTY_OK and COMP_OP_FN[comp_op](1.0, threshold):
-            l_empty = l_rk.where(F.col("_l_size") == 0).select("_l_key")
-            r_empty = r_rk.where(F.col("_r_size") == 0).select("_r_key")
-            empties = l_empty.crossJoin(r_empty)
-            if self_join_dedup:
-                empties = empties.where(F.col("_l_key") < F.col("_r_key"))
-            cand = cand.unionByName(empties)
-        return cand
+        return _append_empty_and_missing(
+            cand, measure, comp_op, threshold, allow_empty, allow_missing,
+            l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
+            l_join_attr, r_join_attr, self_join_dedup, with_score=False,
+        )
 
     verify_in = cand.join(l_rk.select("_l_key", "_l_ranked"), "_l_key").join(
         r_rk.select("_r_key", "_r_ranked"), "_r_key"
@@ -230,22 +327,11 @@ def set_sim_join_pairs(
     pairs = verify_in.mapInPandas(
         _make_verify(measure, comp_op, threshold, out_schema), out_schema
     )
-
-    if allow_empty and measure in _EMPTY_OK and COMP_OP_FN[comp_op](1.0, threshold):
-        l_empty = l_rk.where(F.col("_l_size") == 0).select("_l_key")
-        r_empty = r_rk.where(F.col("_r_size") == 0).select("_r_key")
-        empties = l_empty.crossJoin(r_empty).withColumn(
-            "_sim_score", F.lit(1.0).cast("double")
-        )
-        pairs = pairs.unionByName(empties)
-
-    if allow_missing:
-        pairs = pairs.unionByName(
-            missing_pairs(
-                ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr
-            )
-        )
-    return pairs
+    return _append_empty_and_missing(
+        pairs, measure, comp_op, threshold, allow_empty, allow_missing,
+        l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
+        l_join_attr, r_join_attr, self_join_dedup, with_score=True,
+    )
 
 
 def set_sim_join(
@@ -268,6 +354,7 @@ def set_sim_join(
     out_sim_score: bool = True,
     add_dense_id: bool = False,
     position_filter: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
     pairs = set_sim_join_pairs(
@@ -284,6 +371,7 @@ def set_sim_join(
         allow_empty,
         allow_missing,
         position_filter,
+        strategy=strategy,
     )
     return assemble_output(
         pairs,

@@ -175,9 +175,9 @@ class LinkagePipeline:
         cand = st_block.read(self.spark)
         n_cand = cand.count()
         t0 = time.time()
-        from ..operators.matcher import apply_matcher
+        from ..operators.matcher import verify_pairs
 
-        scored = apply_matcher(
+        scored = verify_pairs(
             cand.select(F.col("_l_key").alias("l_url"), F.col("_r_key").alias("r_url")),
             "l_url",
             "r_url",

@@ -20,7 +20,7 @@ the pipeline's extract stage runs JVM-side.
 
 from __future__ import annotations
 
-import hashlib
+
 import random
 import re
 

@@ -79,3 +79,23 @@ def test_profiler(spark, person_tables):
     assert prof["ID"]["comments"].startswith("This attribute can be used as a key")
     assert prof["name"]["missing_values"] == 1
     assert "ignore 1 rows" in prof["name"]["comments"]
+
+
+def test_verify_pairs_matches_apply_matcher(spark, person_tables):
+    from py_stringsimjoin_spark.operators.matcher import verify_pairs
+
+    A, B = person_tables
+    cand = _candset(A, B)
+    fast = verify_pairs(
+        cand, "l_ID", "r_ID", A, B, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), "jaccard", 0.5,
+    )
+    slow = apply_matcher(
+        cand, "l_ID", "r_ID", A, B, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), "jaccard", 0.5,
+    )
+    f = {(r["l_ID"], r["r_ID"]): r["_sim_score"] for r in fast.collect()}
+    s = {(r["l_ID"], r["r_ID"]): r["_sim_score"] for r in slow.collect()}
+    assert set(f) == set(s)
+    for k in f:
+        assert f[k] == pytest.approx(s[k], abs=1e-12)
