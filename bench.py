@@ -29,6 +29,7 @@ def main() -> int:
 
     from py_stringsimjoin_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
                       app_name="bench")
 
@@ -57,25 +58,49 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         extras[f"{name}_rows"] = n
         print(f"[bench] {name}: {timings[name]}s rows={n}", file=sys.stderr, flush=True)
+        # joins persist ranked-token intermediates; drop them so queries
+        # are independent and the long session doesn't accumulate heap
+        spark.catalog.clearCache()
 
-    # full record-linkage pipeline on a synthetic pages corpus whose size
-    # scales with sf (sf0.1 → ~20k base pages → ~35k total pages)
-    from py_stringsimjoin_spark.plans.pipeline import LinkagePipeline
-    from py_stringsimjoin_spark.sources.pages import generate_pages
+    # Full record-linkage pipeline on a synthetic pages corpus whose size
+    # scales with sf (sf0.1 → ~20k base pages → ~38k total pages).
+    # Each stage runs in its OWN spark-submit-style process — the production
+    # deployment shape (checkpoint + manifest resume between JVMs); it also
+    # sidesteps a local-mode-only anomaly where long sessions degrade
+    # Python-UDF stages at high thread counts (see BENCH.md).
+    import subprocess
 
     n_base = max(int(200_000 * sf), 1000) if sf > 0 else 2000
     wd = tempfile.mkdtemp(prefix="bench_pipeline_")
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        pages = generate_pages(spark, n_base=n_base, dup_fraction=0.35, seed=42)
         t0 = time.time()
-        pipe = LinkagePipeline(spark, wd, threshold=0.6)
-        pipe.run(pages.drop("cluster_id"))
+        for stage in ("extract", "blocking", "scoring", "clustering"):
+            args = [
+                sys.executable, os.path.join(repo, "scripts", "run_linkage.py"),
+                "--workdir", wd, "--threshold", "0.6", "--stage", stage,
+                "--master", f"local[{cpus}]",
+            ]
+            if stage == "extract":
+                args += ["--synthetic-pages", str(n_base)]
+            subprocess.run(args, check=True, capture_output=True, text=True,
+                           cwd=repo, timeout=3600)
         timings["pages_pipeline"] = round(time.time() - t0, 3)
-        m = pipe.metrics()
-        extras["pipeline_pages"] = m["01_extract"]["n_rows"]
-        extras["pipeline_candidates"] = m["03_scoring"]["candidates_scored"]
-        extras["pipeline_matches"] = m["03_scoring"]["n_rows"]
-        extras["candidate_pairs_per_sec"] = m["03_scoring"]["candidate_pairs_per_sec"]
+        import json as _json
+
+        manifests = {
+            s: _json.load(open(os.path.join(wd, f"{s}.manifest.json")))
+            for s in ("01_extract", "02_blocking", "03_scoring", "04_clusters")
+        }
+        extras["pipeline_stage_wall_sec"] = round(
+            sum(m["wall_sec"] for m in manifests.values()), 3
+        )
+        extras["pipeline_pages"] = manifests["01_extract"]["n_rows"]
+        extras["pipeline_candidates"] = manifests["03_scoring"]["candidates_scored"]
+        extras["pipeline_matches"] = manifests["03_scoring"]["n_rows"]
+        extras["candidate_pairs_per_sec"] = manifests["03_scoring"][
+            "candidate_pairs_per_sec"
+        ]
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 

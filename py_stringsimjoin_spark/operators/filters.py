@@ -354,25 +354,22 @@ class PositionFilter(PrefixFilter):
             (F.col("_rs") >= fm.size_lower_bound_col(F.col("_ls"), self.measure, self.threshold))
             & (F.col("_rs") <= fm.size_upper_bound_col(F.col("_ls"), self.measure, self.threshold))
         )
-        # packed-int64 min → HashAggregate (see set_sim_join.py for soundness)
-        packed = (
-            F.shiftleft(F.col("_tok"), 30)
-            + F.shiftleft(F.least(F.col("_lp"), F.lit(32767)).cast("long"), 15)
-            + F.least(F.col("_rp"), F.lit(32767)).cast("long")
+        # per-row positional bound before dedup: the min-rank shared token
+        # attains the max bound over a pair's rows, so row-level filtering
+        # + distinct yields exactly the reference pair set (see
+        # set_sim_join.py) while keeping the prune in whole-stage codegen
+        ub = F.lit(1) + F.least(
+            F.col("_ls") - F.col("_lp") - 1, F.col("_rs") - F.col("_rp") - 1
         )
-        cand = joined.groupBy("_l_key", "_r_key").agg(
-            F.min(packed).alias("_mp"),
-            F.min("_ls").alias("_gls"),
-            F.min("_rs").alias("_grs"),
-        )
-        lp = F.shiftright(F.col("_mp"), 15).bitwiseAND(F.lit(32767))
-        rp = F.col("_mp").bitwiseAND(F.lit(32767))
-        ub = F.lit(1) + F.least(F.col("_gls") - lp - 1, F.col("_grs") - rp - 1)
-        pairs = cand.where(
-            ub >= fm.overlap_threshold_col(
-                F.col("_gls"), F.col("_grs"), self.measure, self.threshold, self.qval
+        pairs = (
+            joined.where(
+                ub >= fm.overlap_threshold_col(
+                    F.col("_ls"), F.col("_rs"), self.measure, self.threshold, self.qval
+                )
             )
-        ).select("_l_key", "_r_key")
+            .select("_l_key", "_r_key")
+            .distinct()
+        )
         if self.allow_empty and self.measure in ("jaccard", "cosine", "dice"):
             l_empty = l_rk.where(F.col("_size") == 0).select("_l_key")
             r_empty = r_rk.where(F.col("_size") == 0).select("_r_key")

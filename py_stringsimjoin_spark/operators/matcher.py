@@ -66,10 +66,13 @@ def verify_pairs(
     r_tok = rtable.select(
         F.col(r_key_attr).alias("__rk"), tok.spark_col(F.col(r_match_attr)).alias("__rt")
     )
+    # shuffle-hash hints: the token side must never be sort-merged (no point
+    # sorting array columns) nor must the candset side ever be broadcast —
+    # local-mode AQE occasionally picks a pathological build side otherwise
     joined = (
         candset.select(candset_l_key_attr, candset_r_key_attr)
-        .join(l_tok, candset[candset_l_key_attr] == l_tok["__lk"])
-        .join(r_tok, candset[candset_r_key_attr] == r_tok["__rk"])
+        .join(l_tok.hint("shuffle_hash"), candset[candset_l_key_attr] == l_tok["__lk"])
+        .join(r_tok.hint("shuffle_hash"), candset[candset_r_key_attr] == r_tok["__rk"])
         .select(
             F.col(candset_l_key_attr), F.col(candset_r_key_attr), "__lt", "__rt"
         )

@@ -276,33 +276,25 @@ def set_sim_join_pairs(
     if self_join_dedup:
         joined = joined.where(F.col("_l_key") < F.col("_r_key"))
 
-    # pack (rank, l_pos, r_pos) into one int64 so the per-pair min is a
-    # HashAggregate, not a SortAggregate (min-of-struct forces sort-based
-    # aggregation). Rank is unique per token, so min(packed) IS the min-rank
-    # shared token; positions are clamped to 15 bits — clamping can only
-    # loosen (never tighten) the bound, so pruning stays sound. Sizes are
-    # constant within a (l_key, r_key) group.
-    packed = (
-        F.shiftleft(F.col("_tok"), 30)
-        + F.shiftleft(F.least(F.col("_l_pos"), F.lit(32767)).cast("long"), 15)
-        + F.least(F.col("_r_pos"), F.lit(32767)).cast("long")
-    )
-    cand = joined.groupBy("_l_key", "_r_key").agg(
-        F.min(packed).alias("_mp"),
-        F.min("_l_size").alias("_ls"),
-        F.min("_r_size").alias("_rs"),
-    )
-    if position_filter and measure != "overlap_coefficient":
-        # min-rank shared token ⇒ sound overlap upper bound (PPJoin-style):
-        # overlap ≤ 1 + min(remaining_l, remaining_r) after that token.
-        lp = F.shiftright(F.col("_mp"), 15).bitwiseAND(F.lit(32767))
-        rp = F.col("_mp").bitwiseAND(F.lit(32767))
-        ub = F.lit(1) + F.least(F.col("_ls") - lp - 1, F.col("_rs") - rp - 1)
-        cand = cand.where(
-            ub
-            >= fm.overlap_threshold_col(F.col("_ls"), F.col("_rs"), measure, threshold)
+    if position_filter:
+        # positional overlap upper bound evaluated PER JOINED ROW, before any
+        # aggregation: for a shared token at positions (lp, rp),
+        # overlap ≤ count_so_far + min(remaining) and the min-rank shared
+        # token attains the MAXIMUM of this bound over a pair's rows — so
+        # "pair passes at its min-rank token" ⟺ "any row passes". Filtering
+        # rows first keeps the whole prune inside whole-stage codegen and
+        # shrinks the distinct() that follows by ~an order of magnitude
+        # (no groupBy over the full joined stream at all).
+        ub = F.lit(1) + F.least(
+            F.col("_l_size") - F.col("_l_pos") - 1,
+            F.col("_r_size") - F.col("_r_pos") - 1,
         )
-    cand = cand.select("_l_key", "_r_key")
+        joined = joined.where(
+            ub >= fm.overlap_threshold_col(
+                F.col("_l_size"), F.col("_r_size"), measure, threshold
+            )
+        )
+    cand = joined.select("_l_key", "_r_key").distinct()
 
     if not verify:
         return _append_empty_and_missing(

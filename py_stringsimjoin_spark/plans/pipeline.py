@@ -161,7 +161,11 @@ class LinkagePipeline:
             self_join_dedup=True,
             verify=False,
         )
-        return st.write(pairs.select("_l_key", "_r_key"), fp)
+        m = st.write(pairs.select("_l_key", "_r_key"), fp)
+        # the join persisted ranked-token intermediates; the stage output is
+        # checkpointed to parquet, so free the cache for downstream stages
+        self.spark.catalog.clearCache()
+        return m
 
     def scoring(self) -> dict:
         st_block = Stage(self.workdir, "02_blocking")

@@ -49,6 +49,14 @@ def main():
     lines.append(
         f"\nScoring-stage candidate-pairs/sec: local[8]={cps8}, local[32]={cps32}."
     )
+    sw8 = r8["extras"].get("pipeline_stage_wall_sec")
+    sw32 = r32["extras"].get("pipeline_stage_wall_sec")
+    if sw8 and sw32:
+        lines.append(
+            f"\nPipeline stage-wall (excl. per-stage JVM startup): "
+            f"local[8]={sw8}s, local[32]={sw32}s, "
+            f"efficiency={(sw8 / sw32) / 4:.3f}."
+        )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"efficiency_total": eff_total, "t8": r8["value"], "t32": r32["value"]}))

@@ -1,0 +1,56 @@
+"""Property-based oracle tests: random corpora × random thresholds must match
+the brute-force oracle for both physical strategies (hypothesis drives the
+data; one Spark job per example keeps runtime bounded)."""
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from py_stringsimjoin_spark import WhitespaceTokenizer
+from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+from .oracle import brute_force_set_sim
+
+VOCAB = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+
+
+def _mk_rows(seed: int, n: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 4)
+        name = " ".join(rng.choice(VOCAB) for _ in range(k)) if k else " "
+        if rng.random() < 0.1:
+            name = None
+        rows.append((f"r{i}", name))
+    return rows
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.25, 0.4, 0.6, 0.85, 1.0]),
+    measure=st.sampled_from(["jaccard", "cosine", "dice"]),
+    strategy=st.sampled_from(["prefix", "count"]),
+)
+def test_random_corpus_matches_oracle(spark, seed, threshold, measure, strategy):
+    rows_a = _mk_rows(seed, 12)
+    rows_b = _mk_rows(seed + 1, 12)
+    A = spark.createDataFrame(rows_a, "ID string, name string")
+    B = spark.createDataFrame(rows_b, "ID string, name string")
+    out = set_sim_join_pairs(
+        measure, A, B, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), threshold, strategy=strategy,
+    )
+    got = {(r["_l_key"], r["_r_key"]): r["_sim_score"] for r in out.collect()}
+    exp = brute_force_set_sim(
+        rows_a, rows_b, 0, 0, 1, 1, WhitespaceTokenizer(), measure, threshold
+    )
+    assert set(got) == set(exp), (
+        f"{measure} t={threshold} {strategy}: "
+        f"extra={set(got) - set(exp)} missing={set(exp) - set(got)}"
+    )
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
