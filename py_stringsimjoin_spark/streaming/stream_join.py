@@ -81,3 +81,65 @@ def stream_candidates(
     return cand.select("_l_key", F.col("_r_key"), "token").dropDuplicates(
         ["_l_key", "_r_key"]
     )
+
+
+def stream_matches(
+    stream: DataFrame,
+    corpus: DataFrame,
+    key_attr: str,
+    join_attr: str,
+    tokenizer: Tokenizer,
+    measure: str,
+    threshold: float,
+    static_prefix: DataFrame,
+) -> DataFrame:
+    """Verified matches for a page stream against a static corpus.
+
+    Candidates from ``stream_candidates`` are verified with exact set
+    similarity computed as JVM array arithmetic per candidate row
+    (array_intersect on the two token sets) — valid inside Structured
+    Streaming (no mapInPandas state needed; each micro-batch is pure).
+    Returns (stream key, corpus key, _sim_score).
+    """
+    tok = as_set_tokenizer(tokenizer)
+    cand = stream_candidates(
+        stream, static_prefix, key_attr, join_attr, tokenizer, measure, threshold
+    ).select("_l_key", "_r_key")
+    s_tok = stream.select(
+        F.col(key_attr).alias("_l_key"), tok.spark_col(F.col(join_attr)).alias("_lt")
+    )
+    c_tok = corpus.select(
+        F.col(key_attr).alias("_r_key"), tok.spark_col(F.col(join_attr)).alias("_rt")
+    )
+    j = (
+        cand.join(s_tok, "_l_key")
+        .join(c_tok, "_r_key")
+        .withColumn("_ov", F.size(F.array_intersect("_lt", "_rt")).cast("double"))
+        .withColumn("_ls", F.size("_lt").cast("double"))
+        .withColumn("_rs", F.size("_rt").cast("double"))
+    )
+    if measure == "jaccard":
+        score = F.col("_ov") / (F.col("_ls") + F.col("_rs") - F.col("_ov"))
+    elif measure == "cosine":
+        score = F.col("_ov") / F.sqrt(F.col("_ls") * F.col("_rs"))
+    elif measure == "dice":
+        score = F.lit(2.0) * F.col("_ov") / (F.col("_ls") + F.col("_rs"))
+    else:
+        raise ValueError(measure)
+    return (
+        j.withColumn("_sim_score", score)
+        .where(F.col("_sim_score") >= threshold)
+        .select("_l_key", "_r_key", "_sim_score")
+    )
+
+
+def dedup_recrawls(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop re-crawled duplicates of the same url within the watermark window
+    (late data beyond the watermark is discarded by the engine) — the
+    streaming-ingest hygiene step before candidate generation."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([url_col])

@@ -61,3 +61,79 @@ def test_stream_static_candidates(spark, tmp_path):
         q.stop()
     assert ("s1", "u1") in rows  # 4 shared tokens of 5/5 → candidate
     assert all(l != "s2" for l, _ in rows)  # s2 shares nothing
+
+
+def test_stream_matches_end_to_end(spark, tmp_path):
+    from py_stringsimjoin_spark.streaming.stream_join import stream_matches
+
+    corpus = spark.createDataFrame(
+        [
+            ("u1", "deep learning for entity resolution"),
+            ("u2", "spark sql query optimization guide"),
+        ],
+        SCHEMA,
+    )
+    _, prefix, _ = build_static_index(
+        corpus, "url", "text", WhitespaceTokenizer(), "jaccard", 0.4
+    )
+    src = str(tmp_path / "in2")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("s1", "deep learning for entity matching"), ("s2", "zzz yyy xxx")], SCHEMA
+    ).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    matches = stream_matches(
+        stream, corpus, "url", "text", WhitespaceTokenizer(), "jaccard", 0.4, prefix
+    )
+    q = (
+        matches.writeStream.format("memory").queryName("match_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["_l_key"], r["_r_key"]): r["_sim_score"]
+            for r in spark.sql("select * from match_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert ("s1", "u1") in rows
+    assert rows[("s1", "u1")] == 4 / 6  # |∩|=4, |∪|=6
+    assert not any(l == "s2" for l, _ in rows)
+
+
+def test_dedup_recrawls(spark, tmp_path):
+    from py_stringsimjoin_spark.streaming.stream_join import dedup_recrawls
+    from pyspark.sql import types as T
+    import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "in3")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [
+            ("u1", t0, "a"),
+            ("u1", t0 + datetime.timedelta(minutes=5), "a v2"),
+            ("u2", t0, "b"),
+        ],
+        schema,
+    ).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_recrawls(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        urls = [r["url"] for r in spark.sql("select url from dedup_sink").collect()]
+    finally:
+        q.stop()
+    assert sorted(urls) == ["u1", "u2"]
