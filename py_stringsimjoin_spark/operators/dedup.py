@@ -168,27 +168,54 @@ def minhash_dedup(
 def simhash_col(tokens_col, bits: int = 64) -> "F.Column":
     """64-bit SimHash as a bigint column — majority vote per bit over token
     hashes, pure JVM bit arithmetic. Token hashes are 28-bit md5 slices, so
-    bit i draws from md5(token + salt_{i//28}) at position i%28."""
+    bit i draws from md5(token + salt_{i//28}) at position i%28.
+
+    Single-pass formulation: one ``aggregate`` over the tokens carrying a
+    64-counter vote array (zip_with per element), with the 2-3 salted md5s
+    hashed once per token — instead of 64 independent aggregates that each
+    re-traverse the array and re-hash every token (64× the md5 work and a
+    codegen-hostile expression tree)."""
     n_salts = (bits + 27) // 28
 
-    def _salted_fn(s):
-        if s == 0:
-            return lambda t: _token_hash_col(t)
-        return lambda t: _token_hash_col(F.concat(t, F.lit(f"#{s}")))
+    def _salted_hashes(t):
+        return F.array(
+            *[
+                _token_hash_col(t if s == 0 else F.concat(t, F.lit(f"#{s}")))
+                for s in range(n_salts)
+            ]
+        )
 
-    def _vote_fn(k):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, k).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    th = F.transform(tokens_col, _salted_hashes)
 
-    hashes = [F.transform(tokens_col, _salted_fn(s)) for s in range(n_salts)]
-    expr = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(hashes[i // 28], F.lit(0), _vote_fn(i % 28))
-        expr = expr + F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return expr
+    def _bits_of(hs):
+        return F.array(
+            *[
+                F.shiftright(hs[i // 28], i % 28).bitwiseAND(F.lit(1))
+                for i in range(bits)
+            ]
+        )
+
+    weights = F.array(
+        *[
+            F.lit(-(2**63) if i == 63 else (1 << i)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    # pack inside the aggregate's finish lambda: the votes array is
+    # referenced exactly once, keeping the serialized plan small
+    return F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, hs: F.zip_with(acc, _bits_of(hs), lambda a, b: a + 2 * b - 1),
+        lambda votes: F.aggregate(
+            F.zip_with(
+                votes, weights,
+                lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
 
 
 def simhash_pairs(
