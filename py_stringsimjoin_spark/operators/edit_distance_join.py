@@ -160,7 +160,19 @@ def edit_distance_join(
             T.StructField("_sim_score", T.DoubleType()),
         ]
     )
-    pairs = verify_in.mapInPandas(_make_verify(comp_op, t_int, out_schema), out_schema)
+    # identical strings have distance 0 — resolve them JVM-side and run the
+    # DP kernel only on the unequal remainder (dup-heavy corpora are mostly
+    # exact matches, e.g. repeated product names)
+    eq = verify_in.where(F.col("_l_str") == F.col("_r_str")).select(
+        "_l_key", "_r_key", F.lit(0.0).cast("double").alias("_sim_score")
+    )
+    from ..plans.validation import COMP_OP_FN
+
+    if not COMP_OP_FN[comp_op](0, t_int):
+        eq = eq.limit(0)
+    neq = verify_in.where(F.col("_l_str") != F.col("_r_str"))
+    pairs = neq.mapInPandas(_make_verify(comp_op, t_int, out_schema), out_schema)
+    pairs = pairs.unionByName(eq)
 
     if allow_missing:
         pairs = pairs.unionByName(
