@@ -604,7 +604,99 @@ SELECT 'p_name', count(DISTINCT p_name)::BIGINT,
 """
 
 
-# --------------------------------------------------- rows-only (no oracle) --
+def q_overlap_part(spark, sf_dir):
+    """Dedicated J4 overlap_join row (reference join/overlap_join_py.py:97)."""
+    from py_stringsimjoin_spark.operators.overlap_join import overlap_join
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = overlap_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name", _WS, 2
+    )
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+        "l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim")
+    )
+
+
+def q_minhash_dedup_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, tokenizer=_SH2, num_perm=32, bands=8
+    ).select(
+        F.col("l_id").alias("l_doc_id"),
+        F.col("r_id").alias("r_doc_id"),
+        F.col("jaccard").alias("jaccard"),
+    )
+
+
+def _minhash_dedup_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    cand = _minhash_pairs_sql(num_perm, bands)
+    toks = _SH2.duckdb_sql("text")
+    return f"""
+WITH cand AS ({cand}),
+tk AS (
+  SELECT doc_id AS id, {toks} AS tk FROM documents
+  WHERE text IS NOT NULL AND {toks} IS NOT NULL
+), scored AS (
+  SELECT c.l_doc_id, c.r_doc_id,
+         len(list_intersect(a.tk, b.tk)) AS ov,
+         len(a.tk) AS ls, len(b.tk) AS rs
+  FROM cand c JOIN tk a ON a.id = c.l_doc_id JOIN tk b ON b.id = c.r_doc_id
+)
+SELECT l_doc_id, r_doc_id, ov::DOUBLE / (ls + rs - ov)::DOUBLE AS jaccard
+FROM scored WHERE ov::DOUBLE / (ls + rs - ov)::DOUBLE >= {threshold}
+"""
+
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    from py_stringsimjoin_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.5, n=3).select(
+        F.col("l_id").alias("l_doc_id"),
+        F.col("r_id").alias("r_doc_id"),
+        F.col("jaccard").alias("jaccard"),
+    )
+
+
+def _ngram_jaccard_docs_sql(threshold: float = 0.5, n: int = 3) -> str:
+    from py_stringsimjoin_spark.functions.tokenizers import ShingleTokenizer
+
+    toks = ShingleTokenizer(n=n).duckdb_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_doc_id, r_id AS r_doc_id, {_J_SCORE} AS jaccard
+FROM pairs WHERE {_J_SCORE} >= {threshold}
+"""
+
+
+def q_verify_pairs_part(spark, sf_dir):
+    """Fast-path pair verification (verify_pairs) on blocked candidates."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import verify_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = verify_pairs(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey", "p_partkey",
+        "p_name", "p_name", _WS, "jaccard", 0.6,
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -618,6 +710,50 @@ def q_simhash_docs(spark, sf_dir):
     )
 
 
+def _simhash_pairs_sql(max_hamming: int = 8, bits: int = 64) -> str:
+    """Mirror of dedup.simhash_col + simhash_pairs: per-bit majority vote over
+    salted 28-bit md5 token hashes, pigeonhole block-join (nblocks =
+    max_hamming+1, width = 64//nblocks), exact sign-diff count verify. The
+    oracle keeps the signature as a 64-element bit list — bucket equality on
+    the packed bigint ⟺ slice equality on the bit list."""
+    toks = _SH2.duckdb_sql("text")
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    ham = "len(list_filter(range(1, 65), i -> sa.sig[i] <> sb.sig[i]))"
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT id, toks FROM base WHERE len(toks) > 0
+), h AS (
+  SELECT id,
+    ('0x' || substr(md5(t), 1, 7))::BIGINT AS h0,
+    ('0x' || substr(md5(t || '#1'), 1, 7))::BIGINT AS h1,
+    ('0x' || substr(md5(t || '#2'), 1, 7))::BIGINT AS h2
+  FROM (SELECT id, unnest(toks) AS t FROM nz)
+), bitrows AS (
+  SELECT id, i,
+    CASE WHEN ((CASE WHEN i < 28 THEN h0 WHEN i < 56 THEN h1 ELSE h2 END)
+               >> (i % 28)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range({bits})) AS i)
+), votes AS (
+  SELECT id, i, sum(vote) AS v FROM bitrows GROUP BY id, i
+), sig AS (
+  SELECT id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY i) AS sig
+  FROM votes GROUP BY id
+), blocks AS (
+  SELECT id, k, list_slice(sig, k * {width} + 1, k * {width} + {width})::VARCHAR AS val
+  FROM sig CROSS JOIN (SELECT unnest(range({nblocks})) AS k)
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM blocks a JOIN blocks b ON a.k = b.k AND a.val = b.val AND a.id < b.id
+)
+SELECT c.l_id AS l_doc_id, c.r_id AS r_doc_id, {ham}::BIGINT AS hamming
+FROM cand c JOIN sig sa ON sa.id = c.l_id JOIN sig sb ON sb.id = c.r_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def q_lsh_topk_emb(spark, sf_dir):
     from py_stringsimjoin_spark.operators.ann import lsh_topk
 
@@ -629,6 +765,54 @@ def q_lsh_topk_emb(spark, sf_dir):
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _lsh_topk_sql(k: int = 5, nbits: int = 32, bands: int = 8, dim: int = 64) -> str:
+    """Mirror of ann.lsh_topk: the seeded Gaussian hyperplanes are generated
+    here (same numpy RandomState(42) the Spark side uses) and inlined as SQL
+    literals; sign bits → banded bucket join → exact cosine rerank."""
+    from py_stringsimjoin_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, seed=42)
+    rpb = nbits // bands
+    bit_exprs = ", ".join(
+        "CASE WHEN ("
+        + " + ".join(f"e[{i + 1}]::DOUBLE * {planes[j, i]!r}" for i in range(dim))
+        + ") > 0 THEN 1 ELSE 0 END"
+        for j in range(nbits)
+    )
+    dot = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> qe[i]::DOUBLE * ce[i]::DOUBLE), 'sum')"
+    ).format(d=dim)
+    nrm = (
+        "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS e FROM embeddings
+), sig AS (
+  SELECT id, [{bit_exprs}] AS sig FROM v
+), bk AS (
+  SELECT id, b, list_slice(sig, b * {rpb} + 1, b * {rpb} + {rpb})::VARCHAR AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS b)
+), cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM bk q JOIN bk c ON q.b = c.b AND q.bucket = c.bucket
+  WHERE q.id % 100 = 0 AND q.id <> c.id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {dot} / ({nrm.format(v='qe')} * {nrm.format(v='ce')}) AS cos
+  FROM cand
+  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = cand.query_id
+  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c ON c.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= {k}
+"""
 
 
 def q_overlap_filter_part(spark, sf_dir):
@@ -682,9 +866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_filter_part": q_position_filter_part,
         "overlap_filter_part": q_overlap_filter_part,
         "apply_matcher_part": q_apply_matcher_part,
+        "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
-        # rows-only (no SQL-expressible oracle: LSH banding internals)
+        "overlap_part": q_overlap_part,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_pairs_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_emb,
     }
@@ -713,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
         "position_filter_part": _position_filter_sql(),
         "overlap_filter_part": _overlap_filter_sql(),
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
+        "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),
         "profile_part": _PROFILE_SQL,
+        "overlap_part": _set_sim_part_sql(_O_SCORE, 2),
+        "minhash_dedup_docs": _minhash_dedup_sql(),
+        "ngram_jaccard_docs": _ngram_jaccard_docs_sql(),
+        "simhash_pairs_docs": _simhash_pairs_sql(),
+        "lsh_topk_embeddings": _lsh_topk_sql(),
     }

@@ -4,6 +4,14 @@ Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
+Isolation protocol: every headline query runs in its OWN subprocess (fresh
+JVM + fresh Python workers) — the production spark-submit deployment shape.
+This (a) makes one query's crash unable to zero the whole bench (the final
+JSON line is ALWAYS printed, failed queries land in extras.failures), and
+(b) sidesteps a sandbox-VM anomaly where long-lived local[32] sessions
+degrade/crash Python-UDF stages (see BENCH.md). Timings exclude JVM startup:
+each child times only the query's execution and reports it on stdout.
+
 Also usable for the two-parallelism scaling evidence:
     SPARK_GRAFT_CPUS=8  python bench.py
     SPARK_GRAFT_CPUS=32 python bench.py
@@ -15,11 +23,42 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-from pyspark.sql import functions as F
+BENCH_QUERIES = [
+    "jaccard_part",
+    "cosine_part",
+    "edit_distance_part",
+    "jaccard_docs",
+    "minhash_pairs_docs",
+    "simhash_pairs_docs",
+    "ann_topk_embeddings",
+    "cosine_pairs_embeddings",
+    "tokenstats_docs",
+    "connected_components_part",
+]
+
+QUERY_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "1200"))
+
+
+def run_one(name: str, sf_dir: str, cpus: int) -> int:
+    """Child mode: run ONE query in this process, print one JSON line."""
+    from py_stringsimjoin_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name=f"bench-{name}")
+    import __spark_entry__ as entry
+
+    q = entry.queries()[name]
+    t0 = time.time()
+    n = q(spark, sf_dir).count()
+    sec = round(time.time() - t0, 3)
+    print(json.dumps({"name": name, "sec": sec, "rows": n}), flush=True)
+    return 0
 
 
 def main() -> int:
@@ -27,52 +66,47 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from py_stringsimjoin_spark.session import get_spark
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        return run_one(sys.argv[2], sf_dir, cpus)
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
-                      app_name="bench")
-
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
+    repo = os.path.dirname(os.path.abspath(__file__))
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    failures: dict[str, str] = {}
 
-    bench_queries = [
-        "jaccard_part",
-        "cosine_part",
-        "edit_distance_part",
-        "jaccard_docs",
-        "minhash_pairs_docs",
-        "simhash_pairs_docs",
-        "ann_topk_embeddings",
-        "cosine_pairs_embeddings",
-        "tokenstats_docs",
-        "connected_components_part",
-    ]
-    for name in bench_queries:
-        q = qs[name]
-        t0 = time.time()
-        n = q(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        extras[f"{name}_rows"] = n
-        print(f"[bench] {name}: {timings[name]}s rows={n}", file=sys.stderr, flush=True)
-        # joins persist ranked-token intermediates; drop them so queries
-        # are independent and the long session doesn't accumulate heap
-        spark.catalog.clearCache()
+    for name in BENCH_QUERIES:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, cwd=repo,
+                timeout=QUERY_TIMEOUT_SEC,
+            )
+            line = next(
+                (ln for ln in reversed(proc.stdout.strip().splitlines())
+                 if ln.startswith("{")), None)
+            if proc.returncode != 0 or line is None:
+                failures[name] = (proc.stderr or "")[-800:] or "no output"
+                print(f"[bench] {name}: FAILED rc={proc.returncode}",
+                      file=sys.stderr, flush=True)
+                continue
+            rec = json.loads(line)
+            timings[name] = rec["sec"]
+            extras[f"{name}_rows"] = rec["rows"]
+            print(f"[bench] {name}: {rec['sec']}s rows={rec['rows']}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            failures[name] = f"timeout after {QUERY_TIMEOUT_SEC}s"
+            print(f"[bench] {name}: TIMEOUT", file=sys.stderr, flush=True)
+        except Exception as e:  # never let one query zero the whole bench
+            failures[name] = repr(e)[:800]
+            print(f"[bench] {name}: ERROR {e!r}", file=sys.stderr, flush=True)
 
     # Full record-linkage pipeline on a synthetic pages corpus whose size
     # scales with sf (sf0.1 → ~20k base pages → ~38k total pages).
     # Each stage runs in its OWN spark-submit-style process — the production
-    # deployment shape (checkpoint + manifest resume between JVMs); it also
-    # sidesteps a local-mode-only anomaly where long sessions degrade
-    # Python-UDF stages at high thread counts (see BENCH.md).
-    import subprocess
-
+    # deployment shape (checkpoint + manifest resume between JVMs).
     n_base = max(int(200_000 * sf), 1000) if sf > 0 else 2000
     wd = tempfile.mkdtemp(prefix="bench_pipeline_")
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         t0 = time.time()
         for stage in ("extract", "blocking", "scoring", "clustering"):
@@ -86,10 +120,8 @@ def main() -> int:
             subprocess.run(args, check=True, capture_output=True, text=True,
                            cwd=repo, timeout=3600)
         timings["pages_pipeline"] = round(time.time() - t0, 3)
-        import json as _json
-
         manifests = {
-            s: _json.load(open(os.path.join(wd, f"{s}.manifest.json")))
+            s: json.load(open(os.path.join(wd, f"{s}.manifest.json")))
             for s in ("01_extract", "02_blocking", "03_scoring", "04_clusters")
         }
         extras["pipeline_stage_wall_sec"] = round(
@@ -101,9 +133,14 @@ def main() -> int:
         extras["candidate_pairs_per_sec"] = manifests["03_scoring"][
             "candidate_pairs_per_sec"
         ]
+    except Exception as e:
+        failures["pages_pipeline"] = repr(e)[:800]
+        print(f"[bench] pages_pipeline: ERROR {e!r}", file=sys.stderr, flush=True)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
+    if failures:
+        extras["failures"] = failures
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",

@@ -29,6 +29,12 @@ def _flatten(arrays) -> tuple[np.ndarray, np.ndarray]:
     if total == 0:
         return np.empty(0, np.int64), lens
     flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrays if a is not None and len(a)])
+    # token ranks ≥ 2^32 would silently alias across pair ids — fail loudly
+    # instead (a >4.29B-distinct-token vocabulary needs a wider encoding)
+    if flat.size and int(flat.max()) >= int(_SHIFT):
+        raise OverflowError(
+            "token rank >= 2^32 overflows the (pair_id, rank) int64 key space"
+        )
     ids = np.repeat(np.arange(n, dtype=np.int64), lens)
     return ids * _SHIFT + flat, lens
 

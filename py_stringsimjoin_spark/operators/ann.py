@@ -100,17 +100,28 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    num_blocks: int | None = None,
+    block_rows: int = 20_000,
 ) -> DataFrame:
     """Exact self-join pairs (l_id < r_id, cosine ≥ threshold).
 
-    Broadcasts the corpus matrix to every partition (one matmul per Arrow
-    batch) — exact and simple, but O(n²) compute with an O(n·d) broadcast:
-    right for side tables up to ~10^6 rows. At corpus scale use
-    ``cosine_neardup_pairs`` (LSH-bucketed, approximate-complete)."""
-    qids, Q = _collect_queries(corpus, id_col, vec_col)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Fully distributed block-grid matmul — nothing is collected to the driver:
+    each vector hashes into one of B blocks; the B(B+1)/2 block pairs (i ≤ j)
+    form a grid of cogrouped tasks, each computing one vectorized numpy matmul
+    between two bounded blocks (≤ ``block_rows`` vectors per side). The O(n²)
+    dot products are inherent to exactness; what this plan guarantees is that
+    no single task or the driver ever holds more than two blocks, so it is
+    safe at 10^8+ vectors (vs the previous driver-collect formulation).
+    Replication is B copies per row — the standard exact-all-pairs tradeoff;
+    tune ``block_rows`` (task size) or pass ``num_blocks`` directly.
+    For approximate near-duplicates at corpus scale prefer
+    ``cosine_neardup_pairs`` (LSH-bucketed, candidates ≪ n²)."""
     spark = corpus.sparkSession
-    bQ = spark.sparkContext.broadcast((qids, Qn))
+    vecs = corpus.select(id_col, vec_col)
+    if num_blocks is None:
+        n = vecs.count()
+        num_blocks = max(1, -(-n // block_rows))
+    B = int(num_blocks)
     id_type = corpus.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -119,37 +130,61 @@ def exact_cosine_pairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    # left replica of block b serves grid cells (b, j) for j ≥ b;
+    # right replica of block b serves cells (i, b) for i ≤ b — every
+    # unordered block pair meets in exactly one cell. The right side's data
+    # columns are renamed: a self-cogroup sharing attribute ids across sides
+    # mis-prunes the right side's non-grouping columns under some actions.
+    left = vecs.withColumn("_bi", blk).withColumn(
+        "_bj", F.explode(F.sequence(F.col("_bi"), F.lit(B - 1)))
+    )
+    right = (
+        vecs.select(F.col(id_col).alias("_r_id"), F.col(vec_col).alias("_r_vec"))
+        .withColumn("_bj", F.pmod(F.xxhash64(F.col("_r_id")), F.lit(B)).cast("int"))
+        .withColumn("_bi", F.explode(F.sequence(F.lit(0), F.col("_bj"))))
+    )
 
-    def fn(batches):
+    def fn(key, lpdf, rpdf):
         import pandas as pd
 
-        qids_l, Qn_l = bQ.value
-        qarr = np.asarray(qids_l)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            S = Qn_l @ Xn.T  # (corpus, batch)
-            rid = pdf[id_col].to_numpy()
-            qi, bi = np.nonzero((S >= threshold) & (qarr[:, None] < rid[None, :]))
-            yield pd.DataFrame(
-                {"l_id": qarr[qi], "r_id": rid[bi], "cosine": S[qi, bi]}
-            )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"l_id": [], "r_id": [], "cosine": []})
+        X = np.array([np.asarray(v, dtype=np.float64) for v in lpdf[vec_col]])
+        Y = np.array([np.asarray(v, dtype=np.float64) for v in rpdf["_r_vec"]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Yn.T
+        li = lpdf[id_col].to_numpy()
+        ri = rpdf["_r_id"].to_numpy()
+        mask = S >= threshold
+        if key[0] == key[1]:
+            # diagonal cell: both sides are the same block — strict <
+            # dedupes the mirrored copies and drops self-pairs
+            mask &= li[:, None] < ri[None, :]
+        xi, yi = np.nonzero(mask)
+        a, b = li[xi], ri[yi]
+        # off-diagonal cells see each unordered pair exactly once, in
+        # arbitrary id order — normalize to l_id < r_id on output
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "l_id": np.where(swap, b, a),
+                "r_id": np.where(swap, a, b),
+                "cosine": S[xi, yi],
+            }
+        )
 
-    return corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    return (
+        left.groupBy("_bi", "_bj")
+        .cogroup(right.groupBy("_bi", "_bj"))
+        .applyInPandas(fn, out_schema)
+    )
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(nbits, dim)
-
-
-def signature_col(vec_col, planes: np.ndarray) -> "F.Column":
-    """Sign-bit signature as array<int> of band keys is built by the callers;
-    here: array<boolean> bits via JVM dot products would need a UDF per
-    plane — instead callers use ``_add_signature`` (vectorized numpy)."""
-    raise NotImplementedError("use _add_signature")
 
 
 def _add_signature(df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, bands: int):

@@ -27,6 +27,7 @@ from ..plans.output import assemble_output
 from ..plans.validation import (
     COMP_OP_NUMPY,
     validate_attr,
+    validate_attr_type,
     validate_comp_op,
     validate_output_attrs,
     validate_threshold,
@@ -34,6 +35,7 @@ from ..plans.validation import (
 )
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
+from ..plans.cache import tracked_cache as _tc
 import copy
 
 
@@ -88,6 +90,8 @@ def edit_distance_join(
     for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
                         (ltable, l_join_attr, "left"), (rtable, r_join_attr, "right")):
         validate_attr(df, a, side)
+    validate_attr_type(ltable, l_join_attr, "left")
+    validate_attr_type(rtable, r_join_attr, "right")
     validate_tokenizer_for_edit_distance(tokenizer)
     validate_threshold(threshold, "edit_distance")
     validate_comp_op(comp_op, ("<=", "<", "="))
@@ -109,10 +113,10 @@ def edit_distance_join(
             F.col("_l_str").alias("_r_str"),
             "_tokens",
         )
-        ordering = build_token_ordering([(l_nn, "_tokens")]).persist()
+        ordering = build_token_ordering([(l_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
             "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
-        ).persist()
+        ).persist().transform(_tc)
         r_rk = l_rk.select(
             F.col("_l_key").alias("_r_key"),
             F.col("_l_len").alias("_r_len"),
@@ -125,25 +129,47 @@ def edit_distance_join(
             .where(F.col("_r_str").isNotNull())
             .withColumn("_tokens", tok.spark_col(F.col("_r_str")))
         )
-        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
             "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
-        ).persist()
+        ).persist().transform(_tc)
         r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size").select(
             "_r_key", F.length("_r_str").alias("_r_len"), "_ranked", "_size"
-        ).persist()
+        ).persist().transform(_tc)
 
     pl = (
         l_rk.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q))
-        .select("_l_key", "_l_len", F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+        .select(
+            "_l_key", "_l_len", F.col("_size").alias("_l_size"),
+            F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_l_pos", "_tok"),
+        )
     )
     pr = (
         r_rk.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q))
-        .select("_r_key", "_r_len", F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+        .select(
+            "_r_key", "_r_len", F.col("_size").alias("_r_size"),
+            F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_r_pos", "_tok"),
+        )
+    )
+    # positional q-gram count prune (Ed-Join count filtering; bound α =
+    # max(n1,n2) − q·t from reference filter_utils.py:90-93): a true pair's
+    # bag overlap is ≥ α, and at the min-rank shared token's first-occurrence
+    # row (lp, rp) the total overlap is ≤ min(n_l − lp, n_r − rp) — so "the
+    # min-rank row passes ub ≥ α" ⟺ "some row passes", and filtering ALL
+    # rows before distinct() never drops a true pair. Pure JVM arithmetic
+    # inside whole-stage codegen; shrinks the verify input drastically for
+    # long strings (α grows with length, prefix stays q·t+1).
+    ub = F.lit(1) + F.least(
+        F.col("_l_size") - F.col("_l_pos") - 1,
+        F.col("_r_size") - F.col("_r_pos") - 1,
+    )
+    alpha = fm.overlap_threshold_col(
+        F.col("_l_size"), F.col("_r_size"), "edit_distance", t_int, q
     )
     cand = (
         pl.join(pr, "_tok")
         .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
+        .where(ub >= alpha)
         .select("_l_key", "_r_key")
         .distinct()
     )

@@ -16,9 +16,10 @@ Spark shapes: OverlapFilter = explode + equi-join + groupBy-count-HAVING;
 SizeFilter = token-count predicate join; PrefixFilter = ranked-prefix explode
 + equi-join + distinct; PositionFilter = PrefixFilter plus the min-rank
 positional overlap upper bound (all JVM-side column arithmetic, no UDFs).
-SuffixFilter's O(n·m) nested-loop table mode (filter/suffix_filter.py:427-531)
-is intentionally NOT reproduced — at web scale it's a non-starter; we provide
-its pair/candset refinement modes only.
+SuffixFilter's table mode is re-planned: the reference's O(n·m) nested loop
+(filter/suffix_filter.py:427-531) becomes a size-class grid + JVM short-
+circuit + Arrow-batched suffix refinement (see SuffixFilter._pairs) with the
+same output set.
 """
 
 from __future__ import annotations
@@ -34,12 +35,15 @@ from ..plans.output import assemble_output
 from ..plans.validation import (
     COMP_OP_FN,
     validate_attr,
+    validate_attr_type,
+    validate_comp_op,
     validate_threshold,
     validate_tokenizer,
 )
 from .missing_pairs import missing_pairs
 from .set_sim_join import as_set_tokenizer
 from .token_ordering import add_ranked_tokens, build_token_ordering
+from ..plans.cache import tracked_cache as _tc
 
 _MEASURE_ALIAS = {
     "JACCARD": "jaccard",
@@ -86,6 +90,8 @@ class _BaseFilter:
         validate_attr(rtable, r_key_attr, "right")
         validate_attr(ltable, l_filter_attr, "left")
         validate_attr(rtable, r_filter_attr, "right")
+        validate_attr_type(ltable, l_filter_attr, "left")
+        validate_attr_type(rtable, r_filter_attr, "right")
         pairs = self._pairs(
             ltable, rtable, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr
         )
@@ -153,6 +159,10 @@ class OverlapFilter(_BaseFilter):
     def __init__(self, tokenizer: Tokenizer, overlap_size: int = 1,
                  comp_op: str = ">=", allow_missing: bool = False):
         validate_tokenizer(tokenizer)
+        # reference restricts OVERLAP to >=, >, = (utils/validation.py via
+        # validate_comp_op_for_sim_measure); with <=/</!= the token-join
+        # formulation would silently miss zero-overlap pairs
+        validate_comp_op(comp_op, (">=", ">", "="))
         if overlap_size < 0:
             raise AssertionError("overlap_size must be >= 0")
         self.tokenizer = tokenizer
@@ -256,7 +266,7 @@ class PrefixFilter(_BaseFilter):
             .where(F.col("_s").isNotNull())
             .withColumn("_tokens", tok.spark_col(F.col("_s")))
         )
-        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size")
         r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size")
         return l_rk, r_rk
@@ -380,10 +390,10 @@ class PositionFilter(PrefixFilter):
 class SuffixFilter(_BaseFilter):
     """Suffix divide-&-conquer Hamming bound (filter/suffix_filter.py:24).
 
-    Provided as a pair/candset *refinement* only; the reference's
-    ``filter_tables`` for this filter is a literal O(n·m) nested loop
-    (suffix_filter.py:427-531) which we deliberately do not reproduce —
-    use PositionFilter for table-level blocking instead.
+    All three modes provided. ``filter_tables`` re-plans the reference's
+    O(n·m) nested loop (suffix_filter.py:427-531) as a size-class grid +
+    suffix refinement — see ``_pairs``; prefer PositionFilter for primary
+    table-level blocking (indexable), using this as a candset refiner.
     """
 
     MAX_DEPTH = 2  # suffix_filter.py:78
@@ -474,7 +484,106 @@ class SuffixFilter(_BaseFilter):
         return ham > ham_max
 
     def _pairs(self, ltable, rtable, l_key, r_key, l_join, r_join):
-        raise NotImplementedError(
-            "SuffixFilter.filter_tables is a nested-loop in the reference; "
-            "use PositionFilter for table-level blocking"
+        """Table mode WITHOUT the reference's O(n·m) nested loop
+        (suffix_filter.py:427-531). Same output set, different plan:
+
+        1. one global token ordering + ranked arrays (as every other filter);
+        2. the survival test depends on pair CONTENT only through the suffix
+           arrays, and its gates (prefix lengths, overlap threshold α,
+           ham_max = n_l+n_r−2α, the est ≥ |suffix-size diff| lower bound of
+           the hamming estimate) are functions of the SIZE PAIR alone — so
+           candidates come from a tiny distinct-size × distinct-size grid
+           (broadcast) expanded by two equi-joins on token count, never a
+           row-level cross join;
+        3. grid cells with lpl ≥ α ∧ rpl ≥ α short-circuit to "keep" JVM-side
+           (reference _filter_suffix:146-148); only the rest run the exact
+           recursive hamming bound (suffix_filter.py:321-411) per pair in an
+           Arrow-batched stage.
+
+        Caveat (documented plan difference): this filter is inherently
+        pair-local — when many rows share qualifying sizes its output is
+        near-quadratic, exactly as the reference's loop; the plan above makes
+        the *pruning* distributed, it cannot make the output smaller.
+        """
+        from pyspark.sql import types as T
+
+        tok = as_set_tokenizer(self.tokenizer)
+        m, t, q = self.measure, self.threshold, self.qval
+        l_nn = (
+            ltable.select(F.col(l_key).alias("_l_key"), F.col(l_join).alias("_s"))
+            .where(F.col("_s").isNotNull())
+            .withColumn("_tokens", tok.spark_col(F.col("_s")))
         )
+        r_nn = (
+            rtable.select(F.col(r_key).alias("_r_key"), F.col(r_join).alias("_s"))
+            .where(F.col("_s").isNotNull())
+            .withColumn("_tokens", tok.spark_col(F.col("_s")))
+        )
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
+        l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size")
+        r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size")
+
+        def _with_suffix(rk, pfx_col, suf_col):
+            return rk.withColumn(
+                pfx_col, fm.prefix_length_col(F.col("_size"), m, t, q)
+            ).withColumn(
+                suf_col, F.expr(f"slice(_ranked, {pfx_col} + 1, _size)")
+            )
+
+        l_sel = _with_suffix(l_rk, "_lpl", "_lsuf").select(
+            "_l_key", F.col("_size").alias("_ls_row"), "_lsuf"
+        )
+        r_sel = _with_suffix(r_rk, "_rpl", "_rsuf").select(
+            "_r_key", F.col("_size").alias("_rs_row"), "_rsuf"
+        )
+
+        ls, rs = F.col("_ls"), F.col("_rs")
+        lpl = fm.prefix_length_col(ls, m, t, q)
+        rpl = fm.prefix_length_col(rs, m, t, q)
+        alpha = fm.overlap_threshold_col(ls, rs, m, t, q)
+        ham_max = (ls + rs - F.lit(2) * alpha).cast("long")
+        grid = (
+            l_rk.select(F.col("_size").alias("_ls")).distinct()
+            .crossJoin(r_rk.select(F.col("_size").alias("_rs")).distinct())
+            .withColumn("_shortcut", (lpl >= alpha) & (rpl >= alpha))
+            .withColumn("_ham_max", ham_max)
+            .where(
+                (lpl > 0) & (rpl > 0)
+                & (F.col("_shortcut")
+                   | (F.abs((ls - lpl) - (rs - rpl)) <= F.col("_ham_max")))
+            )
+        )
+        cand = l_sel.join(
+            F.broadcast(grid), l_sel["_ls_row"] == grid["_ls"]
+        ).join(r_sel, r_sel["_rs_row"] == grid["_rs"])
+
+        easy = cand.where(F.col("_shortcut")).select("_l_key", "_r_key")
+        hard_in = cand.where(~F.col("_shortcut")).select(
+            "_l_key", "_r_key", "_lsuf", "_rsuf", "_ham_max"
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("_l_key", ltable.schema[l_key].dataType),
+                T.StructField("_r_key", rtable.schema[r_key].dataType),
+            ]
+        )
+        hamming_lb = self._hamming_lb
+
+        def refine(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = [
+                    hamming_lb(lsuf, rsuf, len(lsuf), len(rsuf), hm, 1) <= hm
+                    for lsuf, rsuf, hm in zip(
+                        pdf["_lsuf"], pdf["_rsuf"], pdf["_ham_max"]
+                    )
+                ]
+                yield pdf.loc[keep, ["_l_key", "_r_key"]]
+
+        pairs = easy.unionByName(hard_in.mapInPandas(refine, out_schema))
+        if self.allow_empty and m in ("jaccard", "cosine", "dice"):
+            l_empty = l_rk.where(F.col("_size") == 0).select("_l_key")
+            r_empty = r_rk.where(F.col("_size") == 0).select("_r_key")
+            pairs = pairs.unionByName(l_empty.crossJoin(r_empty))
+        return pairs

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..functions.sims import batch_levenshtein, batch_set_sim
 from ..functions.tokenizers import Tokenizer
-from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_comp_op
+from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_attr_type, validate_comp_op
 
 _MEASURES = ("jaccard", "cosine", "dice", "overlap", "overlap_coefficient")
 
@@ -140,6 +140,8 @@ def apply_matcher(
     validate_attr(rtable, r_key_attr, "right")
     validate_attr(ltable, l_match_attr, "left")
     validate_attr(rtable, r_match_attr, "right")
+    validate_attr_type(ltable, l_match_attr, "left")
+    validate_attr_type(rtable, r_match_attr, "right")
     validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
 
     l_sel = ltable.select(

@@ -23,6 +23,7 @@ from ..plans.output import assemble_output
 from ..plans.validation import (
     COMP_OP_FN,
     validate_attr,
+    validate_attr_type,
     validate_comp_op,
     validate_output_attrs,
     validate_threshold,
@@ -90,6 +91,8 @@ def overlap_join(
     for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
                         (ltable, l_join_attr, "left"), (rtable, r_join_attr, "right")):
         validate_attr(df, a, side)
+    validate_attr_type(ltable, l_join_attr, "left")
+    validate_attr_type(rtable, r_join_attr, "right")
     validate_tokenizer(tokenizer)
     validate_threshold(threshold, "overlap")
     validate_comp_op(comp_op, (">=", ">", "="))
@@ -138,6 +141,8 @@ def overlap_coefficient_join(
     for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
                         (ltable, l_join_attr, "left"), (rtable, r_join_attr, "right")):
         validate_attr(df, a, side)
+    validate_attr_type(ltable, l_join_attr, "left")
+    validate_attr_type(rtable, r_join_attr, "right")
     validate_tokenizer(tokenizer)
     validate_threshold(threshold, "overlap_coefficient")
     validate_comp_op(comp_op, (">=", ">", "="))

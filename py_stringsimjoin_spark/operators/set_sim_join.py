@@ -36,6 +36,7 @@ from ..plans.validation import (
     COMP_OP_FN,
     COMP_OP_NUMPY,
     validate_attr,
+    validate_attr_type,
     validate_comp_op,
     validate_output_attrs,
     validate_threshold,
@@ -43,6 +44,7 @@ from ..plans.validation import (
 )
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
+from ..plans.cache import tracked_cache as _tc
 
 _EMPTY_OK = ("jaccard", "cosine", "dice", "overlap_coefficient")
 
@@ -150,10 +152,19 @@ def set_sim_join_pairs(
         length on the left side) picks between them: count when the
         prefix would keep >60% of tokens or sets average ≤4 tokens.
     """
+    if measure == "overlap_coefficient":
+        # the prefix/count kernels assume size-monotone bounds; OC has none —
+        # its inverted-index plan lives in overlap_join.overlap_coefficient_join
+        raise ValueError(
+            "overlap_coefficient is not supported by set_sim_join_pairs; "
+            "use operators.overlap_join.overlap_coefficient_join"
+        )
     validate_attr(ltable, l_key_attr, "left")
     validate_attr(rtable, r_key_attr, "right")
     validate_attr(ltable, l_join_attr, "left")
     validate_attr(rtable, r_join_attr, "right")
+    validate_attr_type(ltable, l_join_attr, "left")
+    validate_attr_type(rtable, r_join_attr, "right")
     validate_tokenizer(tokenizer)
     validate_threshold(threshold, measure)
     validate_comp_op(comp_op, (">=", ">", "="))
@@ -173,10 +184,10 @@ def set_sim_join_pairs(
     # cache (halves the prep work for clustering/dedup pipelines)
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
     if is_self:
-        ordering = build_token_ordering([(l_nn, "_tokens")]).persist()
+        ordering = build_token_ordering([(l_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(
             l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
-        ).select("_l_key", "_l_ranked", "_l_size").persist()
+        ).select("_l_key", "_l_ranked", "_l_size").persist().transform(_tc)
         r_rk = l_rk.select(
             F.col("_l_key").alias("_r_key"),
             F.col("_l_ranked").alias("_r_ranked"),
@@ -186,13 +197,13 @@ def set_sim_join_pairs(
         r_nn = r_proj.where(F.col("_r_str").isNotNull()).withColumn(
             "_tokens", tok.spark_col(F.col("_r_str"))
         )
-        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist()
+        ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(
             l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
-        ).select("_l_key", "_l_ranked", "_l_size").persist()
+        ).select("_l_key", "_l_ranked", "_l_size").persist().transform(_tc)
         r_rk = add_ranked_tokens(
             r_nn, ["_r_key"], "_tokens", ordering, "_r_ranked", "_r_size"
-        ).select("_r_key", "_r_ranked", "_r_size").persist()
+        ).select("_r_key", "_r_ranked", "_r_size").persist().transform(_tc)
 
     if strategy not in ("auto", "prefix", "count"):
         raise AssertionError(f"unknown strategy {strategy!r}")

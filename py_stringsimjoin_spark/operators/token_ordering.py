@@ -9,24 +9,31 @@ recomputes the ordering per joblib split, giving split-dependent prefixes
 strictly better pruning.
 
 Scale notes: the ordering is a (token, rank) table built by a distributed
-groupBy + sort; rank assignment uses ``rdd.zipWithIndex`` (two passes, fully
-distributed — no single-partition window). Applying the ordering is a shuffle
-join on token followed by a groupBy re-collect; at 10^12-doc scale both are
-plain shuffles that AQE can size.
+groupBy + two-phase JVM rank: range-partition the vocabulary on
+(_freq, token), row_number within each partition (parallel windows — never a
+single-partition window), then add per-partition offsets computed from a
+tiny N-row count collect. Everything stays in Tungsten rows — no JVM↔Python
+round-trip of the vocabulary (the round-1 ``rdd.zipWithIndex`` formulation
+serialized every (token, rank) through Python twice). Applying the ordering
+is a shuffle join on token followed by a groupBy re-collect; at 10^12-doc
+scale both are plain shuffles that AQE can size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..plans.cache import persist_tracked
 
 
 def build_token_ordering(token_sources: list[tuple[DataFrame, str]]) -> DataFrame:
     """(df, tokens_col) pairs -> DataFrame(token: string, rank: long).
 
     Frequency counts each token occurrence (bag occurrences count, matching
-    utils/token_ordering.py:26-32); rank ascends with (count, token).
+    utils/token_ordering.py:26-32); rank ascends with (count, token) —
+    dense, 0-based, identical to a global zipWithIndex over the sorted
+    vocabulary.
     """
     counted = None
     for df, tokens_col in token_sources:
@@ -34,19 +41,28 @@ def build_token_ordering(token_sources: list[tuple[DataFrame, str]]) -> DataFram
         counted = toks if counted is None else counted.unionByName(toks)
     freq = counted.groupBy("token").agg(F.count("*").alias("_freq"))
     spark = freq.sparkSession
-    ranked_rdd = (
-        freq.select("token", "_freq")
-        .sort(F.col("_freq").asc(), F.col("token").asc())
-        .rdd.map(lambda r: r[0])
-        .zipWithIndex()
-    )
-    schema = T.StructType(
-        [
-            T.StructField("token", T.StringType(), False),
-            T.StructField("rank", T.LongType(), False),
-        ]
-    )
-    return spark.createDataFrame(ranked_rdd, schema)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # phase 1: range partitioner puts partition i strictly before partition j
+    # (i < j) in (_freq, token) order; row_number per partition is a parallel
+    # window (each _pid is one group)
+    part = freq.repartitionByRange(
+        n_parts, F.col("_freq").asc(), F.col("token").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(F.col("_freq").asc(), F.col("token").asc())
+    # persist: the offsets job and the downstream rank join must see the SAME
+    # range-partitioner boundaries (they come from a sampling pass)
+    local = persist_tracked(part.withColumn("_rn", F.row_number().over(w).cast("long") - 1))
+    # phase 2: per-partition counts (≤ n_parts tiny rows) → cumulative offsets
+    counts = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.coalesce(
+        *[F.when(F.col("_pid") == pid, F.lit(off).cast("long")) for pid, off in offsets.items()],
+        F.lit(0).cast("long"),
+    ) if offsets else F.lit(0).cast("long")
+    return local.select("token", (off_expr + F.col("_rn")).alias("rank"))
 
 
 def add_ranked_tokens(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizers import WhitespaceTokenizer
 from ..operators.connected_components import connected_components
+from .cache import release_engine_caches
 from ..operators.set_sim_join import set_sim_join_pairs
 from ..sources.pages import extract_text_col
 
@@ -163,8 +164,10 @@ class LinkagePipeline:
         )
         m = st.write(pairs.select("_l_key", "_r_key"), fp)
         # the join persisted ranked-token intermediates; the stage output is
-        # checkpointed to parquet, so free the cache for downstream stages
-        self.spark.catalog.clearCache()
+        # checkpointed to parquet, so free exactly the engine's caches for
+        # downstream stages (not the blunt clearCache, which would evict
+        # caller-owned caches too)
+        release_engine_caches()
         return m
 
     def scoring(self) -> dict:

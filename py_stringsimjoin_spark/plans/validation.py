@@ -42,6 +42,19 @@ def validate_attr(df: DataFrame, attr: str, table_name: str) -> None:
         raise AssertionError(f"{attr!r} is not an attribute of the {table_name} table")
 
 
+def validate_attr_type(df: DataFrame, attr: str, table_name: str) -> None:
+    """Reject non-string join/filter/match attributes at plan time — parity
+    with reference utils/validation.py:29-34 (a numeric column would
+    otherwise silently tokenize via its string form). Convert first with
+    ``dataframe_column_to_str``."""
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[attr].dataType, T.StringType):
+        raise AssertionError(
+            f"attribute {attr!r} in the {table_name} table is not of string type."
+        )
+
+
 def validate_comp_op(comp_op: str, allowed: tuple[str, ...]) -> None:
     if comp_op not in allowed:
         raise AssertionError(f"comparison operator {comp_op!r} not in {allowed}")

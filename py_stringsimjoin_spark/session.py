@@ -43,6 +43,9 @@ def get_spark(
         # the verify UDFs (~25% on verify-heavy joins, measured in BENCH.md)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")
+        # real Python tracebacks when an Arrow/pandas worker dies
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

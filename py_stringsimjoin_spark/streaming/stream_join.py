@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenizers import Tokenizer
 from ..operators.set_sim_join import as_set_tokenizer
 from ..plans import filter_math as fm
+from ..plans.cache import tracked_cache as _tc
 
 
 def build_static_index(
@@ -41,13 +42,13 @@ def build_static_index(
         .where(F.col("_s").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_s")))
     )
-    ordering = build_token_ordering([(base, "_tokens")]).persist()
-    ranked = add_ranked_tokens(base, ["_r_key"], "_tokens", ordering, "_ranked", "_size").persist()
+    ordering = build_token_ordering([(base, "_tokens")]).persist().transform(_tc)
+    ranked = add_ranked_tokens(base, ["_r_key"], "_tokens", ordering, "_ranked", "_size").persist().transform(_tc)
     prefix = (
         ranked.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), measure, threshold))
         .select("_r_key", "_size", F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_r_pos", "_tokid"))
         .join(ordering.select(F.col("rank").alias("_tokid"), "token"), "_tokid")
-        .persist()
+        .persist().transform(_tc)
     )
     return ordering, prefix, ranked
 

@@ -43,7 +43,6 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
-            bad = ~(np.isclose(av, bv, rtol=0, atol=0, equal_nan=True))
             exact = (av == bv) | (np.isnan(av) & np.isnan(bv))
             if not exact.all():
                 i = int(np.flatnonzero(~exact)[0])

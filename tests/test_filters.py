@@ -150,3 +150,79 @@ def test_filter_tables_out_attrs(spark, person_tables):
         l_out_attrs=["name"], r_out_attrs=["name", "zipcode"],
     )
     assert out.columns == ["l_ID", "r_ID", "l_name", "r_name", "r_zipcode"]
+
+
+def _suffix_table_oracle(a_rows, b_rows, f, measure, threshold, qval):
+    """Reference SuffixFilter.filter_tables semantics (suffix_filter.py:427-531):
+    GLOBAL two-table token ordering, per-pair prefix/suffix split, the
+    lpl/rpl >= alpha short-circuit, then the recursive hamming LB."""
+    import collections
+
+    from py_stringsimjoin_spark.plans import filter_math as fm
+
+    cnt = collections.Counter()
+    toks = {}
+    for k, v in list(a_rows.items()) + list(b_rows.items()):
+        ts = f.tokenizer.tokenize(v) if v is not None else None
+        toks[k] = ts
+        if ts:
+            cnt.update(ts)
+    order = {t: i for i, (c, t) in enumerate(sorted((c, t) for t, c in cnt.items()))}
+    ranked = {k: (sorted(order[t] for t in ts) if ts is not None else None) for k, ts in toks.items()}
+    expect = set()
+    for lk in a_rows:
+        ls = ranked[lk]
+        if ls is None:
+            continue
+        ln = len(ls)
+        lpl = fm.prefix_length(ln, measure, threshold, qval) if ln else 0
+        for rk in b_rows:
+            rs = ranked[rk]
+            if rs is None:
+                continue
+            rn = len(rs)
+            if ln == 0 and rn == 0:
+                if f.allow_empty and measure in ("jaccard", "cosine", "dice"):
+                    expect.add((lk, rk))
+                continue
+            rpl = fm.prefix_length(rn, measure, threshold, qval) if rn else 0
+            if lpl <= 0 or rpl <= 0:
+                continue
+            alpha = fm.overlap_threshold(ln, rn, measure, threshold, qval)
+            if lpl >= alpha and rpl >= alpha:
+                expect.add((lk, rk))
+                continue
+            hm = ln + rn - 2 * alpha
+            if f._hamming_lb(ls[lpl:], rs[rpl:], ln - lpl, rn - rpl, hm, 1) <= hm:
+                expect.add((lk, rk))
+    return expect
+
+
+@pytest.mark.parametrize("mlabel,measure,threshold", [
+    ("JACCARD", "jaccard", 0.6),
+    ("COSINE", "cosine", 0.8),
+])
+def test_suffix_filter_tables(spark, person_tables, mlabel, measure, threshold):
+    A, B = person_tables
+    tok = WhitespaceTokenizer(return_set=True)
+    f = SuffixFilter(tok, mlabel, threshold)
+    out = f.filter_tables(A, B, "ID", "ID", "name", "name")
+    got = _pairs(out)
+    a_rows = {r[0]: r[1] for r in _rows(A)}
+    b_rows = {r[0]: r[1] for r in _rows(B)}
+    exp = _suffix_table_oracle(a_rows, b_rows, f, measure, threshold, None)
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_filter_rejects_numeric_attr(spark, person_tables):
+    A, B = person_tables
+    with pytest.raises(AssertionError, match="not of string type"):
+        OverlapFilter(WhitespaceTokenizer(), 1).filter_tables(
+            A, B, "ID", "ID", "birth_year", "name"
+        )
+
+
+def test_overlap_filter_rejects_bad_comp_op():
+    with pytest.raises(AssertionError):
+        OverlapFilter(WhitespaceTokenizer(), 1, comp_op="<=")

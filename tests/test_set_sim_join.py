@@ -151,3 +151,25 @@ def test_invalid_args(spark, person_tables):
         jaccard_join(A, B, "ID", "ID", "name", "name", WhitespaceTokenizer(), 0.5, comp_op="<")
     with pytest.raises(AssertionError):
         jaccard_join(A, B, "ID", "ID", "name", "name", "not a tokenizer", 0.5)
+
+
+def test_join_rejects_numeric_attr(spark, person_tables):
+    import pytest as _pytest
+
+    from py_stringsimjoin_spark.operators.set_sim_join import jaccard_join
+
+    A, B = person_tables
+    with _pytest.raises(AssertionError, match="not of string type"):
+        jaccard_join(A, B, "ID", "ID", "birth_year", "name",
+                     WhitespaceTokenizer(), 0.5)
+
+
+def test_set_sim_join_pairs_rejects_overlap_coefficient(spark, person_tables):
+    import pytest as _pytest
+
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    A, B = person_tables
+    with _pytest.raises(ValueError, match="overlap_coefficient"):
+        set_sim_join_pairs("overlap_coefficient", A, B, "ID", "ID",
+                           "name", "name", WhitespaceTokenizer(), 0.5)
