@@ -36,6 +36,7 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
+from ..plans.skew import hot_token_ranks, salted_token_join
 import copy
 
 
@@ -83,8 +84,15 @@ def edit_distance_join(
     out_sim_score: bool = True,
     tokenizer: QgramTokenizer | None = None,
     add_dense_id: bool = False,
+    value_dedup: bool | str = "auto",
 ) -> DataFrame:
-    """lev(l_join_attr, r_join_attr) comp_op threshold (int)."""
+    """lev(l_join_attr, r_join_attr) comp_op threshold (int).
+
+    ``value_dedup`` — see set_sim_join_pairs: on dup-heavy join attrs
+    (distinct/total < 0.6, one approx stats job) the Levenshtein join runs
+    over distinct VALUES and expands back to rows by equality joins —
+    identical output, verify work shrinks by the duplication factor squared.
+    """
     if tokenizer is None:
         tokenizer = QgramTokenizer(qval=2)
     for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
@@ -99,6 +107,60 @@ def edit_distance_join(
     t_int = int(threshold)  # floored like edit_distance_join_py.py:160-161
     tok = _as_bag(tokenizer)
     q = tok.qval
+
+    is_self_t = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    if value_dedup == "auto":
+        if is_self_t:
+            st = ltable.where(F.col(l_join_attr).isNotNull()).agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct(l_join_attr).alias("nd"),
+            ).first()
+            n_rows, n_vals = st["n"], st["nd"]
+        else:
+            stl = ltable.where(F.col(l_join_attr).isNotNull()).agg(
+                F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
+            ).first()
+            str_ = rtable.where(F.col(r_join_attr).isNotNull()).agg(
+                F.count("*").alias("n"), F.approx_count_distinct(r_join_attr).alias("nd")
+            ).first()
+            n_rows, n_vals = stl["n"] + str_["n"], stl["nd"] + str_["nd"]
+        value_dedup = n_rows > 0 and n_vals / n_rows < 0.6
+    if value_dedup:
+        lv = ltable.select(F.col(l_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()
+        ).distinct()
+        rv = lv if is_self_t else rtable.select(F.col(r_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()
+        ).distinct()
+        vout = edit_distance_join(
+            lv, rv, "_v", "_v", "_v", "_v", threshold, comp_op,
+            allow_missing=False, out_sim_score=True, tokenizer=tokenizer,
+            value_dedup=False,
+        ).select(
+            F.col("l__v").alias("_v1"),
+            F.col("r__v").alias("_v2"),
+            "_sim_score",
+        )
+        l_map = ltable.select(
+            F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str")
+        )
+        r_map = rtable.select(
+            F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
+        )
+        pairs = (
+            vout.join(l_map, vout["_v1"] == l_map["_l_str"])
+            .join(r_map, vout["_v2"] == r_map["_r_str"])
+            .select("_l_key", "_r_key", "_sim_score")
+        )
+        if allow_missing:
+            pairs = pairs.unionByName(
+                missing_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+            )
+        return assemble_output(
+            pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+            l_out_prefix, r_out_prefix, "_sim_score" if out_sim_score else None,
+            add_dense_id,
+        )
 
     l_nn = (
         ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
@@ -166,8 +228,10 @@ def edit_distance_join(
     alpha = fm.overlap_threshold_col(
         F.col("_l_size"), F.col("_r_size"), "edit_distance", t_int, q
     )
+    n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    hot = hot_token_ranks(ordering, n_shuffle)
     cand = (
-        pl.join(pr, "_tok")
+        salted_token_join(pl, pr, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle)
         .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
         .where(ub >= alpha)
         .select("_l_key", "_r_key")

@@ -53,13 +53,14 @@ def verify_pairs(
     a single vectorized ``pd.factorize`` and overlaps computed by one
     int64-keyspace intersection (functions/sims.py) — no per-row Python.
 
-    Returns candset key columns + ``_sim_score`` for pairs passing
-    ``comp_op threshold``.
+    Returns ALL candset columns (``_id``-style passthroughs included) +
+    ``_sim_score`` for pairs passing ``comp_op threshold``.
     """
     from .set_sim_join import as_set_tokenizer
 
     validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
     tok = as_set_tokenizer(tokenizer)
+    cand_cols = candset.columns
     l_tok = ltable.select(
         F.col(l_key_attr).alias("__lk"), tok.spark_col(F.col(l_match_attr)).alias("__lt")
     )
@@ -70,20 +71,15 @@ def verify_pairs(
     # sorting array columns) nor must the candset side ever be broadcast —
     # local-mode AQE occasionally picks a pathological build side otherwise
     joined = (
-        candset.select(candset_l_key_attr, candset_r_key_attr)
+        candset
         .join(l_tok.hint("shuffle_hash"), candset[candset_l_key_attr] == l_tok["__lk"])
         .join(r_tok.hint("shuffle_hash"), candset[candset_r_key_attr] == r_tok["__rk"])
-        .select(
-            F.col(candset_l_key_attr), F.col(candset_r_key_attr), "__lt", "__rt"
-        )
+        .select(*[F.col(c) for c in cand_cols], "__lt", "__rt")
     )
     cmp = COMP_OP_NUMPY[comp_op]
     out_schema = T.StructType(
-        [
-            candset.schema[candset_l_key_attr],
-            candset.schema[candset_r_key_attr],
-            T.StructField("_sim_score", T.DoubleType()),
-        ]
+        list(candset.schema.fields)
+        + [T.StructField("_sim_score", T.DoubleType())]
     )
     names = [f.name for f in out_schema.fields]
 
@@ -109,7 +105,7 @@ def verify_pairs(
             r_enc = np.split(codes[n_l:].astype(np.int64), np.cumsum(r_lens)[:-1])
             scores = batch_set_sim(measure, l_enc, r_enc)
             mask = cmp(scores, threshold)
-            out = pdf.loc[mask, [candset_l_key_attr, candset_r_key_attr]].copy()
+            out = pdf.loc[mask, cand_cols].copy()
             out["_sim_score"] = scores[mask]
             out.columns = names
             yield out

@@ -45,6 +45,7 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
+from ..plans.skew import hot_token_ranks, salted_token_join
 
 _EMPTY_OK = ("jaccard", "cosine", "dice", "overlap_coefficient")
 
@@ -130,6 +131,7 @@ def set_sim_join_pairs(
     self_join_dedup: bool = False,
     verify: bool = True,
     strategy: str = "auto",
+    value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
 
@@ -151,6 +153,15 @@ def set_sim_join_pairs(
       * ``"auto"``    — one tiny stats job (avg token count + avg prefix
         length on the left side) picks between them: count when the
         prefix would keep >60% of tokens or sets average ≤4 tokens.
+
+    ``value_dedup``: the second cost-based decision — dup-heavy corpora
+    (re-crawled pages, repeated product names) make the row-level join
+    quadratic in the duplicate count for no information: similarity is a
+    function of the VALUE, not the row. When the distinct/total ratio of
+    the join attrs drops below 0.6 (one approx_count_distinct stats job),
+    the join runs on distinct values only and the result is expanded back
+    to rows by two equality joins — identical output, work shrinks by the
+    duplication factor squared. ``True``/``False`` force the choice.
     """
     if measure == "overlap_coefficient":
         # the prefix/count kernels assume size-monotone bounds; OC has none —
@@ -183,6 +194,55 @@ def set_sim_join_pairs(
     # the ordering, and rank ONCE; the right side is an alias of the left
     # cache (halves the prep work for clustering/dedup pipelines)
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+
+    if value_dedup == "auto":
+        if is_self:
+            st = l_proj.where(F.col("_l_str").isNotNull()).agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct("_l_str").alias("nd"),
+            ).first()
+            n_rows, n_vals = st["n"], st["nd"]
+        else:
+            stl = l_proj.where(F.col("_l_str").isNotNull()).agg(
+                F.count("*").alias("n"), F.approx_count_distinct("_l_str").alias("nd")
+            ).first()
+            str_ = r_proj.where(F.col("_r_str").isNotNull()).agg(
+                F.count("*").alias("n"), F.approx_count_distinct("_r_str").alias("nd")
+            ).first()
+            n_rows, n_vals = stl["n"] + str_["n"], stl["nd"] + str_["nd"]
+        value_dedup = n_rows > 0 and n_vals / n_rows < 0.6
+    if value_dedup:
+        lv = l_proj.where(F.col("_l_str").isNotNull()).select(
+            F.col("_l_str").alias("_v")
+        ).distinct()
+        rv = lv if is_self else r_proj.where(F.col("_r_str").isNotNull()).select(
+            F.col("_r_str").alias("_v")
+        ).distinct()
+        vp = set_sim_join_pairs(
+            measure, lv, rv, "_v", "_v", "_v", "_v", tokenizer, threshold,
+            comp_op, allow_empty, allow_missing=False,
+            position_filter=position_filter, self_join_dedup=False,
+            verify=verify, strategy=strategy, value_dedup=False,
+        ).select(
+            F.col("_l_key").alias("_v1"),
+            F.col("_r_key").alias("_v2"),
+            *([F.col("_sim_score")] if verify else []),
+        )
+        out = (
+            vp.join(l_proj, vp["_v1"] == l_proj["_l_str"])
+            .join(r_proj, vp["_v2"] == r_proj["_r_str"])
+            .select("_l_key", "_r_key", *(["_sim_score"] if verify else []))
+        )
+        if self_join_dedup:
+            out = out.where(F.col("_l_key") < F.col("_r_key"))
+        if allow_missing:
+            mp = missing_pairs(
+                ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+            )
+            if not verify:
+                mp = mp.select("_l_key", "_r_key")
+            out = out.unionByName(mp)
+        return out
     if is_self:
         ordering = build_token_ordering([(l_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(
@@ -220,10 +280,15 @@ def set_sim_join_pairs(
             else "prefix"
         )
 
+    n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    hot = hot_token_ranks(ordering, n_shuffle)
+
     if strategy == "count":
         ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))
         ex_r = r_rk.select("_r_key", "_r_size", F.explode("_r_ranked").alias("_tok"))
-        joined = ex_l.join(ex_r, "_tok").where(
+        joined = salted_token_join(
+            ex_l, ex_r, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle
+        ).where(
             (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
             & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
         )
@@ -280,7 +345,9 @@ def set_sim_join_pairs(
         )
     )
 
-    joined = pl.join(pr, "_tok").where(
+    joined = salted_token_join(
+        pl, pr, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle
+    ).where(
         (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
         & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
     )

@@ -27,20 +27,40 @@ from pyspark.sql import functions as F
 from ..plans.cache import persist_tracked
 
 
-def build_token_ordering(token_sources: list[tuple[DataFrame, str]]) -> DataFrame:
-    """(df, tokens_col) pairs -> DataFrame(token: string, rank: long).
+# vocabularies up to this size are ranked on the driver (a few MB) and
+# broadcast by downstream joins — the same small-dim shortcut any engine
+# takes; larger vocabularies use the fully-distributed two-phase rank
+SMALL_VOCAB = 1 << 16
+
+
+def build_token_ordering(
+    token_sources: list[tuple[DataFrame, str]],
+    small_vocab_threshold: int = SMALL_VOCAB,
+) -> DataFrame:
+    """(df, tokens_col) pairs -> DataFrame(token: string, rank: long, _freq).
 
     Frequency counts each token occurrence (bag occurrences count, matching
     utils/token_ordering.py:26-32); rank ascends with (count, token) —
     dense, 0-based, identical to a global zipWithIndex over the sorted
-    vocabulary.
+    vocabulary. ``_freq`` rides along for the skew planner
+    (plans/skew.hot_token_ranks); rank consumers project it away for free.
     """
     counted = None
     for df, tokens_col in token_sources:
         toks = df.select(F.explode(F.col(tokens_col)).alias("token"))
         counted = toks if counted is None else counted.unionByName(toks)
-    freq = counted.groupBy("token").agg(F.count("*").alias("_freq"))
+    # persist: the vocabulary feeds 2-3 downstream jobs (count, sampling /
+    # collect, window materialization) — without this each one re-runs the
+    # full tokenize+explode+groupBy over the corpus
+    freq = persist_tracked(counted.groupBy("token").agg(F.count("*").alias("_freq")))
     spark = freq.sparkSession
+    n_vocab = freq.count()
+    if n_vocab <= small_vocab_threshold:
+        rows = sorted(freq.collect(), key=lambda r: (r["_freq"], r["token"]))
+        return spark.createDataFrame(
+            [(r["token"], i, r["_freq"]) for i, r in enumerate(rows)],
+            "token string, rank long, _freq long",
+        )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # phase 1: range partitioner puts partition i strictly before partition j
     # (i < j) in (_freq, token) order; row_number per partition is a parallel
@@ -62,7 +82,9 @@ def build_token_ordering(token_sources: list[tuple[DataFrame, str]]) -> DataFram
         *[F.when(F.col("_pid") == pid, F.lit(off).cast("long")) for pid, off in offsets.items()],
         F.lit(0).cast("long"),
     ) if offsets else F.lit(0).cast("long")
-    return local.select("token", (off_expr + F.col("_rn")).alias("rank"))
+    return local.select(
+        "token", (off_expr + F.col("_rn")).alias("rank"), F.col("_freq").alias("_freq")
+    )
 
 
 def add_ranked_tokens(

@@ -134,6 +134,31 @@ def stream_matches(
     )
 
 
+def write_matches_stream(
+    matches: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    available_now: bool = False,
+):
+    """Start the verified-match sink: matches → append-only files with an
+    exactly-once checkpoint (the streaming end of the readStream →
+    stream_matches → writeStream pipeline). ``available_now=True`` drains
+    what's currently available and stops (batch-style backfill trigger);
+    the default runs continuously per micro-batch. Returns the
+    StreamingQuery."""
+    w = (
+        matches.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def dedup_recrawls(
     stream: DataFrame,
     url_col: str = "url",

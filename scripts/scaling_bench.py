@@ -30,10 +30,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     r8 = run(8, sf_dir)
     r32 = run(32, sf_dir)
-    eff_total = (r8["value"] / r32["value"]) / 4
+    eff_total = (r8["value"] / r32["value"]) / 4 if r32["value"] else None
     rows = []
     for q in r8["queries"]:
-        t8, t32 = r8["queries"][q], r32["queries"][q]
+        t8 = r8["queries"][q]
+        t32 = r32["queries"].get(q)  # a query may have failed in one run
         rows.append((q, t8, t32, round((t8 / t32) / 4, 3) if t32 else None))
     ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
@@ -59,7 +60,18 @@ def main():
         )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"efficiency_total": eff_total, "t8": r8["value"], "t32": r32["value"]}))
+    result = {
+        "efficiency_total": eff_total,
+        "t8": r8["value"],
+        "t32": r32["value"],
+        "per_query": {q: e for q, _, _, e in rows},
+        "candidate_pairs_per_sec": {"cpus8": cps8, "cpus32": cps32},
+        "sf_dir": sf_dir,
+    }
+    # machine-readable copy for the judge next to BENCH.md
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

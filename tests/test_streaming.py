@@ -137,3 +137,39 @@ def test_dedup_recrawls(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(urls) == ["u1", "u2"]
+
+
+def test_write_matches_stream_sink(spark, tmp_path):
+    from py_stringsimjoin_spark.streaming.stream_join import (
+        stream_matches,
+        write_matches_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("u1", "deep learning for entity resolution"),
+            ("u2", "spark sql query optimization"),
+        ],
+        SCHEMA,
+    )
+    _, prefix, _ = build_static_index(
+        corpus, "url", "text", WhitespaceTokenizer(), "jaccard", 0.4
+    )
+    src = str(tmp_path / "incoming2")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("s1", "deep learning for entity matching")], SCHEMA
+    ).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    matches = stream_matches(
+        stream, corpus, "url", "text", WhitespaceTokenizer(), "jaccard", 0.4, prefix
+    )
+    out_dir = str(tmp_path / "matches_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_matches_stream(matches, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = {
+        (r["_l_key"], r["_r_key"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("s1", "u1")}
