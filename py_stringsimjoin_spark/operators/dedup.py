@@ -95,14 +95,27 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     tok = tokenizer or ShingleTokenizer(n=3)
+    # flat signature plan (same values as minhash_signature_col): explode
+    # tokens once, hash once per row, then ONE hash-aggregate with num_perm
+    # codegen'd MIN columns — the array-expression form evaluates the
+    # permutations interpreted per element and scales poorly
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .where(F.col("_t").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_t")))
         .where(F.size("_tokens") > 0)
-        .withColumn("_sig", minhash_signature_col(F.col("_tokens"), num_perm))
     )
-    band_rows = base.select(
+    rows = base.select("id", F.explode("_tokens").alias("_tok")).select(
+        "id", _token_hash_col(F.col("_tok")).alias("_h")
+    )
+    params = minhash_perm_params(num_perm)
+    sig = rows.groupBy("id").agg(
+        *[
+            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MERSENNE)).alias(f"_s{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_rows = sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -112,7 +125,7 @@ def minhash_lsh_pairs(
                             ",",
                             F.lit(bi),
                             *[
-                                F.col("_sig")[bi * rows_per_band + j].cast("string")
+                                F.col(f"_s{bi * rows_per_band + j}").cast("string")
                                 for j in range(rows_per_band)
                             ],
                         )
@@ -218,6 +231,55 @@ def simhash_col(tokens_col, bits: int = 64) -> "F.Column":
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, _sh) — identical bits to ``simhash_col`` but computed as a FLAT
+    plan: explode tokens → 3 salted md5 hashes per row → one hash-aggregate
+    with 64 codegen'd SUM columns (vote per bit) → pack. The expression-tree
+    formulation (``aggregate`` + ``zip_with`` per token) runs interpreted per
+    element and was the worst scaler in the suite; this shape is a plain
+    explode + groupBy that whole-stage codegen and AQE handle like any other
+    aggregation."""
+    tok = tokenizer or ShingleTokenizer(n=2)
+    n_salts = (bits + 27) // 28
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .withColumn("_tokens", tok.spark_col(F.col("_t")))
+        .where(F.size("_tokens") > 0)
+    )
+    t = F.col("_tok")
+    rows = base.select("id", F.explode("_tokens").alias("_tok")).select(
+        "id",
+        *[
+            _token_hash_col(t if s == 0 else F.concat(t, F.lit(f"#{s}"))).alias(f"_h{s}")
+            for s in range(n_salts)
+        ],
+    )
+    votes = rows.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"_h{i // 28}"), i % 28).bitwiseAND(F.lit(1))
+                * F.lit(2)
+                - F.lit(1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    # pack: ascending bit order keeps every partial sum of weights in range
+    # (the sign bit's -2^63 comes last)
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        w = F.lit(-(2**63) if i == 63 else (1 << i)).cast("long")
+        sh = sh + F.when(F.col(f"_v{i}") > 0, w).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sh.alias("_sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,13 +296,7 @@ def simhash_pairs(
     tok = tokenizer or ShingleTokenizer(n=2)
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .where(F.col("_t").isNotNull())
-        .withColumn("_tokens", tok.spark_col(F.col("_t")))
-        .where(F.size("_tokens") > 0)
-        .withColumn("_sh", simhash_col(F.col("_tokens")))
-    )
+    base = simhash_table(df, id_col, text_col, tok)
     blocks = base.select(
         "id",
         "_sh",

@@ -47,25 +47,27 @@ def verify_pairs(
     """Fast candidate-pair verifier: the pipeline's scoring stage.
 
     Unlike ``apply_matcher`` (which supports arbitrary Python sim functions
-    and therefore tokenizes per value in Python), this path keeps ALL
-    tokenization in Spark expressions and does the pairwise math in one
-    Arrow-batched ``mapInPandas``: per batch, tokens are integer-encoded with
-    a single vectorized ``pd.factorize`` and overlaps computed by one
-    int64-keyspace intersection (functions/sims.py) — no per-row Python.
+    and therefore tokenizes per value in Python), this path keeps EVERYTHING
+    in Spark expressions: tokenization, array_intersect overlap, and the
+    score arithmetic all run in whole-stage codegen — zero Python workers.
 
     Returns ALL candset columns (``_id``-style passthroughs included) +
     ``_sim_score`` for pairs passing ``comp_op threshold``.
     """
+    from .overlap_join import comp_col
     from .set_sim_join import as_set_tokenizer
 
     validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
     tok = as_set_tokenizer(tokenizer)
     cand_cols = candset.columns
+    empty_arr = F.array().cast("array<string>")
     l_tok = ltable.select(
-        F.col(l_key_attr).alias("__lk"), tok.spark_col(F.col(l_match_attr)).alias("__lt")
+        F.col(l_key_attr).alias("__lk"),
+        F.coalesce(tok.spark_col(F.col(l_match_attr)), empty_arr).alias("__lt"),
     )
     r_tok = rtable.select(
-        F.col(r_key_attr).alias("__rk"), tok.spark_col(F.col(r_match_attr)).alias("__rt")
+        F.col(r_key_attr).alias("__rk"),
+        F.coalesce(tok.spark_col(F.col(r_match_attr)), empty_arr).alias("__rt"),
     )
     # shuffle-hash hints: the token side must never be sort-merged (no point
     # sorting array columns) nor must the candset side ever be broadcast —
@@ -76,41 +78,38 @@ def verify_pairs(
         .join(r_tok.hint("shuffle_hash"), candset[candset_r_key_attr] == r_tok["__rk"])
         .select(*[F.col(c) for c in cand_cols], "__lt", "__rt")
     )
-    cmp = COMP_OP_NUMPY[comp_op]
-    out_schema = T.StructType(
-        list(candset.schema.fields)
-        + [T.StructField("_sim_score", T.DoubleType())]
+    # exact scoring in pure JVM: token arrays are sets (as_set_tokenizer), so
+    # array_intersect size is the overlap; empty/NULL semantics mirror
+    # functions/sims.score_from_overlap (both-empty → 1.0 where defined,
+    # any-empty → 0.0, overlap measure keeps the raw count). No Python stage:
+    # the previous Arrow+factorize kernel spent most of its wall serializing
+    # token arrays to workers.
+    ov = F.size(F.array_intersect("__lt", "__rt")).cast("double")
+    ls = F.size("__lt").cast("double")
+    rs = F.size("__rt").cast("double")
+    if measure == "jaccard":
+        score = ov / (ls + rs - ov)
+    elif measure == "cosine":
+        score = ov / F.sqrt(ls * rs)
+    elif measure == "dice":
+        score = F.lit(2.0) * ov / (ls + rs)
+    elif measure == "overlap":
+        score = ov
+    elif measure == "overlap_coefficient":
+        score = ov / F.least(ls, rs)
+    else:
+        raise ValueError(f"unknown measure {measure!r}")
+    if measure != "overlap":
+        score = (
+            F.when((ls == 0) & (rs == 0), F.lit(1.0))
+            .when((ls == 0) | (rs == 0), F.lit(0.0))
+            .otherwise(score)
+        )
+    return (
+        joined.withColumn("_sim_score", score)
+        .where(comp_col(comp_op, F.col("_sim_score"), float(threshold)))
+        .select(*cand_cols, "_sim_score")
     )
-    names = [f.name for f in out_schema.fields]
-
-    def fn(batches):
-        import pandas as pd
-
-        from ..functions.sims import batch_set_sim
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            l_lists = [np.asarray(v if v is not None else [], dtype=object) for v in pdf["__lt"]]
-            r_lists = [np.asarray(v if v is not None else [], dtype=object) for v in pdf["__rt"]]
-            l_lens = np.fromiter((len(a) for a in l_lists), np.int64, len(pdf))
-            r_lens = np.fromiter((len(a) for a in r_lists), np.int64, len(pdf))
-            flat = np.concatenate(
-                [a for a in l_lists if len(a)] + [a for a in r_lists if len(a)]
-                or [np.empty(0, object)]
-            )
-            codes, _ = pd.factorize(flat)
-            n_l = int(l_lens.sum())
-            l_enc = np.split(codes[:n_l].astype(np.int64), np.cumsum(l_lens)[:-1])
-            r_enc = np.split(codes[n_l:].astype(np.int64), np.cumsum(r_lens)[:-1])
-            scores = batch_set_sim(measure, l_enc, r_enc)
-            mask = cmp(scores, threshold)
-            out = pdf.loc[mask, cand_cols].copy()
-            out["_sim_score"] = scores[mask]
-            out.columns = names
-            yield out
-
-    return joined.mapInPandas(fn, out_schema)
 
 
 def apply_matcher(

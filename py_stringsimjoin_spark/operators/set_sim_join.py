@@ -10,14 +10,15 @@ join/set_sim_join.py:16-139) re-architected as one declarative Spark plan:
     → hash equi-join on token rank                     [the "index"]
     → size-bound filter on (l_size, r_size)            [size filter]
     → groupBy pair, min-rank match → position bound    [position filter]
-    → Arrow-batched vectorized verify (exact sim)      [no per-row Python]
+    → JVM array_intersect exact verify                 [zero UDF end-to-end]
     → empty-pair / missing-pair unions → output assembly
 
-Catalyst/AQE notes: the token equi-join is the only large shuffle; AQE skew
-join splits hot-token partitions (enabled in session defaults). The position
-bound is plain column arithmetic (JVM, codegen), the verify is a single
-``mapInPandas`` over candidate pairs. Scores are float64, unrounded (the
-reference's default-Cython semantics, set_sim_join_cy.pyx:132).
+Catalyst/AQE notes: the token equi-join is the only large shuffle; hot
+tokens are salted by measured frequency (plans/skew.py) and AQE skew join
+covers the rest. The position bound and the final verify are plain column
+arithmetic (JVM, whole-stage codegen — no Python anywhere in the plan).
+Scores are float64, unrounded (the reference's default-Cython semantics,
+set_sim_join_cy.pyx:132).
 """
 
 from __future__ import annotations
@@ -26,15 +27,12 @@ import copy
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from ..functions.sims import batch_set_sim
 from ..functions.tokenizers import Tokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
 from ..plans.validation import (
     COMP_OP_FN,
-    COMP_OP_NUMPY,
     validate_attr,
     validate_attr_type,
     validate_comp_op,
@@ -92,28 +90,6 @@ def as_set_tokenizer(tokenizer: Tokenizer) -> Tokenizer:
     return t
 
 
-def _make_verify(measure: str, comp_op: str, threshold: float, out_schema: T.StructType):
-    cmp = COMP_OP_NUMPY[comp_op]
-    names = [f.name for f in out_schema.fields]
-
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            scores = batch_set_sim(
-                measure, list(pdf["_l_ranked"]), list(pdf["_r_ranked"])
-            )
-            mask = cmp(scores, threshold)
-            out = pdf.loc[mask, ["_l_key", "_r_key"]].copy()
-            out["_sim_score"] = scores[mask]
-            out.columns = names
-            yield out
-
-    return fn
-
-
 def set_sim_join_pairs(
     measure: str,
     ltable: DataFrame,
@@ -143,7 +119,7 @@ def set_sim_join_pairs(
 
     ``strategy``: physical-plan choice, the engine's one cost-based
     decision (Catalyst can't see it — it's domain logic):
-      * ``"prefix"``  — prefix-explode + filters + Arrow-batched verify;
+      * ``"prefix"``  — prefix-explode + filters + JVM array-intersect verify;
         wins when prefixes are much shorter than token sets (long texts,
         high thresholds).
       * ``"count"``   — explode ALL tokens, equi-join, groupBy-count =
@@ -385,17 +361,28 @@ def set_sim_join_pairs(
         r_rk.select("_r_key", "_r_ranked"), "_r_key"
     ).select("_l_key", "_r_key", "_l_ranked", "_r_ranked")
 
-    l_key_type = l_proj.schema["_l_key"].dataType
-    r_key_type = r_proj.schema["_r_key"].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("_l_key", l_key_type),
-            T.StructField("_r_key", r_key_type),
-            T.StructField("_sim_score", T.DoubleType()),
-        ]
-    )
-    pairs = verify_in.mapInPandas(
-        _make_verify(measure, comp_op, threshold, out_schema), out_schema
+    # exact verify in pure JVM: the ranked arrays are duplicate-free ints, so
+    # array_intersect size IS the set overlap; the score arithmetic matches
+    # the count strategy's (identical IEEE-754 double ops → oracle parity).
+    # No Arrow transfer, no Python workers — whole-stage codegen end to end.
+    # (The previous mapInPandas verify spent ~95% of its wall time
+    # serializing the candidate arrays to Python: 6.1M pairs ≈ 130 s vs ~10 s
+    # JVM-side, measured at sf0.1.)
+    ov = F.size(F.array_intersect("_l_ranked", "_r_ranked")).cast("double")
+    ls = F.size("_l_ranked").cast("double")
+    rs = F.size("_r_ranked").cast("double")
+    if measure == "jaccard":
+        score = ov / (ls + rs - ov)
+    elif measure == "cosine":
+        score = ov / F.sqrt(ls * rs)
+    elif measure == "dice":
+        score = F.lit(2.0) * ov / (ls + rs)
+    else:
+        raise AssertionError(measure)
+    pairs = (
+        verify_in.withColumn("_sim_score", score)
+        .where(_COMP_COL_FN[comp_op](F.col("_sim_score"), F.lit(threshold)))
+        .select("_l_key", "_r_key", "_sim_score")
     )
     return _append_empty_and_missing(
         pairs, measure, comp_op, threshold, allow_empty, allow_missing,

@@ -173,3 +173,54 @@ def test_set_sim_join_pairs_rejects_overlap_coefficient(spark, person_tables):
     with _pytest.raises(ValueError, match="overlap_coefficient"):
         set_sim_join_pairs("overlap_coefficient", A, B, "ID", "ID",
                            "name", "name", WhitespaceTokenizer(), 0.5)
+
+
+def test_value_dedup_paths_agree(spark, person_tables):
+    """Forced value-dedup vs forced row-level join must produce identical
+    pair sets (dup-heavy input: every person row replicated 5x)."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    A, B = person_tables
+    reps = spark.range(5).select(F.col("id").alias("_rep"))
+    big_a = A.crossJoin(reps).select(
+        F.concat_ws("#", "ID", "_rep").alias("ID"), "name"
+    )
+    big_b = B.crossJoin(reps).select(
+        F.concat_ws("#", "ID", "_rep").alias("ID"), "name"
+    )
+    kw = dict(comp_op=">=", allow_empty=True, allow_missing=True)
+    on = set_sim_join_pairs(
+        "jaccard", big_a, big_b, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), 0.4, value_dedup=True, **kw
+    )
+    off = set_sim_join_pairs(
+        "jaccard", big_a, big_b, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), 0.4, value_dedup=False, **kw
+    )
+    got_on = {(r["_l_key"], r["_r_key"], r["_sim_score"]) for r in on.collect()}
+    got_off = {(r["_l_key"], r["_r_key"], r["_sim_score"]) for r in off.collect()}
+    assert got_on == got_off
+    assert len(got_on) > 0
+
+
+def test_edit_distance_value_dedup_paths_agree(spark, person_tables):
+    from py_stringsimjoin_spark.operators.edit_distance_join import (
+        edit_distance_join,
+    )
+
+    A, B = person_tables
+    reps = spark.range(4).select(F.col("id").alias("_rep"))
+    big_a = A.crossJoin(reps).select(
+        F.concat_ws("#", "ID", "_rep").alias("ID"), "name"
+    )
+    big_b = B.crossJoin(reps).select(
+        F.concat_ws("#", "ID", "_rep").alias("ID"), "name"
+    )
+    on = edit_distance_join(
+        big_a, big_b, "ID", "ID", "name", "name", 3, value_dedup=True
+    )
+    off = edit_distance_join(
+        big_a, big_b, "ID", "ID", "name", "name", 3, value_dedup=False
+    )
+    key = lambda r: (r["l_ID"], r["r_ID"], r["_sim_score"])  # noqa: E731
+    assert {key(r) for r in on.collect()} == {key(r) for r in off.collect()}
