@@ -105,6 +105,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # ----------------------------------------------------------------- queries --
 
 
+def q_jaccard_part_rowlevel(spark, sf_dir):
+    """jaccard_part with the value-dedup shortcut DISABLED — exercises the
+    row-level salted token join + JVM verify (the compute-bound kernel the
+    scaling evidence measures); same oracle as jaccard_part."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True, value_dedup=False,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def q_edit_distance_part_rowlevel(spark, sf_dir):
+    """edit_distance_part with value-dedup disabled (row-level DP verify)."""
+    from py_stringsimjoin_spark.operators.edit_distance_join import edit_distance_join
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = edit_distance_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name", 2,
+        tokenizer=_QG2, out_sim_score=True, value_dedup=False,
+    )
+    return (
+        out.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+        .select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("dist"))
+    )
+
+
 def q_jaccard_qgram3(spark, sf_dir):
     from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
 
@@ -851,7 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dice_part": _set_sim_part("dice", 0.6),
         "overlap_coefficient_part": _set_sim_part("overlap_coefficient", 1.0),
         "jaccard_part_qgram3": q_jaccard_qgram3,
+        "jaccard_part_rowlevel": q_jaccard_part_rowlevel,
         "edit_distance_part": q_edit_distance_part,
+        "edit_distance_part_rowlevel": q_edit_distance_part_rowlevel,
         "jaccard_docs": q_jaccard_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -885,7 +920,9 @@ def oracle_sql() -> dict[str, str]:
         "dice_part": _set_sim_part_sql(_D_SCORE, 0.6),
         "overlap_coefficient_part": _set_sim_part_sql(_OC_SCORE, 1.0),
         "jaccard_part_qgram3": _set_sim_part_sql(_J_SCORE, 0.6, tok=qg3),
+        "jaccard_part_rowlevel": _set_sim_part_sql(_J_SCORE, 0.5),
         "edit_distance_part": _edit_distance_sql(),
+        "edit_distance_part_rowlevel": _edit_distance_sql(),
         "jaccard_docs": _jaccard_docs_sql(),
         "exact_dups_docs": _EXACT_DUPS_SQL,
         "minhash_pairs_docs": _minhash_pairs_sql(),

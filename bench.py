@@ -41,6 +41,13 @@ BENCH_QUERIES = [
     "connected_components_part",
 ]
 
+# $SPARK_GRAFT_BENCH_QUERIES (comma-separated) overrides the list — used by
+# scripts/scaling_bench.py to measure the compute-bound kernels (row-level
+# joins forced) where parallelism matters, instead of fixed-cost-dominated
+# shortcut plans.
+if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    BENCH_QUERIES = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+
 QUERY_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "1200"))
 
 

@@ -34,6 +34,46 @@ def dataframe_column_to_str(df: DataFrame, col_name: str, out_col: str | None = 
     return df.withColumn(out_col or col_name, column_to_str(F.col(col_name), dtype))
 
 
+def series_to_str(series, inplace: bool = False):
+    """1:1 pandas-Series entry point (reference utils/converter.py:67-153):
+    int-valued floats render without '.0', NaN stays NaN. Provided for users
+    migrating driver-side pandas prep code; the distributed path is
+    ``dataframe_column_to_str``."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(series, pd.Series):
+        raise AssertionError("First argument is not of type pandas series")
+    if not isinstance(inplace, bool):
+        raise AssertionError("Parameter 'inplace' is not of type bool")
+    col_type = series.dtype
+    if len(series) == 0:
+        if col_type == object and inplace:
+            return True
+        return series.astype(object)
+    if col_type == object:
+        return True if inplace else series.copy()
+    if np.issubdtype(col_type, np.integer):
+        out = series.astype(str)
+    elif np.issubdtype(col_type, np.floating):
+        non_nan = series.dropna()
+        if len(non_nan) == 0:
+            # reference ignores inplace for all-NaN float columns
+            return series.astype(object)
+        int_like = non_nan % 1 == 0
+        if int_like.all():
+            out = series.map(lambda v: v if pd.isnull(v) else str(int(v)))
+        else:
+            out = series.map(lambda v: v if pd.isnull(v) else str(v))
+    else:
+        out = series.astype(str)
+    if inplace:
+        series.update(out)
+        # match reference contract: in-place conversion signals success
+        return True
+    return out.astype(object)
+
+
 def remove_non_ascii_col(col: Column) -> Column:
     """Strip non-ASCII characters (utils/generic_helper.py:111-112) — as a
     native regexp expression."""

@@ -16,8 +16,22 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# compute-bound kernels: row-level joins forced (value_dedup off) so the
+# timing measures the salted token join + verify, not shortcut plans whose
+# wall is per-job fixed cost. Override with SPARK_GRAFT_BENCH_QUERIES.
+SCALING_QUERIES = ",".join([
+    "jaccard_part_rowlevel",
+    "edit_distance_part_rowlevel",
+    "jaccard_docs",
+    "minhash_pairs_docs",
+    "simhash_pairs_docs",
+    "connected_components_part",
+])
+
+
 def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env.setdefault("SPARK_GRAFT_BENCH_QUERIES", SCALING_QUERIES)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, timeout=7200,

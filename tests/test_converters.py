@@ -37,3 +37,24 @@ def test_join_on_numeric_attr_via_converter(spark, person_tables):
     # exact same years must match (a1 1989 == b2 1989 etc.)
     assert ("a1", "b2") in got
     assert ("a3", "b4") in got
+
+
+def test_series_to_str_parity():
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from py_stringsimjoin_spark.functions.converters import series_to_str
+
+    # int-like float column (+NaN): ints render without '.0'
+    out = series_to_str(pd.Series([1989.0, np.nan, 26.0]))
+    assert out[0] == "1989" and pd.isnull(out[1]) and out[2] == "26"
+    # genuinely mixed float column: reference keeps the float rendering
+    out = series_to_str(pd.Series([1989.0, np.nan, 21.5]))
+    assert out[0] == "1989.0" and pd.isnull(out[1]) and out[2] == "21.5"
+    assert series_to_str(pd.Series([1, 2])).tolist() == ["1", "2"]
+    obj = pd.Series(["a", "b"])
+    assert series_to_str(obj, inplace=True) is True
+    assert series_to_str(pd.Series([], dtype=float)).dtype == object
+    with _pytest.raises(AssertionError):
+        series_to_str([1, 2])
