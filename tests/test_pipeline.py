@@ -72,3 +72,15 @@ def test_manifest_lineage_fields(spark, pages, tmp_path_factory):
     assert m["n_rows"] > 0
     assert m["n_partitions"] >= 1
     assert sum(m["partition_rows"].values()) == m["n_rows"]
+
+
+def test_pages_table_io_roundtrip(spark, tmp_path):
+    from py_stringsimjoin_spark.sources.io import read_pages_table, write_pages_table
+    from py_stringsimjoin_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 50, seed=7)
+    out = str(tmp_path / "pages_pq")
+    write_pages_table(pages, out, bucket_cols=["url"], n_buckets=4)
+    back = read_pages_table(spark, out)
+    assert back.count() == pages.count()
+    assert set(c for c in ["url", "warc_ts", "html", "text", "lang"]) <= set(back.columns)

@@ -28,14 +28,15 @@ def _mk_rows(seed: int, n: int):
     return rows
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     seed=st.integers(0, 10_000),
     threshold=st.sampled_from([0.25, 0.4, 0.6, 0.85, 1.0]),
     measure=st.sampled_from(["jaccard", "cosine", "dice"]),
     strategy=st.sampled_from(["prefix", "count"]),
+    value_dedup=st.sampled_from([False, "auto"]),
 )
-def test_random_corpus_matches_oracle(spark, seed, threshold, measure, strategy):
+def test_random_corpus_matches_oracle(spark, seed, threshold, measure, strategy, value_dedup):
     rows_a = _mk_rows(seed, 12)
     rows_b = _mk_rows(seed + 1, 12)
     A = spark.createDataFrame(rows_a, "ID string, name string")
@@ -43,6 +44,7 @@ def test_random_corpus_matches_oracle(spark, seed, threshold, measure, strategy)
     out = set_sim_join_pairs(
         measure, A, B, "ID", "ID", "name", "name",
         WhitespaceTokenizer(), threshold, strategy=strategy,
+        value_dedup=value_dedup,
     )
     got = {(r["_l_key"], r["_r_key"]): r["_sim_score"] for r in out.collect()}
     exp = brute_force_set_sim(
