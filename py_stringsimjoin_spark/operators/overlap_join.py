@@ -46,6 +46,41 @@ def comp_col(comp_op: str, col: Column, threshold) -> Column:
     return _COMP_COL[comp_op](col, F.lit(threshold))
 
 
+def _value_dedup_auto(ltable, rtable, l_join_attr, r_join_attr, is_self: bool) -> bool:
+    """Shared dup-heavy detection (see set_sim_join.value_dedup): one
+    approx_count_distinct stats job; True when distinct/total < 0.6."""
+    if is_self:
+        st = ltable.where(F.col(l_join_attr).isNotNull()).agg(
+            F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
+        ).first()
+        n, nd = st["n"], st["nd"]
+    else:
+        a = ltable.where(F.col(l_join_attr).isNotNull()).agg(
+            F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
+        ).first()
+        b = rtable.where(F.col(r_join_attr).isNotNull()).agg(
+            F.count("*").alias("n"), F.approx_count_distinct(r_join_attr).alias("nd")
+        ).first()
+        n, nd = a["n"] + b["n"], a["nd"] + b["nd"]
+    return n > 0 and nd / n < 0.6
+
+
+def _expand_value_pairs(vpairs, ltable, rtable, l_key_attr, r_key_attr,
+                        l_join_attr, r_join_attr, with_score: bool):
+    """(_v1, _v2 [, _sim_score]) value pairs → row pairs by equality joins."""
+    l_map = ltable.select(
+        F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str")
+    )
+    r_map = rtable.select(
+        F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
+    )
+    return (
+        vpairs.join(l_map, vpairs["_v1"] == l_map["_l_str"])
+        .join(r_map, vpairs["_v2"] == r_map["_r_str"])
+        .select("_l_key", "_r_key", *(["_sim_score"] if with_score else []))
+    )
+
+
 def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, with_sizes: bool):
     l_nn = (
         ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
@@ -86,6 +121,7 @@ def overlap_join(
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
     add_dense_id: bool = False,
+    value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """|tok(l) ∩ tok(r)| comp_op threshold (integer overlap count)."""
     for df, a, side in ((ltable, l_key_attr, "left"), (rtable, r_key_attr, "right"),
@@ -99,14 +135,33 @@ def overlap_join(
     validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
     tok = as_set_tokenizer(tokenizer)
 
-    _, _, joined = _token_pairs(
-        ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, False
-    )
-    pairs = (
-        joined.groupBy("_l_key", "_r_key")
-        .agg(F.count("*").cast("double").alias("_sim_score"))
-        .where(comp_col(comp_op, F.col("_sim_score"), float(threshold)))
-    )
+    is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    if value_dedup == "auto":
+        value_dedup = _value_dedup_auto(ltable, rtable, l_join_attr, r_join_attr, is_self)
+    if value_dedup:
+        lv = ltable.select(F.col(l_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()).distinct()
+        rv = lv if is_self else rtable.select(F.col(r_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()).distinct()
+        vout = overlap_join(
+            lv, rv, "_v", "_v", "_v", "_v", tokenizer, threshold, comp_op,
+            allow_missing=False, out_sim_score=True, value_dedup=False,
+        ).select(
+            F.col("l__v").alias("_v1"), F.col("r__v").alias("_v2"), "_sim_score"
+        )
+        pairs = _expand_value_pairs(
+            vout, ltable, rtable, l_key_attr, r_key_attr,
+            l_join_attr, r_join_attr, with_score=True,
+        )
+    else:
+        _, _, joined = _token_pairs(
+            ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, False
+        )
+        pairs = (
+            joined.groupBy("_l_key", "_r_key")
+            .agg(F.count("*").cast("double").alias("_sim_score"))
+            .where(comp_col(comp_op, F.col("_sim_score"), float(threshold)))
+        )
     if allow_missing:
         pairs = pairs.unionByName(
             missing_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
@@ -135,6 +190,7 @@ def overlap_coefficient_join(
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
     add_dense_id: bool = False,
+    value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """|∩| / min(|X|, |Y|) comp_op threshold
     (overlap_coefficient_join_py.py:300-303)."""
@@ -148,6 +204,34 @@ def overlap_coefficient_join(
     validate_comp_op(comp_op, (">=", ">", "="))
     validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
     tok = as_set_tokenizer(tokenizer)
+
+    is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    if value_dedup == "auto":
+        value_dedup = _value_dedup_auto(ltable, rtable, l_join_attr, r_join_attr, is_self)
+    if value_dedup:
+        lv = ltable.select(F.col(l_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()).distinct()
+        rv = lv if is_self else rtable.select(F.col(r_join_attr).alias("_v")).where(
+            F.col("_v").isNotNull()).distinct()
+        vout = overlap_coefficient_join(
+            lv, rv, "_v", "_v", "_v", "_v", tokenizer, threshold, comp_op,
+            allow_empty=allow_empty, allow_missing=False, out_sim_score=True,
+            value_dedup=False,
+        ).select(
+            F.col("l__v").alias("_v1"), F.col("r__v").alias("_v2"), "_sim_score"
+        )
+        pairs = _expand_value_pairs(
+            vout, ltable, rtable, l_key_attr, r_key_attr,
+            l_join_attr, r_join_attr, with_score=True,
+        )
+        if allow_missing:
+            pairs = pairs.unionByName(
+                missing_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+            )
+        return assemble_output(
+            pairs, ltable, rtable, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+            l_out_prefix, r_out_prefix, "_sim_score" if out_sim_score else None, add_dense_id,
+        )
 
     l_nn, r_nn, joined = _token_pairs(
         ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, True
