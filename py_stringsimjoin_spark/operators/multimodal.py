@@ -93,12 +93,98 @@ def extract_media_features(
 
 
 def frame_sample_plan(
-    df: DataFrame, id_col: str, binary_col: str, every_ms: int = 1000
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_ms: int = 1000,
+    duration_fn=None,
+    frame_feature_fn=None,
+    feat_dim: int = 16,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: emits (id, frame_idx, frame_ts_ms) rows
-    per media item; the actual frame decode is NotImplemented without a codec."""
-    raise NotImplementedError(
-        "video frame decode requires a codec library not present in this "
-        "container; the plumbing (schema + explode of frame timestamps) is "
-        "trivially layered on extract_media_features once one is available"
+    """Video frame-sampling: (id, frame_idx, frame_ts_ms, features) rows.
+
+    The Spark plumbing is real end to end: per-item duration → JVM-side
+    ``sequence`` of frame timestamps → explode (so frames of one video land
+    across partitions for the feature stage) → Arrow-batched per-frame
+    feature extraction. The two codec touchpoints are injectable:
+
+    * ``duration_fn(bytes) -> ms``   — container demux; default derives a
+      deterministic pseudo-duration from the payload (1 ms per 100 bytes,
+      min one frame), standing in for a real probe.
+    * ``frame_feature_fn(bytes, ts_ms) -> np.ndarray`` — frame decode +
+      featurize; default is the md5-seeded fake (same bytes+ts → same
+      features on any executor/retry).
+
+    With real codecs available, pass both and nothing else changes.
+    """
+    id_type = df.schema[id_col].dataType
+    dur_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("duration_ms", T.LongType())]
     )
+    fn_dur = duration_fn or (lambda b: max(len(b) // 100, 1))
+    fn_feat = frame_feature_fn or (
+        lambda b, ts: _fake_decode((b or b"") + str(ts).encode(), feat_dim)
+    )
+
+    def dur(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "duration_ms": [
+                        int(fn_dur(bytes(b) if b is not None else b""))
+                        for b in pdf[binary_col]
+                    ],
+                }
+            )
+
+    durations = df.select(id_col, binary_col).mapInPandas(dur, dur_schema)
+    # frame timestamps as a JVM sequence → explode: one row per sampled frame
+    frames = (
+        df.select(F.col(id_col).alias("id"), binary_col)
+        .join(durations, "id")
+        .select(
+            "id",
+            binary_col,
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
+                    F.lit(int(every_ms)).cast("long"),
+                )
+            ).alias("frame_idx", "frame_ts_ms"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feat(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [
+                fn_feat(bytes(b) if b is not None else b"", int(ts)).tolist()
+                for b, ts in zip(pdf[binary_col], pdf["frame_ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "frame_idx": pdf["frame_idx"].to_numpy(),
+                    "frame_ts_ms": pdf["frame_ts_ms"].to_numpy(),
+                    "features": feats,
+                }
+            )
+
+    return frames.mapInPandas(feat, out_schema)

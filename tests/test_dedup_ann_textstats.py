@@ -175,3 +175,25 @@ def test_media_features(spark):
     # deterministic: same bytes → same features
     feats2 = {r["id"]: r for r in extract_media_features(df, "id", "payload", feat_dim=4).collect()}
     assert feats[2]["features"] == feats2[2]["features"]
+
+
+def test_frame_sample_plan(spark):
+    from py_stringsimjoin_spark.operators.multimodal import frame_sample_plan
+
+    # payload of 450 bytes → pseudo-duration 4 ms; every_ms=2 → frames at 0, 2
+    rows = [(1, bytes([7] * 450)), (2, bytes([9] * 120)), (3, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = frame_sample_plan(df, "id", "payload", every_ms=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert [r["frame_ts_ms"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 2]
+    assert len(by_id[2]) == 1 and by_id[2][0]["frame_ts_ms"] == 0
+    assert len(by_id[3]) == 1  # null payload → min one frame, fake features
+    assert all(len(r["features"]) == 16 for r in out)
+    # deterministic across runs
+    out2 = frame_sample_plan(df, "id", "payload", every_ms=2).collect()
+    key = lambda r: (r["id"], r["frame_idx"])  # noqa: E731
+    a = {key(r): r["features"] for r in out}
+    b = {key(r): r["features"] for r in out2}
+    assert a == b
