@@ -24,7 +24,7 @@ from .operators.matcher import apply_matcher
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
-from .plans.cache import release_engine_caches
+from .plans.cache import engine_cache_scope, release_engine_caches
 from .session import get_spark
 from .sources.datasets import load_books_dataset, load_person_dataset
 
@@ -55,5 +55,6 @@ __all__ = [
     "connected_components",
     "dataframe_column_to_str",
     "get_spark",
+    "engine_cache_scope",
     "release_engine_caches",
 ]

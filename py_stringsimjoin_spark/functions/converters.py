@@ -66,7 +66,13 @@ def series_to_str(series, inplace: bool = False):
         else:
             out = series.map(lambda v: v if pd.isnull(v) else str(v))
     else:
-        out = series.astype(str)
+        # reference contract (utils/converter.py): only object/int/float
+        # columns are convertible — bool/datetime/etc. are rejected, not
+        # silently stringified into 'True'/'Timestamp(...)'
+        raise TypeError(
+            "Invalid column type %s: series_to_str accepts object, integer "
+            "and float columns" % (col_type,)
+        )
     if inplace:
         series.update(out)
         # match reference contract: in-place conversion signals success

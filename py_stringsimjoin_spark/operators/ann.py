@@ -209,18 +209,29 @@ def _add_signature(df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            n = len(pdf)
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             bits = (X @ P.T) > 0  # (n, nbits)
-            recs = {"id": [], "band": [], "bucket": []}
-            packed = np.packbits(bits, axis=1)
+            ids = pdf[id_col].to_numpy()
+            # fully vectorized bucket assembly: packbits per band, one
+            # bytes→hex conversion for the whole matrix, fixed-width slicing
+            # per row (no per-row numpy calls / .iloc)
+            buckets: list[str] = []
             for bi in range(bands):
-                seg = bits[:, bi * rpb : (bi + 1) * rpb]
-                keys = np.packbits(seg, axis=1)
-                for i in range(len(pdf)):
-                    recs["id"].append(pdf[id_col].iloc[i])
-                    recs["band"].append(bi)
-                    recs["bucket"].append(keys[i].tobytes().hex())
-            yield pd.DataFrame(recs)
+                keys = np.ascontiguousarray(
+                    np.packbits(bits[:, bi * rpb : (bi + 1) * rpb], axis=1)
+                )
+                row_bytes = keys.shape[1]
+                hx = keys.tobytes().hex()
+                w = 2 * row_bytes
+                buckets.extend(hx[i * w : (i + 1) * w] for i in range(n))
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(ids, bands),
+                    "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets,
+                }
+            )
 
     return df.select(id_col, vec_col).mapInPandas(fn, schema)
 

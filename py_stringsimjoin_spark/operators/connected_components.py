@@ -5,9 +5,13 @@ The reference stops at pair output; the record-linkage pipeline
 the alternating large-star / small-star algorithm (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame
 self-joins — the standard scalable CC formulation (GraphFrames uses the same
-scheme). Converges in O(log² n) rounds; every round is checkpointed
-(``localCheckpoint``) to cut lineage so 10^12-edge inputs don't build
-unbounded DAGs.
+scheme). Converges in O(log² n) rounds; every round is checkpointed to cut
+lineage so 10^12-edge inputs don't build unbounded DAGs. When the session has
+a checkpoint dir configured (``sc.setCheckpointDir`` — the cluster deployment
+shape) rounds use RELIABLE ``checkpoint()``: under ``localCheckpoint`` an
+executor loss destroys cached blocks and kills the whole job, which at
+cluster scale over a multi-hour CC run is near-certain. Without a checkpoint
+dir (local dev) it falls back to ``localCheckpoint``.
 
 Cluster id = min(node id) per component (deterministic, data-derived — never
 partition-order-dependent).
@@ -60,18 +64,19 @@ def connected_components(
     ``component`` is the minimum node id of the component. Isolated nodes
     (absent from edges) are the caller's to add — they are their own cluster.
     """
-    e = (
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    ckpt = (lambda df: df.checkpoint()) if reliable else (lambda df: df.localCheckpoint())
+    e = ckpt(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    all_nodes = (
+    all_nodes = ckpt(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     def _signature(df: DataFrame):
         # one cheap agg job per round instead of two exceptAll scans; the
@@ -86,7 +91,7 @@ def connected_components(
 
     sig = _signature(e)
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = ckpt(_small_star(_large_star(e)))
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:

@@ -1,4 +1,4 @@
-"""Edit-distance join: q-gram prefix blocking + vectorized Levenshtein verify.
+"""Edit-distance join: q-gram prefix blocking + JVM bounded-Levenshtein verify.
 
 Parity: /root/reference/py_stringsimjoin/join/edit_distance_join_py.py:238-336
 (prefix index :270-274, length filter :300, DP verify :304). Same documented
@@ -9,23 +9,25 @@ are missed — i.e. the result is exactly
 Plan: bag q-gram tokenize → global ordering → ranked arrays (multiplicity
 kept) → explode first min(q·t+1, n) ranked tokens on both sides → equi-join on
 token rank → char-length band |len(l)−len(r)| ≤ t → distinct pairs →
-``mapInPandas`` batch Levenshtein (numpy DP, vectorized across the Arrow
-batch) → threshold. The disk-based variant J7 (disk_edit_distance_join) is
-subsumed by Spark shuffle spill + ``df.write`` sinks.
+**JVM threshold-bounded ``levenshtein(l, r, t)``** verify (whole-stage
+codegen, banded O(len·t) with early exit; returns −1 above t). The round-2
+mapInPandas numpy DP verify is gone — it was the engine's last Python stage
+on a join hot path and the one kernel that anti-scaled at high parallelism
+(32 concurrent Python workers × Arrow transfer; SCALING.json r2). The disk
+variant J7 (disk_edit_distance_join) is subsumed by shuffle spill +
+``df.write`` sinks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from ..functions.sims import batch_levenshtein
 from ..functions.tokenizers import QgramTokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
+from ..plans.stats import value_dedup_auto, value_hash_col
 from ..plans.validation import (
-    COMP_OP_NUMPY,
     validate_attr,
     validate_attr_type,
     validate_comp_op,
@@ -49,24 +51,6 @@ def _as_bag(tokenizer: QgramTokenizer) -> QgramTokenizer:
     return t
 
 
-def _make_verify(comp_op: str, threshold: int, out_schema: T.StructType):
-    cmp = COMP_OP_NUMPY[comp_op]
-    names = [f.name for f in out_schema.fields]
-
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            d = batch_levenshtein(list(pdf["_l_str"]), list(pdf["_r_str"]))
-            mask = cmp(d, threshold)
-            out = pdf.loc[mask, ["_l_key", "_r_key"]].copy()
-            out["_sim_score"] = d[mask].astype(float)
-            out.columns = names
-            yield out
-
-    return fn
-
-
 def edit_distance_join(
     ltable: DataFrame,
     rtable: DataFrame,
@@ -83,7 +67,7 @@ def edit_distance_join(
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
     tokenizer: QgramTokenizer | None = None,
-    add_dense_id: bool = False,
+    add_dense_id: bool | None = None,
     value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """lev(l_join_attr, r_join_attr) comp_op threshold (int).
@@ -110,21 +94,10 @@ def edit_distance_join(
 
     is_self_t = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
     if value_dedup == "auto":
-        if is_self_t:
-            st = ltable.where(F.col(l_join_attr).isNotNull()).agg(
-                F.count("*").alias("n"),
-                F.approx_count_distinct(l_join_attr).alias("nd"),
-            ).first()
-            n_rows, n_vals = st["n"], st["nd"]
-        else:
-            stl = ltable.where(F.col(l_join_attr).isNotNull()).agg(
-                F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
-            ).first()
-            str_ = rtable.where(F.col(r_join_attr).isNotNull()).agg(
-                F.count("*").alias("n"), F.approx_count_distinct(r_join_attr).alias("nd")
-            ).first()
-            n_rows, n_vals = stl["n"] + str_["n"], stl["nd"] + str_["nd"]
-        value_dedup = n_rows > 0 and n_vals / n_rows < 0.6
+        sides = [(ltable, l_join_attr)]
+        if not is_self_t:
+            sides.append((rtable, r_join_attr))
+        value_dedup = value_dedup_auto(sides)  # ONE stats job (plans/stats.py)
     if value_dedup:
         lv = ltable.select(F.col(l_join_attr).alias("_v")).where(
             F.col("_v").isNotNull()
@@ -132,24 +105,29 @@ def edit_distance_join(
         rv = lv if is_self_t else rtable.select(F.col(r_join_attr).alias("_v")).where(
             F.col("_v").isNotNull()
         ).distinct()
+        # expand value pairs back to row pairs keyed on the 16-byte content
+        # hash, NOT the raw string — the expansion shuffle carries fixed-width
+        # keys instead of whole join-attr texts (plans/stats.value_hash_col)
         vout = edit_distance_join(
             lv, rv, "_v", "_v", "_v", "_v", threshold, comp_op,
             allow_missing=False, out_sim_score=True, tokenizer=tokenizer,
             value_dedup=False,
         ).select(
-            F.col("l__v").alias("_v1"),
-            F.col("r__v").alias("_v2"),
+            value_hash_col(F.col("l__v")).alias("_h1"),
+            value_hash_col(F.col("r__v")).alias("_h2"),
             "_sim_score",
         )
-        l_map = ltable.select(
-            F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str")
+        l_map = ltable.where(F.col(l_join_attr).isNotNull()).select(
+            F.col(l_key_attr).alias("_l_key"),
+            value_hash_col(F.col(l_join_attr)).alias("_hl"),
         )
-        r_map = rtable.select(
-            F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
+        r_map = rtable.where(F.col(r_join_attr).isNotNull()).select(
+            F.col(r_key_attr).alias("_r_key"),
+            value_hash_col(F.col(r_join_attr)).alias("_hr"),
         )
         pairs = (
-            vout.join(l_map, vout["_v1"] == l_map["_l_str"])
-            .join(r_map, vout["_v2"] == r_map["_r_str"])
+            vout.join(l_map, F.col("_h1") == F.col("_hl"))
+            .join(r_map, F.col("_h2") == F.col("_hr"))
             .select("_l_key", "_r_key", "_sim_score")
         )
         if allow_missing:
@@ -243,26 +221,26 @@ def edit_distance_join(
         .join(r_nn.select("_r_key", "_r_str"), "_r_key")
         .select("_l_key", "_r_key", "_l_str", "_r_str")
     )
-    out_schema = T.StructType(
-        [
-            T.StructField("_l_key", ltable.schema[l_key_attr].dataType),
-            T.StructField("_r_key", rtable.schema[r_key_attr].dataType),
-            T.StructField("_sim_score", T.DoubleType()),
-        ]
+    # exact verify in pure JVM: Spark's built-in threshold-bounded
+    # levenshtein(l, r, t) runs banded O(len·t) with early exit inside
+    # whole-stage codegen and returns −1 when the distance exceeds t. The
+    # whole join is now UDF-free end to end — no Arrow transfer, no Python
+    # workers, and the verify stage scales like any codegen'd projection
+    # (the round-2 mapInPandas DP anti-scaled at 32 concurrent workers).
+    dd = F.col("_d")
+    if comp_op == "<=":
+        keep = dd >= 0
+    elif comp_op == "<":
+        keep = (dd >= 0) & (dd < t_int)
+    else:  # "="
+        keep = dd == t_int
+    pairs = (
+        verify_in.withColumn(
+            "_d", F.levenshtein(F.col("_l_str"), F.col("_r_str"), t_int)
+        )
+        .where(keep)
+        .select("_l_key", "_r_key", dd.cast("double").alias("_sim_score"))
     )
-    # identical strings have distance 0 — resolve them JVM-side and run the
-    # DP kernel only on the unequal remainder (dup-heavy corpora are mostly
-    # exact matches, e.g. repeated product names)
-    eq = verify_in.where(F.col("_l_str") == F.col("_r_str")).select(
-        "_l_key", "_r_key", F.lit(0.0).cast("double").alias("_sim_score")
-    )
-    from ..plans.validation import COMP_OP_FN
-
-    if not COMP_OP_FN[comp_op](0, t_int):
-        eq = eq.limit(0)
-    neq = verify_in.where(F.col("_l_str") != F.col("_r_str"))
-    pairs = neq.mapInPandas(_make_verify(comp_op, t_int, out_schema), out_schema)
-    pairs = pairs.unionByName(eq)
 
     if allow_missing:
         pairs = pairs.unionByName(

@@ -84,7 +84,7 @@ class _BaseFilter:
         r_out_attrs=None,
         l_out_prefix: str = "l_",
         r_out_prefix: str = "r_",
-        add_dense_id: bool = False,
+        add_dense_id: bool | None = None,
     ) -> DataFrame:
         validate_attr(ltable, l_key_attr, "left")
         validate_attr(rtable, r_key_attr, "right")

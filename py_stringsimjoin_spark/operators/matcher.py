@@ -112,6 +112,54 @@ def verify_pairs(
     )
 
 
+def _make_score_batch(tok, simf):
+    """Batch scorer (list[str], list[str]) -> np.ndarray of scores.
+
+    Module-level factory (serialized into the Arrow UDF, and directly unit
+    testable). Implements the tokenize-once cache: candsets from blocking
+    are duplicate-heavy (the same attr value appears in many pairs), so each
+    distinct value is tokenized at most once per batch — the reference's
+    cache heuristic (apply_matcher.py:181-194) applied per Arrow batch."""
+
+    def score_batch(l_vals, r_vals) -> np.ndarray:
+        tok_cache: dict = {}
+
+        def toks(v):
+            if v is None:
+                return None
+            t = tok_cache.get(v)
+            if t is None:
+                t = tok.tokenize(v) if tok else v.split()
+                tok_cache[v] = t
+            return t
+
+        if isinstance(simf, str) and simf in _MEASURES:
+            # tokenize → int-encode via shared vocab → vectorized set-sim
+            l_toks = [toks(v) for v in l_vals]
+            r_toks = [toks(v) for v in r_vals]
+            vocab: dict = {}
+
+            def enc(ts):
+                if ts is None:
+                    return None
+                ids = {vocab.setdefault(t, len(vocab)) for t in ts}
+                return np.fromiter(sorted(ids), np.int64, len(ids))
+
+            le = [enc(t) for t in l_toks]
+            re_ = [enc(t) for t in r_toks]
+            return batch_set_sim(simf, le, re_)
+        if isinstance(simf, str) and simf == "edit_distance":
+            return batch_levenshtein(list(l_vals), list(r_vals)).astype(float)
+        scores = np.empty(len(l_vals), dtype=np.float64)
+        for i, (lv, rv) in enumerate(zip(l_vals, r_vals)):
+            la = toks(lv) if tok else lv
+            ra = toks(rv) if tok else rv
+            scores[i] = simf(la, ra)
+        return scores
+
+    return score_batch
+
+
 def apply_matcher(
     candset: DataFrame,
     candset_l_key_attr: str,
@@ -155,33 +203,7 @@ def apply_matcher(
     )
     cand_cols = candset.columns
     cmp = COMP_OP_NUMPY[comp_op]
-    tok = tokenizer
-    simf = sim_function
-
-    def score_batch(l_vals, r_vals) -> np.ndarray:
-        if isinstance(simf, str) and simf in _MEASURES:
-            # tokenize → int-encode via shared vocab → vectorized set-sim
-            l_toks = [None if v is None else (tok.tokenize(v) if tok else v.split()) for v in l_vals]
-            r_toks = [None if v is None else (tok.tokenize(v) if tok else v.split()) for v in r_vals]
-            vocab: dict = {}
-
-            def enc(ts):
-                if ts is None:
-                    return None
-                ids = {vocab.setdefault(t, len(vocab)) for t in ts}
-                return np.fromiter(sorted(ids), np.int64, len(ids))
-
-            le = [enc(t) for t in l_toks]
-            re_ = [enc(t) for t in r_toks]
-            return batch_set_sim(simf, le, re_)
-        if isinstance(simf, str) and simf == "edit_distance":
-            return batch_levenshtein(list(l_vals), list(r_vals)).astype(float)
-        scores = np.empty(len(l_vals), dtype=np.float64)
-        for i, (lv, rv) in enumerate(zip(l_vals, r_vals)):
-            la = tok.tokenize(lv) if tok else lv
-            ra = tok.tokenize(rv) if tok else rv
-            scores[i] = simf(la, ra)
-        return scores
+    score_batch = _make_score_batch(tokenizer, sim_function)
 
     def fn(batches):
         for pdf in batches:

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.output import assemble_output
+from ..plans.stats import value_dedup_auto as _stats_value_dedup_auto
+from ..plans.stats import value_hash_col
 from ..plans.validation import (
     COMP_OP_FN,
     validate_attr,
@@ -47,36 +49,37 @@ def comp_col(comp_op: str, col: Column, threshold) -> Column:
 
 
 def _value_dedup_auto(ltable, rtable, l_join_attr, r_join_attr, is_self: bool) -> bool:
-    """Shared dup-heavy detection (see set_sim_join.value_dedup): one
-    approx_count_distinct stats job; True when distinct/total < 0.6."""
-    if is_self:
-        st = ltable.where(F.col(l_join_attr).isNotNull()).agg(
-            F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
-        ).first()
-        n, nd = st["n"], st["nd"]
-    else:
-        a = ltable.where(F.col(l_join_attr).isNotNull()).agg(
-            F.count("*").alias("n"), F.approx_count_distinct(l_join_attr).alias("nd")
-        ).first()
-        b = rtable.where(F.col(r_join_attr).isNotNull()).agg(
-            F.count("*").alias("n"), F.approx_count_distinct(r_join_attr).alias("nd")
-        ).first()
-        n, nd = a["n"] + b["n"], a["nd"] + b["nd"]
-    return n > 0 and nd / n < 0.6
+    """Shared dup-heavy detection (see set_sim_join.value_dedup): ONE stats
+    job via plans/stats.dup_value_stats; True when distinct/total < 0.6."""
+    sides = [(ltable, l_join_attr)]
+    if not is_self:
+        sides.append((rtable, r_join_attr))
+    return _stats_value_dedup_auto(sides)
 
 
 def _expand_value_pairs(vpairs, ltable, rtable, l_key_attr, r_key_attr,
                         l_join_attr, r_join_attr, with_score: bool):
-    """(_v1, _v2 [, _sim_score]) value pairs → row pairs by equality joins."""
-    l_map = ltable.select(
-        F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str")
+    """(_v1, _v2 [, _sim_score]) value pairs → row pairs.
+
+    The expansion joins on the 16-byte md5 content hash of each value, not
+    the raw string — fixed-width shuffle keys however long the join attrs
+    are (plans/stats.value_hash_col documents the collision bound)."""
+    l_map = ltable.where(F.col(l_join_attr).isNotNull()).select(
+        F.col(l_key_attr).alias("_l_key"),
+        value_hash_col(F.col(l_join_attr)).alias("_hl"),
     )
-    r_map = rtable.select(
-        F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
+    r_map = rtable.where(F.col(r_join_attr).isNotNull()).select(
+        F.col(r_key_attr).alias("_r_key"),
+        value_hash_col(F.col(r_join_attr)).alias("_hr"),
+    )
+    keyed = vpairs.select(
+        value_hash_col(F.col("_v1")).alias("_h1"),
+        value_hash_col(F.col("_v2")).alias("_h2"),
+        *(["_sim_score"] if with_score else []),
     )
     return (
-        vpairs.join(l_map, vpairs["_v1"] == l_map["_l_str"])
-        .join(r_map, vpairs["_v2"] == r_map["_r_str"])
+        keyed.join(l_map, F.col("_h1") == F.col("_hl"))
+        .join(r_map, F.col("_h2") == F.col("_hr"))
         .select("_l_key", "_r_key", *(["_sim_score"] if with_score else []))
     )
 
@@ -120,7 +123,7 @@ def overlap_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
-    add_dense_id: bool = False,
+    add_dense_id: bool | None = None,
     value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """|tok(l) ∩ tok(r)| comp_op threshold (integer overlap count)."""
@@ -189,7 +192,7 @@ def overlap_coefficient_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
-    add_dense_id: bool = False,
+    add_dense_id: bool | None = None,
     value_dedup: bool | str = "auto",
 ) -> DataFrame:
     """|∩| / min(|X|, |Y|) comp_op threshold

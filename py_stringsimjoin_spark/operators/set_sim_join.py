@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenizers import Tokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
+from ..plans.stats import value_dedup_auto, value_hash_col
 from ..plans.validation import (
     COMP_OP_FN,
     validate_attr,
@@ -108,8 +109,17 @@ def set_sim_join_pairs(
     verify: bool = True,
     strategy: str = "auto",
     value_dedup: bool | str = "auto",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
+
+    ``shuffle_partitions``: explicit partition count for the exploded token
+    join (the plan's one large shuffle) — at full scale this stage wants far
+    more partitions than the session default (SCALE_DESIGN.md prescribes
+    ~10^6 at 10^12 docs so each task's join output stays executor-sized),
+    while the rest of the query is fine at the session setting. ``None``
+    inherits ``spark.sql.shuffle.partitions``. The value is pinned via an
+    explicit ``repartition(n)`` so AQE cannot re-coalesce the expansion.
 
     ``self_join_dedup=True`` (self-join deduplication for clustering
     pipelines) keeps only _l_key < _r_key pairs, applied *before* the
@@ -172,21 +182,10 @@ def set_sim_join_pairs(
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
 
     if value_dedup == "auto":
-        if is_self:
-            st = l_proj.where(F.col("_l_str").isNotNull()).agg(
-                F.count("*").alias("n"),
-                F.approx_count_distinct("_l_str").alias("nd"),
-            ).first()
-            n_rows, n_vals = st["n"], st["nd"]
-        else:
-            stl = l_proj.where(F.col("_l_str").isNotNull()).agg(
-                F.count("*").alias("n"), F.approx_count_distinct("_l_str").alias("nd")
-            ).first()
-            str_ = r_proj.where(F.col("_r_str").isNotNull()).agg(
-                F.count("*").alias("n"), F.approx_count_distinct("_r_str").alias("nd")
-            ).first()
-            n_rows, n_vals = stl["n"] + str_["n"], stl["nd"] + str_["nd"]
-        value_dedup = n_rows > 0 and n_vals / n_rows < 0.6
+        sides = [(l_proj, "_l_str")]
+        if not is_self:
+            sides.append((r_proj, "_r_str"))
+        value_dedup = value_dedup_auto(sides)  # ONE stats job (plans/stats.py)
     if value_dedup:
         lv = l_proj.where(F.col("_l_str").isNotNull()).select(
             F.col("_l_str").alias("_v")
@@ -194,19 +193,28 @@ def set_sim_join_pairs(
         rv = lv if is_self else r_proj.where(F.col("_r_str").isNotNull()).select(
             F.col("_r_str").alias("_v")
         ).distinct()
+        # expansion back to rows joins on the 16-byte md5 content key, not
+        # the raw join-attr text — fixed-width shuffle keys at any doc size
         vp = set_sim_join_pairs(
             measure, lv, rv, "_v", "_v", "_v", "_v", tokenizer, threshold,
             comp_op, allow_empty, allow_missing=False,
             position_filter=position_filter, self_join_dedup=False,
             verify=verify, strategy=strategy, value_dedup=False,
+            shuffle_partitions=shuffle_partitions,
         ).select(
-            F.col("_l_key").alias("_v1"),
-            F.col("_r_key").alias("_v2"),
+            value_hash_col(F.col("_l_key")).alias("_h1"),
+            value_hash_col(F.col("_r_key")).alias("_h2"),
             *([F.col("_sim_score")] if verify else []),
         )
+        l_hm = l_proj.where(F.col("_l_str").isNotNull()).select(
+            "_l_key", value_hash_col(F.col("_l_str")).alias("_hl")
+        )
+        r_hm = r_proj.where(F.col("_r_str").isNotNull()).select(
+            "_r_key", value_hash_col(F.col("_r_str")).alias("_hr")
+        )
         out = (
-            vp.join(l_proj, vp["_v1"] == l_proj["_l_str"])
-            .join(r_proj, vp["_v2"] == r_proj["_r_str"])
+            vp.join(l_hm, F.col("_h1") == F.col("_hl"))
+            .join(r_hm, F.col("_h2") == F.col("_hr"))
             .select("_l_key", "_r_key", *(["_sim_score"] if verify else []))
         )
         if self_join_dedup:
@@ -256,7 +264,9 @@ def set_sim_join_pairs(
             else "prefix"
         )
 
-    n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_shuffle = shuffle_partitions or int(
+        ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     hot = hot_token_ranks(ordering, n_shuffle)
 
     if strategy == "count":
@@ -409,9 +419,10 @@ def set_sim_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
-    add_dense_id: bool = False,
+    add_dense_id: bool | None = None,
     position_filter: bool = True,
     strategy: str = "auto",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     validate_output_attrs(l_out_attrs, r_out_attrs, ltable.columns, rtable.columns)
     pairs = set_sim_join_pairs(
@@ -429,6 +440,7 @@ def set_sim_join(
         allow_missing,
         position_filter,
         strategy=strategy,
+        shuffle_partitions=shuffle_partitions,
     )
     return assemble_output(
         pairs,

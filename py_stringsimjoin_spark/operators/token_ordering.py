@@ -49,18 +49,25 @@ def build_token_ordering(
     for df, tokens_col in token_sources:
         toks = df.select(F.explode(F.col(tokens_col)).alias("token"))
         counted = toks if counted is None else counted.unionByName(toks)
-    # persist: the vocabulary feeds 2-3 downstream jobs (count, sampling /
+    # persist: the vocabulary feeds 2-3 downstream jobs (stats, sampling /
     # collect, window materialization) — without this each one re-runs the
     # full tokenize+explode+groupBy over the corpus
     freq = persist_tracked(counted.groupBy("token").agg(F.count("*").alias("_freq")))
     spark = freq.sparkSession
-    n_vocab = freq.count()
+    # ONE stats job over the persisted vocabulary: size + Σf². Σf² rides
+    # along for the skew planner (hot_token_ranks) so it never needs its own
+    # aggregation pass — it reads the stash off the returned DataFrame.
+    fd = F.col("_freq").cast("double")
+    st = freq.agg(F.count("*").alias("c"), F.sum(fd * fd).alias("w")).first()
+    n_vocab, sum_f2 = st["c"], st["w"] or 0.0
     if n_vocab <= small_vocab_threshold:
         rows = sorted(freq.collect(), key=lambda r: (r["_freq"], r["token"]))
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [(r["token"], i, r["_freq"]) for i, r in enumerate(rows)],
             "token string, rank long, _freq long",
         )
+        out._ssj_vocab_stats = {"n_vocab": n_vocab, "sum_f2": sum_f2}
+        return out
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # phase 1: range partitioner puts partition i strictly before partition j
     # (i < j) in (_freq, token) order; row_number per partition is a parallel
@@ -69,9 +76,19 @@ def build_token_ordering(
         n_parts, F.col("_freq").asc(), F.col("token").asc()
     ).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(F.col("_freq").asc(), F.col("token").asc())
-    # persist: the offsets job and the downstream rank join must see the SAME
-    # range-partitioner boundaries (they come from a sampling pass)
-    local = persist_tracked(part.withColumn("_rn", F.row_number().over(w).cast("long") - 1))
+    # CHECKPOINT, not persist: the offsets below are baked into the plan as
+    # literals keyed by spark_partition_id, so the partitioning of `local`
+    # must never change after they are computed. persist() is best-effort —
+    # an evicted/lost block would silently re-execute repartitionByRange with
+    # freshly-sampled boundaries and corrupt the ranks. Checkpointing
+    # truncates lineage: lost checkpoint data fails LOUDLY instead of
+    # recomputing. Reliable checkpoint when the session has a checkpoint dir
+    # (the cluster deployment shape); localCheckpoint otherwise.
+    withrn = part.withColumn("_rn", F.row_number().over(w).cast("long") - 1)
+    if spark.sparkContext.getCheckpointDir() is not None:
+        local = withrn.checkpoint()
+    else:
+        local = withrn.localCheckpoint()
     # phase 2: per-partition counts (≤ n_parts tiny rows) → cumulative offsets
     counts = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
@@ -82,9 +99,11 @@ def build_token_ordering(
         *[F.when(F.col("_pid") == pid, F.lit(off).cast("long")) for pid, off in offsets.items()],
         F.lit(0).cast("long"),
     ) if offsets else F.lit(0).cast("long")
-    return local.select(
+    out = local.select(
         "token", (off_expr + F.col("_rn")).alias("rank"), F.col("_freq").alias("_freq")
     )
+    out._ssj_vocab_stats = {"n_vocab": n_vocab, "sum_f2": sum_f2}
+    return out
 
 
 def add_ranked_tokens(

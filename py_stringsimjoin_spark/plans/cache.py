@@ -8,12 +8,21 @@ accumulate in long-lived sessions. Every engine persist goes through
 blunt ``spark.catalog.clearCache()`` workaround).
 
 The registry holds strong references: JVM cached blocks outlive the Python
-DataFrame wrapper, so the registry must too. It is bounded by an explicit
-``release_engine_caches()`` call — pipelines call it between stages; ad-hoc
-sessions can call it whenever joins are done.
+DataFrame wrapper, so the registry must too. Two release granularities:
+
+* ``engine_cache_scope()`` — context manager that releases ONLY the caches
+  created inside the ``with`` block. This is the right tool for pipeline
+  stages and library code: a global release would unpersist orderings /
+  ranked tables backing OTHER engine DataFrames the caller constructed but
+  has not materialized yet, forcing full recomputation (and, before the
+  token-ordering checkpoint fix, opening a rank-corruption window).
+* ``release_engine_caches()`` — global release of everything the engine ever
+  persisted in this process. For ad-hoc sessions when all joins are done.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -33,14 +42,35 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return tracked_cache(df.persist())
 
 
-def release_engine_caches() -> int:
-    """Unpersist every engine-created cache; returns how many."""
+def _release(dfs: list[DataFrame]) -> int:
     n = 0
-    for df in _ENGINE_CACHES:
+    for df in dfs:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
-    _ENGINE_CACHES.clear()
     return n
+
+
+@contextmanager
+def engine_cache_scope():
+    """Release only the engine caches created inside this scope.
+
+    Caches registered before entry are untouched, so concurrent/outer plans
+    keep their persisted intermediates. Yields a callable returning how many
+    caches the scope has accumulated so far (diagnostics)."""
+    start = len(_ENGINE_CACHES)
+    try:
+        yield lambda: len(_ENGINE_CACHES) - start
+    finally:
+        scoped = _ENGINE_CACHES[start:]
+        del _ENGINE_CACHES[start:]
+        _release(scoped)
+
+
+def release_engine_caches() -> int:
+    """Unpersist every engine-created cache; returns how many."""
+    dfs = list(_ENGINE_CACHES)
+    _ENGINE_CACHES.clear()
+    return _release(dfs)

@@ -5,10 +5,16 @@ Reference layout (/root/reference/py_stringsimjoin/utils/generic_helper.py:43-60
 
 Out-attrs are attached by joining the (small) match-pair table back to the
 base tables **after** verification — matches ≪ candidates, so these joins are
-cheap and usually broadcast-able on the pair side. ``_id`` is opt-in: a dense
-0..n-1 id needs a global row_number (single-partition window) — fine for
-parity tests, wrong at 10^12 rows, where the (l_key, r_key) natural key is the
-identity (SURVEY.md §4.1 "Deterministic _id").
+cheap and usually broadcast-able on the pair side. ``_id``: the reference
+emits a dense 0..n-1 id UNCONDITIONALLY
+(/root/reference/py_stringsimjoin/join/jaccard_join_py.py:210-211); here it
+needs a global row_number (single-partition window) — fine for parity tests,
+wrong at 10^12 rows, where the (l_key, r_key) natural key is the identity
+(SURVEY.md §4.1 "Deterministic _id"). So it is conf-driven: per-call
+``add_dense_id=True/False`` wins; the default (``None``) reads the session
+conf ``spark.py_stringsimjoin.parity.denseId`` (default off). Set that conf
+to ``true`` to get the reference's exact column layout from every join /
+filter_tables call without touching call sites.
 """
 
 from __future__ import annotations
@@ -35,9 +41,18 @@ def assemble_output(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     sim_score_col: str | None = "_sim_score",
-    add_dense_id: bool = False,
+    add_dense_id: bool | None = None,
 ) -> DataFrame:
     """pairs has columns (_l_key, _r_key [, sim_score_col])."""
+    if add_dense_id is None:
+        add_dense_id = (
+            str(
+                pairs.sparkSession.conf.get(
+                    "spark.py_stringsimjoin.parity.denseId", "false"
+                )
+            ).lower()
+            == "true"
+        )
     l_out = remove_redundant_attrs(l_out_attrs, l_key_attr)
     r_out = remove_redundant_attrs(r_out_attrs, r_key_attr)
 

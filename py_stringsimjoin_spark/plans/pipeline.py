@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizers import WhitespaceTokenizer
 from ..operators.connected_components import connected_components
-from .cache import release_engine_caches
+from .cache import engine_cache_scope
 from ..operators.set_sim_join import set_sim_join_pairs
 from ..sources.pages import extract_text_col
 
@@ -147,27 +147,28 @@ class LinkagePipeline:
         docs = st_in.read(self.spark)
         if self.num_partitions:
             docs = docs.repartition(self.num_partitions, "url")
-        pairs = set_sim_join_pairs(
-            self.measure,
-            docs,
-            docs,
-            "url",
-            "url",
-            "text",
-            "text",
-            self.tokenizer,
-            self.threshold,
-            comp_op=">=",
-            allow_empty=False,
-            self_join_dedup=True,
-            verify=False,
-        )
-        m = st.write(pairs.select("_l_key", "_r_key"), fp)
-        # the join persisted ranked-token intermediates; the stage output is
-        # checkpointed to parquet, so free exactly the engine's caches for
-        # downstream stages (not the blunt clearCache, which would evict
-        # caller-owned caches too)
-        release_engine_caches()
+        # scope the engine caches to this stage: the join persists
+        # ranked-token intermediates; the stage output is checkpointed to
+        # parquet, so exactly the caches created here are freed on exit —
+        # caches owned by the caller or by other in-flight engine plans
+        # survive (plans/cache.engine_cache_scope)
+        with engine_cache_scope():
+            pairs = set_sim_join_pairs(
+                self.measure,
+                docs,
+                docs,
+                "url",
+                "url",
+                "text",
+                "text",
+                self.tokenizer,
+                self.threshold,
+                comp_op=">=",
+                allow_empty=False,
+                self_join_dedup=True,
+                verify=False,
+            )
+            m = st.write(pairs.select("_l_key", "_r_key"), fp)
         return m
 
     def scoring(self) -> dict:

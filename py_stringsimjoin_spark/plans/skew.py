@@ -40,7 +40,14 @@ def hot_token_ranks(ordering: DataFrame, partitions: int) -> list[int]:
     if "_freq" not in ordering.columns:
         return []
     f = F.col("_freq").cast("double")
-    w = ordering.agg(F.sum(f * f).alias("w")).first()["w"] or 0.0
+    # build_token_ordering stashes Σf² on the DataFrame it returns — when
+    # present this function costs ONE tiny bounded collect instead of an
+    # extra aggregation pass over the vocabulary
+    stats = getattr(ordering, "_ssj_vocab_stats", None)
+    if stats is not None:
+        w = stats["sum_f2"] or 0.0
+    else:
+        w = ordering.agg(F.sum(f * f).alias("w")).first()["w"] or 0.0
     if w <= 0:
         return []
     cutoff = (w / max(partitions, 1)) ** 0.5

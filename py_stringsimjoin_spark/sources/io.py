@@ -42,6 +42,20 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def _is_catalog_name(source: str) -> bool:
+    """Catalog table (`catalog.db.pages`) vs filesystem path.
+
+    A slash always means a path. A dotted slash-less name is a catalog table
+    UNLESS it exists on the local filesystem (e.g. a relative
+    ``pages.parquet``) — the existence probe disambiguates the ambiguous
+    case instead of routing a relative parquet path into ``spark.table``."""
+    import os
+
+    if "/" in source or "." not in source:
+        return False
+    return not os.path.exists(source)
+
+
 def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
     """Read the Common-Crawl-style pages table (url, warc_ts, html, text,
     lang) from an Iceberg catalog table or a parquet path.
@@ -54,7 +68,7 @@ def read_pages_table(spark: SparkSession, source: str) -> DataFrame:
     Hive) and a path falls back to parquet — plans downstream are identical
     either way (both are V2 scans with pushdown + pruning).
     """
-    if "/" not in source and "." in source:
+    if _is_catalog_name(source):
         return spark.table(source)
     return spark.read.parquet(source)
 
@@ -65,9 +79,10 @@ def write_pages_table(df: DataFrame, target: str, mode: str = "overwrite",
     """Write a pages-shaped table to an Iceberg/catalog table (dotted name)
     or a parquet path. ``bucket_cols``/``n_buckets`` request bucketed layout
     so downstream url-keyed joins reuse the partitioning without a shuffle
-    (Iceberg: `bucket(n, col)` hidden partition; parquet path: directory
-    partitioning is the closest equivalent, applied when asked)."""
-    if "/" not in target and "." in target:
+    (Iceberg: `bucket(n, col)` hidden partition; parquet path: an explicit
+    ``_bucket = pmod(xxhash64(col), n)`` directory partition — the closest
+    filesystem equivalent, written when asked so bucket-pruned reads work)."""
+    if _is_catalog_name(target):
         w = df.writeTo(target)
         if bucket_cols and n_buckets:
             from pyspark.sql import functions as F
@@ -75,7 +90,17 @@ def write_pages_table(df: DataFrame, target: str, mode: str = "overwrite",
             w = w.partitionedBy(F.bucket(n_buckets, bucket_cols[0]))
         (w.createOrReplace() if mode == "overwrite" else w.append())
         return
-    w = df.write.mode(mode)
     if bucket_cols and n_buckets:
-        w = w.option("maxRecordsPerFile", 5_000_000)
-    w.parquet(target)
+        from pyspark.sql import functions as F
+
+        (
+            df.withColumn(
+                "_bucket", F.pmod(F.xxhash64(*bucket_cols), F.lit(n_buckets))
+            )
+            .write.mode(mode)
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("_bucket")
+            .parquet(target)
+        )
+        return
+    df.write.mode(mode).parquet(target)

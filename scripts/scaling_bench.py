@@ -1,8 +1,16 @@
 """Two-parallelism scaling evidence (stands in for N vs 4N executors).
 
-Runs bench.py twice in fresh subprocesses — local[8] then local[32] — on the
-same input, computes per-query and total scaling efficiency
-(T_8 / T_32) / 4, and appends a results table to BENCH.md.
+BASELINE.json's two-cluster-size criterion cannot use a real cluster in this
+sandbox, so the same job set runs at local[N] and local[4N] on the same
+input. The sandbox is a shared-host VM with CPU steal (identical runs vary
+up to 5×), so each parallelism level runs ``SPARK_GRAFT_SCALE_ATTEMPTS``
+times (default 3); the per-query MEDIAN across attempts is the number of
+record, and the steal%% observed during every attempt is recorded next to it
+so a polluted window is visible in the artifact rather than silently folded
+into an efficiency figure.
+
+Efficiency per query = (T_N / T_4N) / 4. Writes SCALING.json (machine
+readable, judge gate) and appends a table to BENCH.md.
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 # compute-bound kernels: row-level joins forced (value_dedup off) so the
@@ -29,6 +38,11 @@ SCALING_QUERIES = ",".join([
 ])
 
 
+def _median(vals):
+    s = sorted(vals)
+    return s[len(s) // 2] if s else None
+
+
 def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     env.setdefault("SPARK_GRAFT_BENCH_QUERIES", SCALING_QUERIES)
@@ -40,50 +54,116 @@ def run(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def run_level(cpus: int, sf_dir: str, attempts: int) -> dict:
+    """attempts × bench at one parallelism → per-query median + evidence."""
+    runs = []
+    for i in range(attempts):
+        r = run(cpus, sf_dir)
+        runs.append(r)
+        print(f"[scaling] local[{cpus}] attempt {i + 1}/{attempts}: "
+              f"total={r['value']}s", file=sys.stderr, flush=True)
+    queries = sorted({q for r in runs for q in r["queries"]})
+    med = {
+        q: _median([r["queries"][q] for r in runs if q in r["queries"]])
+        for q in queries
+    }
+    steals = {
+        q: [r["extras"].get(f"{q}_steal_pct") for r in runs]
+        for q in queries
+    }
+    return {
+        "cpus": cpus,
+        "median_queries": med,
+        "median_total": round(sum(v for v in med.values() if v is not None), 3),
+        "attempts": [r["queries"] for r in runs],
+        "steal_pct": steals,
+        "cps": _median([
+            r["extras"].get("candidate_pairs_per_sec")
+            for r in runs
+            if r["extras"].get("candidate_pairs_per_sec") is not None
+        ] or [None]),
+        "stage_wall": _median([
+            r["extras"].get("pipeline_stage_wall_sec")
+            for r in runs
+            if r["extras"].get("pipeline_stage_wall_sec") is not None
+        ] or [None]),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # N vs 4N thread counts; on steal-heavy shared-host windows local[32]
-    # anti-scales regardless of plan quality — measure 2 vs 8 there instead
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
-    r8 = run(lo, sf_dir)
-    r32 = run(hi, sf_dir)
-    eff_total = (r8["value"] / r32["value"]) / (hi // lo) if r32["value"] else None
-    rows = []
-    for q in r8["queries"]:
-        t8 = r8["queries"][q]
-        t32 = r32["queries"].get(q)  # a query may have failed in one run
-        rows.append((q, t8, t32, round((t8 / t32) / (hi // lo), 3) if t32 else None))
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+    factor = hi // lo
+    r_lo = run_level(lo, sf_dir, attempts)
+    r_hi = run_level(hi, sf_dir, attempts)
+
+    per_query = {}
+    for q in r_lo["median_queries"]:
+        t_lo = r_lo["median_queries"].get(q)
+        t_hi = r_hi["median_queries"].get(q)
+        per_query[q] = (
+            round((t_lo / t_hi) / factor, 3) if t_lo and t_hi else None
+        )
+    eff_total = (
+        round((r_lo["median_total"] / r_hi["median_total"]) / factor, 3)
+        if r_hi["median_total"]
+        else None
+    )
+
     ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
-        f"\n## Scaling run {ts} — {sf_dir}, local[{lo}] vs local[{hi}]\n",
-        f"| query | T_{lo} (s) | T_{hi} (s) | efficiency (T_{lo}/T_{hi})/{hi // lo} |",
-        "|---|---|---|---|",
+        f"\n## Scaling run {ts} — {sf_dir}, local[{lo}] vs local[{hi}], "
+        f"median of {attempts}\n",
+        f"| query | T_{lo} med (s) | T_{hi} med (s) | efficiency "
+        f"(T_{lo}/T_{hi})/{factor} | steal% range |",
+        "|---|---|---|---|---|",
     ]
-    for q, t8, t32, e in rows:
-        lines.append(f"| {q} | {t8} | {t32} | {e} |")
-    lines.append(f"| **total** | {r8['value']} | {r32['value']} | **{round(eff_total, 3)}** |")
-    cps8 = r8["extras"].get("candidate_pairs_per_sec")
-    cps32 = r32["extras"].get("candidate_pairs_per_sec")
-    lines.append(
-        f"\nScoring-stage candidate-pairs/sec: local[{lo}]={cps8}, local[{hi}]={cps32}."
-    )
-    sw8 = r8["extras"].get("pipeline_stage_wall_sec")
-    sw32 = r32["extras"].get("pipeline_stage_wall_sec")
-    if sw8 and sw32:
+    for q, e in per_query.items():
+        st = [
+            s
+            for s in (r_lo["steal_pct"].get(q) or []) + (r_hi["steal_pct"].get(q) or [])
+            if s is not None
+        ]
+        strange = f"{min(st)}–{max(st)}" if st else "n/a"
         lines.append(
-            f"\nPipeline stage-wall (excl. per-stage JVM startup): "
-            f"local[{lo}]={sw8}s, local[{hi}]={sw32}s, "
-            f"efficiency={(sw8 / sw32) / (hi // lo):.3f}."
+            f"| {q} | {r_lo['median_queries'].get(q)} | "
+            f"{r_hi['median_queries'].get(q)} | {e} | {strange} |"
+        )
+    lines.append(
+        f"| **total** | {r_lo['median_total']} | {r_hi['median_total']} | "
+        f"**{eff_total}** | |"
+    )
+    if r_lo["cps"] and r_hi["cps"]:
+        lines.append(
+            f"\nScoring-stage candidate-pairs/sec (median): local[{lo}]="
+            f"{r_lo['cps']}, local[{hi}]={r_hi['cps']}."
+        )
+    if r_lo["stage_wall"] and r_hi["stage_wall"]:
+        lines.append(
+            f"\nPipeline stage-wall (excl. per-stage JVM startup, median): "
+            f"local[{lo}]={r_lo['stage_wall']}s, local[{hi}]="
+            f"{r_hi['stage_wall']}s, efficiency="
+            f"{(r_lo['stage_wall'] / r_hi['stage_wall']) / factor:.3f}."
         )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     result = {
         "efficiency_total": eff_total,
-        "t8": r8["value"],
-        "t32": r32["value"],
-        "per_query": {q: e for q, _, _, e in rows},
-        "candidate_pairs_per_sec": {"cpus8": cps8, "cpus32": cps32},
+        "t8": r_lo["median_total"],
+        "t32": r_hi["median_total"],
+        "per_query": per_query,
+        "attempts": attempts,
+        "detail": {
+            f"local[{lo}]": {
+                "attempts": r_lo["attempts"], "steal_pct": r_lo["steal_pct"]
+            },
+            f"local[{hi}]": {
+                "attempts": r_hi["attempts"], "steal_pct": r_hi["steal_pct"]
+            },
+        },
+        "candidate_pairs_per_sec": {"cpus8": r_lo["cps"], "cpus32": r_hi["cps"]},
         "sf_dir": sf_dir,
         "cpus": [lo, hi],
     }
