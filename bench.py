@@ -195,7 +195,12 @@ def main() -> int:
             "queries": timings, "sf": sf, "cpus": cpus, "extras": extras,
         }))
         return 0
+    # SPARK_GRAFT_PIPELINE_PAGES overrides the sf-derived corpus size (the
+    # scaling harness uses a heavier corpus so the pipeline's stage wall is
+    # compute-bound rather than JVM/fixed-cost-bound)
     n_base = max(int(200_000 * sf), 1000) if sf > 0 else 2000
+    if os.environ.get("SPARK_GRAFT_PIPELINE_PAGES"):
+        n_base = int(os.environ["SPARK_GRAFT_PIPELINE_PAGES"])
     wd = tempfile.mkdtemp(prefix="bench_pipeline_")
     try:
         t0 = time.time()

@@ -33,6 +33,8 @@ from ..plans.validation import (
 )
 from .missing_pairs import missing_pairs
 from .set_sim_join import as_set_tokenizer
+from ..plans.cache import persist_tracked
+from ..plans.skew import salted_token_join
 
 _COMP_COL = {
     ">=": lambda c, t: c >= t,
@@ -85,6 +87,15 @@ def _expand_value_pairs(vpairs, ltable, rtable, l_key_attr, r_key_attr,
 
 
 def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, with_sizes: bool):
+    """Exploded token equi-join with measured-frequency hot-token salting.
+
+    The overlap joins explode ALL tokens (exactness needs every shared
+    token), so on Zipfian web text the hottest tokens would serialize the
+    join into a few quadratic-output tasks — the same failure mode the
+    prefix joins salt against (plans/skew.py; AQE cannot split exploding
+    joins because their *input* is small). One frequency aggregation over
+    the exploded build side finds the provably-hot tokens (freq >
+    sqrt(Σf²/P), at most P of them) and exactly those are salted."""
     l_nn = (
         ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
         .where(F.col("_l_str").isNotNull())
@@ -104,7 +115,24 @@ def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_att
     r_ex = r_nn.select(
         "_r_key", *(["_r_size"] if with_sizes else []), F.explode("_tokens").alias("_tok")
     )
-    return l_nn, r_nn, l_ex.join(r_ex, "_tok")
+    spark = ltable.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # vocabulary-sized; persisted because the Σf² agg and the hot-token
+    # collect both read it (one corpus tokenize pass total)
+    freq = persist_tracked(
+        l_ex.select("_tok").unionByName(r_ex.select("_tok"))
+        .groupBy("_tok").agg(F.count("*").alias("_freq"))
+    )
+    fd = F.col("_freq").cast("double")
+    w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
+    hot = []
+    if w > 0:
+        cutoff = (w / max(n_shuffle, 1)) ** 0.5
+        hot = [r["_tok"] for r in freq.where(fd > F.lit(cutoff)).select("_tok").collect()]
+    joined = salted_token_join(
+        l_ex, r_ex, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle if hot else None
+    )
+    return l_nn, r_nn, joined
 
 
 def overlap_join(
