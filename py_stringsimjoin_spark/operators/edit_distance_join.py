@@ -7,15 +7,19 @@ are missed — i.e. the result is exactly
 ``{(l, r): lev(l, r) comp_op t  AND  qgrams(l) ∩ qgrams(r) ≠ ∅}``.
 
 Plan: bag q-gram tokenize → global ordering → ranked arrays (multiplicity
-kept) → explode first min(q·t+1, n) ranked tokens on both sides → equi-join on
-token rank → char-length band |len(l)−len(r)| ≤ t → distinct pairs →
-**JVM threshold-bounded ``levenshtein(l, r, t)``** verify (whole-stage
-codegen, banded O(len·t) with early exit; returns −1 above t). The round-2
-mapInPandas numpy DP verify is gone — it was the engine's last Python stage
-on a join hot path and the one kernel that anti-scaled at high parallelism
-(32 concurrent Python workers × Arrow transfer; SCALING.json r2). The disk
-variant J7 (disk_edit_distance_join) is subsumed by shuffle spill +
-``df.write`` sinks.
+kept) → explode first min(q·t+1, n) ranked tokens on both sides, join-attr
+string riding along → equi-join on token rank → char-length band
+|len(l)−len(r)| ≤ t → positional α-count prune → **inline JVM
+threshold-bounded ``levenshtein(l, r, t)``** verify (whole-stage codegen,
+banded O(len·t) with early exit; returns −1 above t) → distinct verified
+matches. The verify runs BEFORE any dedup: round-3 measurement showed the
+old distinct-then-rejoin plan spent >90% of its wall shuffling 172M raw
+candidate rows (spill-bound), while verified matches are 5-20× fewer — the
+bounded levenshtein is cheaper per row than shuffling the row. The round-2
+mapInPandas numpy DP verify is gone entirely (it was the engine's last
+Python stage on a join hot path and anti-scaled at high parallelism;
+SCALING.json r2). The disk variant J7 (disk_edit_distance_join) is subsumed
+by shuffle spill + ``df.write`` sinks.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
-from ..plans.skew import hot_token_ranks, salted_token_join
+from ..plans.skew import hot_token_ranks, resolve_salt_parallelism, salted_token_join
 import copy
 
 
@@ -155,10 +159,11 @@ def edit_distance_join(
         )
         ordering = build_token_ordering([(l_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
-            "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
+            "_l_key", "_l_str", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
         ).persist().transform(_tc)
         r_rk = l_rk.select(
             F.col("_l_key").alias("_r_key"),
+            F.col("_l_str").alias("_r_str"),
             F.col("_l_len").alias("_r_len"),
             "_ranked",
             "_size",
@@ -171,23 +176,36 @@ def edit_distance_join(
         )
         ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
-            "_l_key", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
+            "_l_key", "_l_str", F.length("_l_str").alias("_l_len"), "_ranked", "_size"
         ).persist().transform(_tc)
         r_rk = add_ranked_tokens(r_nn, ["_r_key"], "_tokens", ordering, "_ranked", "_size").select(
-            "_r_key", F.length("_r_str").alias("_r_len"), "_ranked", "_size"
+            "_r_key", "_r_str", F.length("_r_str").alias("_r_len"), "_ranked", "_size"
         ).persist().transform(_tc)
 
+    # The join-attr STRING rides through the prefix explode so the verify can
+    # run inline in the join stage. Rationale (measured at sf0.1 local[32]):
+    # the old plan's `distinct()` on the raw join output (172M rows → 60M
+    # candidate pairs) plus TWO re-join shuffles to fetch the strings back
+    # was >90% of the query wall and stopped scaling (spill-bound hash agg).
+    # With the verify inline, the only post-join shuffle is the distinct over
+    # VERIFIED matches (~5-20× fewer rows), and the exchanges that do carry
+    # strings are the pre-join exploded prefixes (|prefix| = q·t+1 ≈ 5 rows
+    # per string — edit-distance join attrs are short title/name-class
+    # strings by construction, so this is thin). The threshold-bounded JVM
+    # levenshtein is O(len·t) with early exit, so evaluating it on joined
+    # rows BEFORE dedup costs a few ns per extra row — orders of magnitude
+    # cheaper than shuffling those rows.
     pl = (
         l_rk.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q))
         .select(
-            "_l_key", "_l_len", F.col("_size").alias("_l_size"),
+            "_l_key", "_l_str", "_l_len", F.col("_size").alias("_l_size"),
             F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_l_pos", "_tok"),
         )
     )
     pr = (
         r_rk.withColumn("_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q))
         .select(
-            "_r_key", "_r_len", F.col("_size").alias("_r_size"),
+            "_r_key", "_r_str", "_r_len", F.col("_size").alias("_r_size"),
             F.posexplode(F.expr("slice(_ranked, 1, _pfx)")).alias("_r_pos", "_tok"),
         )
     )
@@ -196,7 +214,7 @@ def edit_distance_join(
     # bag overlap is ≥ α, and at the min-rank shared token's first-occurrence
     # row (lp, rp) the total overlap is ≤ min(n_l − lp, n_r − rp) — so "the
     # min-rank row passes ub ≥ α" ⟺ "some row passes", and filtering ALL
-    # rows before distinct() never drops a true pair. Pure JVM arithmetic
+    # rows before the verify never drops a true pair. Pure JVM arithmetic
     # inside whole-stage codegen; shrinks the verify input drastically for
     # long strings (α grows with length, prefix stays q·t+1).
     ub = F.lit(1) + F.least(
@@ -207,26 +225,14 @@ def edit_distance_join(
         F.col("_l_size"), F.col("_r_size"), "edit_distance", t_int, q
     )
     n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    hot = hot_token_ranks(ordering, n_shuffle)
-    cand = (
-        salted_token_join(pl, pr, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle)
-        .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
-        .where(ub >= alpha)
-        .select("_l_key", "_r_key")
-        .distinct()
-    )
-
-    verify_in = (
-        cand.join(l_nn.select("_l_key", "_l_str"), "_l_key")
-        .join(r_nn.select("_r_key", "_r_str"), "_r_key")
-        .select("_l_key", "_r_key", "_l_str", "_r_str")
-    )
-    # exact verify in pure JVM: Spark's built-in threshold-bounded
-    # levenshtein(l, r, t) runs banded O(len·t) with early exit inside
-    # whole-stage codegen and returns −1 when the distance exceeds t. The
-    # whole join is now UDF-free end to end — no Arrow transfer, no Python
-    # workers, and the verify stage scales like any codegen'd projection
-    # (the round-2 mapInPandas DP anti-scaled at 32 concurrent workers).
+    n_salts = resolve_salt_parallelism(ltable, n_shuffle)
+    hot = hot_token_ranks(ordering, n_salts)
+    # exact verify in pure JVM, inline in the join stage: Spark's built-in
+    # threshold-bounded levenshtein(l, r, t) runs banded O(len·t) with early
+    # exit inside whole-stage codegen and returns −1 when the distance
+    # exceeds t. The whole join is UDF-free end to end — no Arrow transfer,
+    # no Python workers (the round-2 mapInPandas DP anti-scaled at 32
+    # concurrent workers).
     dd = F.col("_d")
     if comp_op == "<=":
         keep = dd >= 0
@@ -235,11 +241,13 @@ def edit_distance_join(
     else:  # "="
         keep = dd == t_int
     pairs = (
-        verify_in.withColumn(
-            "_d", F.levenshtein(F.col("_l_str"), F.col("_r_str"), t_int)
-        )
+        salted_token_join(pl, pr, hot, n_salts, "_l_key", pin_partitions=n_shuffle)
+        .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
+        .where(ub >= alpha)
+        .withColumn("_d", F.levenshtein(F.col("_l_str"), F.col("_r_str"), t_int))
         .where(keep)
         .select("_l_key", "_r_key", dd.cast("double").alias("_sim_score"))
+        .distinct()
     )
 
     if allow_missing:

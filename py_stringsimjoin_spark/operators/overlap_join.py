@@ -34,7 +34,7 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .set_sim_join import as_set_tokenizer
 from ..plans.cache import persist_tracked
-from ..plans.skew import salted_token_join
+from ..plans.skew import SALT_ALPHA, resolve_salt_parallelism, salted_token_join
 
 _COMP_COL = {
     ">=": lambda c, t: c >= t,
@@ -117,6 +117,7 @@ def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_att
     )
     spark = ltable.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_salts = resolve_salt_parallelism(ltable, n_shuffle)
     # vocabulary-sized; persisted because the Σf² agg and the hot-token
     # collect both read it (one corpus tokenize pass total)
     freq = persist_tracked(
@@ -125,12 +126,17 @@ def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_att
     )
     fd = F.col("_freq").cast("double")
     w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
-    hot = []
+    hot: dict = {}
     if w > 0:
-        cutoff = (w / max(n_shuffle, 1)) ** 0.5
-        hot = [r["_tok"] for r in freq.where(fd > F.lit(cutoff)).select("_tok").collect()]
+        import math
+
+        budget = w / (SALT_ALPHA * max(n_salts, 1))
+        cap = SALT_ALPHA * max(n_salts, 1)
+        for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
+            hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
     joined = salted_token_join(
-        l_ex, r_ex, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle if hot else None
+        l_ex, r_ex, hot, l_salt_key="_l_key",
+        pin_partitions=n_shuffle if hot else None,
     )
     return l_nn, r_nn, joined
 

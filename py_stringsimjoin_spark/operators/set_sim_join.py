@@ -44,7 +44,7 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
-from ..plans.skew import hot_token_ranks, salted_token_join
+from ..plans.skew import hot_token_ranks, resolve_salt_parallelism, salted_token_join
 
 _EMPTY_OK = ("jaccard", "cosine", "dice", "overlap_coefficient")
 
@@ -267,13 +267,14 @@ def set_sim_join_pairs(
     n_shuffle = shuffle_partitions or int(
         ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    hot = hot_token_ranks(ordering, n_shuffle)
+    n_salts = resolve_salt_parallelism(ltable, n_shuffle)
+    hot = hot_token_ranks(ordering, n_salts)
 
     if strategy == "count":
         ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))
         ex_r = r_rk.select("_r_key", "_r_size", F.explode("_r_ranked").alias("_tok"))
         joined = salted_token_join(
-            ex_l, ex_r, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle
+            ex_l, ex_r, hot, n_salts, "_l_key", pin_partitions=n_shuffle
         ).where(
             (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
             & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
@@ -332,7 +333,7 @@ def set_sim_join_pairs(
     )
 
     joined = salted_token_join(
-        pl, pr, hot, n_shuffle, "_l_key", pin_partitions=n_shuffle
+        pl, pr, hot, n_salts, "_l_key", pin_partitions=n_shuffle
     ).where(
         (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
         & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))

@@ -9,85 +9,127 @@ tiny while its output is enormous (measured here: a 16-token vocabulary at
 sf0.1 serializes the whole join into ~2 tasks, one of which runs for
 minutes).
 
-The engine fixes this with *measured-frequency salting*: the global token
-ordering already counts every token's frequency, so the joins ask for the
-provably-hot ranks (at most ``partitions`` of them — tokens with
-freq > sqrt(Σf²/P)) and salt exactly those:
+The engine fixes this with *per-token proportional salting*. The global
+token ordering already counts every token's frequency, so each token's
+share of the total join work (w_t = f_t², Σw = Σf²) is known, and each hot
+token gets exactly the number of salt buckets its output share needs:
 
-* probe side: hot-token rows get ``salt = hash(row_key) % S``;
-* build side: hot-token rows are replicated to all S salts (cold rows pay
-  nothing — one extra int column).
+    S_t = ceil(α · P · w_t / Σw),   clamped to [1, α·P]
 
-Each (l_row, r_row, token) match meets in exactly one salt bucket, so the
-join output is identical; the hot token's work is now spread over S tasks.
+with P the parallelism target and α a small over-partitioning factor (2).
+Tokens with S_t == 1 (the long tail) are untouched; a head token carrying
+half the mass is split ~α·P/2 ways. On the probe side hot rows get
+``salt = hash(row_key) % S_t``; on the build side hot rows are replicated
+S_t times. Each (l_row, r_row, token) match meets in exactly one salt
+bucket, so the join output is identical.
+
+Why proportional and not uniform: round 3 measured a uniform S = partitions
+policy to be SUPERLINEARLY catastrophic as S grows — on a dup-heavy
+small-vocabulary table (every token "hot"), edit-distance at local[32] took
+25 s with S=8 but 205-294 s with S=32 (same rows), because every token paid
+S× build replication + S× more join buckets for no balance gain: ~50
+similar-frequency tokens already spread over 32 partitions nearly evenly.
+Proportional sizing reduces that table to S_t ∈ {1,2} (near-zero overhead)
+while still splitting a genuine Zipf head token ~α·P ways. At most α·P·2
+tokens can have S_t ≥ 2, so the salt map stays driver-tiny at any corpus
+size.
+
 Both sides are repartitioned with an explicit numPartitions so AQE's
 byte-based coalescing cannot re-serialize the expansion.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# over-partitioning factor: bounds worst-case per-bucket work share at
+# ~(1 + 1/α) of fair while keeping replication ≤ α× the minimum needed
+SALT_ALPHA = 2
 
-def hot_token_ranks(ordering: DataFrame, partitions: int) -> list[int]:
-    """Ranks whose frequency exceeds sqrt(Σf²/partitions).
 
-    Σf² is the total join work; a token above the cutoff contributes more
-    than an even share of one partition. At most ``partitions`` ranks can
-    exceed the cutoff, so the collect is bounded and tiny. Requires the
-    ordering to carry ``_freq`` (build_token_ordering provides it)."""
-    if "_freq" not in ordering.columns:
-        return []
+def resolve_salt_parallelism(df: DataFrame, n_shuffle: int) -> int:
+    """Parallelism target P used to size per-token salt counts.
+
+    Defaults to the shuffle partition count; overridable with the session
+    conf ``spark.py_stringsimjoin.saltParallelism`` (e.g. pin it to the
+    production cluster's total cores to make the physical plan — and the
+    two-cluster-size scaling measurement — independent of the session's
+    local parallelism)."""
+    v = df.sparkSession.conf.get("spark.py_stringsimjoin.saltParallelism", None)
+    return int(v) if v else n_shuffle
+
+
+def hot_token_ranks(
+    ordering: DataFrame, parallelism: int, alpha: int = SALT_ALPHA
+) -> dict[int, int]:
+    """{rank: S_t} for every token that needs ≥2 salt buckets.
+
+    S_t = ceil(α·P·f_t²/Σf²) clamped to α·P. Only tokens with
+    f_t² > Σf²/(α·P) qualify, so at most α·P entries come back — the
+    collect is bounded and tiny. Requires the ordering to carry ``_freq``
+    (build_token_ordering provides it and stashes Σf² on the DataFrame, so
+    this usually costs one bounded collect and no aggregation pass)."""
+    if "_freq" not in ordering.columns or parallelism <= 1:
+        return {}
     f = F.col("_freq").cast("double")
-    # build_token_ordering stashes Σf² on the DataFrame it returns — when
-    # present this function costs ONE tiny bounded collect instead of an
-    # extra aggregation pass over the vocabulary
     stats = getattr(ordering, "_ssj_vocab_stats", None)
     if stats is not None:
         w = stats["sum_f2"] or 0.0
     else:
         w = ordering.agg(F.sum(f * f).alias("w")).first()["w"] or 0.0
     if w <= 0:
-        return []
-    cutoff = (w / max(partitions, 1)) ** 0.5
-    return [
-        r["rank"]
-        for r in ordering.where(f > F.lit(cutoff)).select("rank").collect()
-    ]
+        return {}
+    budget = w / (alpha * parallelism)  # per-bucket work share
+    rows = (
+        ordering.where(f * f > F.lit(budget))
+        .select("rank", "_freq")
+        .collect()
+    )
+    cap = alpha * parallelism
+    out = {}
+    for r in rows:
+        s = math.ceil((r["_freq"] ** 2) / budget)
+        s = max(2, min(int(s), cap))
+        out[int(r["rank"])] = s
+    return out
 
 
 def salted_token_join(
     ex_l: DataFrame,
     ex_r: DataFrame,
-    hot_ranks: list[int],
-    n_salts: int,
-    l_salt_key: str,
+    hot: dict[int, int],
+    n_salts_unused: int | None = None,
+    l_salt_key: str = "_l_key",
     tok_col: str = "_tok",
     pin_partitions: int | None = None,
 ) -> DataFrame:
-    """Equi-join two exploded token tables on ``tok_col`` with hot-rank
-    salting. With no hot ranks this is a plain join (zero overhead)."""
-    if not hot_ranks or n_salts <= 1:
-        return ex_l.join(ex_r, tok_col)
-    is_hot_l: Column = F.col(tok_col).isin(hot_ranks)
+    """Equi-join two exploded token tables on ``tok_col`` with per-token
+    hot salting. With an empty plan this is a plain join (zero overhead).
+
+    ``n_salts_unused`` is retained for call-site compatibility; bucket
+    counts come from the per-token plan."""
+    if not hot:
+        out = ex_l.join(ex_r, tok_col)
+        if pin_partitions:
+            # still pin the exchange so AQE byte-coalescing cannot
+            # re-serialize an exploding join with tiny input
+            out = ex_l.repartition(pin_partitions, F.col(tok_col)).join(
+                ex_r.repartition(pin_partitions, F.col(tok_col)), tok_col
+            )
+        return out
+    # bounded literal map rank -> S_t (≤ α·P entries by construction)
+    pairs = [x for kv in sorted(hot.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    smap = F.create_map(*pairs)
+    s_col: Column = F.coalesce(smap[F.col(tok_col)], F.lit(1))
     l2 = ex_l.withColumn(
-        "_salt",
-        F.when(
-            is_hot_l,
-            F.pmod(F.xxhash64(F.col(l_salt_key)), F.lit(n_salts)).cast("int"),
-        ).otherwise(F.lit(0)),
+        "_salt", F.pmod(F.xxhash64(F.col(l_salt_key)), s_col).cast("int")
     )
-    # sequence/array of int literals → array<int>, so the exploded salt is
-    # already int (a cast around explode would nest the generator)
     r2 = ex_r.withColumn(
         "_salt",
-        F.explode(
-            F.when(
-                F.col(tok_col).isin(hot_ranks),
-                F.sequence(F.lit(0), F.lit(n_salts - 1)),
-            ).otherwise(F.array(F.lit(0)))
-        ),
+        F.explode(F.sequence(F.lit(0), (s_col - F.lit(1)).cast("int"))),
     )
     if pin_partitions:
         # user-specified numPartitions: AQE will not coalesce these exchanges

@@ -49,6 +49,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Shuffle spill/local dir: the exploding token joins make the distinct/
+    # groupBy exchange the dominant stage, and on this sandbox /tmp sits on a
+    # virtio disk whose writeback serializes 32 concurrent shuffle writers in
+    # the kernel (measured: the candidate distinct ran 111 s disk-bound at
+    # local[32] and stopped scaling entirely). Local mode therefore defaults
+    # spark.local.dir to tmpfs when available — the local-mode stand-in for
+    # the NVMe local dirs any production cluster provisions for shuffle.
+    # $SPARK_LOCAL_DIRS (Spark's own env) or extra_conf override this.
+    if (
+        master.startswith("local")
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and not (extra_conf or {}).get("spark.local.dir")
+        and os.path.isdir("/dev/shm")
+    ):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -23,18 +23,20 @@ def test_hot_token_ranks_bounded_and_detects_head(spark, skewed):
     tok = WhitespaceTokenizer(return_set=True)
     df = skewed.select(tok.spark_col(F.col("txt")).alias("_tokens"))
     ordering = build_token_ordering([(df, "_tokens")])
-    hot = hot_token_ranks(ordering, partitions=4)
-    assert 1 <= len(hot) <= 4  # at most P ranks can exceed sqrt(Σf²/P)
-    # the universal token is the most frequent → the highest rank
+    hot = hot_token_ranks(ordering, parallelism=4)
+    assert 1 <= len(hot) <= 8  # at most α·P tokens can need ≥2 buckets
+    # the universal token is the most frequent → the highest rank, and its
+    # ~50% work share earns it the most salt buckets
     n_vocab = ordering.count()
     assert (n_vocab - 1) in hot
+    assert hot[n_vocab - 1] == max(hot.values()) and hot[n_vocab - 1] >= 2
 
 
 def test_hot_token_ranks_needs_freq(spark, skewed):
     tok = WhitespaceTokenizer(return_set=True)
     df = skewed.select(tok.spark_col(F.col("txt")).alias("_tokens"))
     ordering = build_token_ordering([(df, "_tokens")]).drop("_freq")
-    assert hot_token_ranks(ordering, 4) == []
+    assert hot_token_ranks(ordering, 4) == {}
 
 
 def test_salted_join_identical_output(spark, skewed):
@@ -52,7 +54,7 @@ def test_salted_join_identical_output(spark, skewed):
     assert hot
     plain = ex_l.join(ex_r, "_tok").groupBy("_l_key", "_r_key").count()
     salted = (
-        salted_token_join(ex_l, ex_r, hot, n_salts=4, l_salt_key="_l_key",
+        salted_token_join(ex_l, ex_r, hot, l_salt_key="_l_key",
                           pin_partitions=4)
         .groupBy("_l_key", "_r_key").count()
     )
