@@ -101,8 +101,19 @@ def run_one(name: str, sf_dir: str, cpus: int) -> int:
     """Child mode: run ONE query in this process, print one JSON line."""
     from py_stringsimjoin_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+    # 12g, deliberately NOT larger: this sandbox's hypervisor makes
+    # first-touch of fresh pages very slow, and a 32g heap measured 4×
+    # SLOWER than 8g on the same query (the JVM gradually faults in the
+    # whole heap). 12g avoids both the page-touch tax and agg spills.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
+    # shuffle partitions at 4× cores, NOT 1×: the engine's heavy stages are
+    # hash aggregations over candidate pairs whose per-task memory is the
+    # binding resource — 1×-cores partitions measured 2-3.4× slower (spill:
+    # 7.4 GB at sp=8 on jaccard rowlevel) and anti-scaled with cores, since
+    # more concurrent tasks split the same execution-memory pool. 4× gives
+    # each final-agg task a quarter of the state and lets the scheduler
+    # even out stragglers — the standard partitions ≫ cores practice.
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus,
                       app_name=f"bench-{name}")
     import __spark_entry__ as entry
 

@@ -263,6 +263,8 @@ def set_sim_join_pairs(
             if avg_size <= 4 or (avg_size > 0 and avg_pfx / avg_size > 0.6)
             else "prefix"
         )
+    else:
+        avg_size = None
 
     n_shuffle = shuffle_partitions or int(
         ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -311,6 +313,23 @@ def set_sim_join_pairs(
         )
         return pairs
 
+    # Verify placement decision (only when verifying): on SHORT token sets
+    # the ranked arrays ride through the prefix explode and the
+    # array_intersect verify runs INLINE in the join stage, so the only
+    # post-join shuffle is the distinct over VERIFIED matches. On dense /
+    # dup-heavy corpora the raw joined stream is 3-10× the verified match
+    # count, and round-3 measured the candidate distinct + the two
+    # array-rejoin shuffles as the dominant (spill-bound, non-scaling) cost.
+    # For LONG token sets (arrays expensive to replicate prefix-length times
+    # through the exchange) the classic candidates-distinct → rejoin-arrays
+    # plan is kept. 64 tokens ≈ the break-even between array-replication
+    # bytes (corpus × prefix × setsize) and candidate-shuffle bytes.
+    inline_verify = False
+    if verify:
+        if avg_size is None:
+            avg_size = l_rk.agg(F.avg("_l_size").alias("s")).first()["s"] or 0.0
+        inline_verify = avg_size <= 64
+
     pl = (
         l_rk.withColumn(
             "_pfx", fm.prefix_length_col(F.col("_l_size"), measure, threshold)
@@ -318,6 +337,7 @@ def set_sim_join_pairs(
         .select(
             "_l_key",
             "_l_size",
+            *(["_l_ranked"] if inline_verify else []),
             F.posexplode(F.expr("slice(_l_ranked, 1, _pfx)")).alias("_l_pos", "_tok"),
         )
     )
@@ -328,6 +348,7 @@ def set_sim_join_pairs(
         .select(
             "_r_key",
             "_r_size",
+            *(["_r_ranked"] if inline_verify else []),
             F.posexplode(F.expr("slice(_r_ranked, 1, _pfx)")).alias("_r_pos", "_tok"),
         )
     )
@@ -359,18 +380,13 @@ def set_sim_join_pairs(
                 F.col("_l_size"), F.col("_r_size"), measure, threshold
             )
         )
-    cand = joined.select("_l_key", "_r_key").distinct()
-
     if not verify:
+        cand = joined.select("_l_key", "_r_key").distinct()
         return _append_empty_and_missing(
             cand, measure, comp_op, threshold, allow_empty, allow_missing,
             l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
             l_join_attr, r_join_attr, self_join_dedup, with_score=False,
         )
-
-    verify_in = cand.join(l_rk.select("_l_key", "_l_ranked"), "_l_key").join(
-        r_rk.select("_r_key", "_r_ranked"), "_r_key"
-    ).select("_l_key", "_r_key", "_l_ranked", "_r_ranked")
 
     # exact verify in pure JVM: the ranked arrays are duplicate-free ints, so
     # array_intersect size IS the set overlap; the score arithmetic matches
@@ -379,6 +395,14 @@ def set_sim_join_pairs(
     # (The previous mapInPandas verify spent ~95% of its wall time
     # serializing the candidate arrays to Python: 6.1M pairs ≈ 130 s vs ~10 s
     # JVM-side, measured at sf0.1.)
+    if inline_verify:
+        verify_in = joined
+    else:
+        cand = joined.select("_l_key", "_r_key").distinct()
+        verify_in = cand.join(l_rk.select("_l_key", "_l_ranked"), "_l_key").join(
+            r_rk.select("_r_key", "_r_ranked"), "_r_key"
+        ).select("_l_key", "_r_key", "_l_ranked", "_r_ranked")
+
     ov = F.size(F.array_intersect("_l_ranked", "_r_ranked")).cast("double")
     ls = F.size("_l_ranked").cast("double")
     rs = F.size("_r_ranked").cast("double")
@@ -395,6 +419,10 @@ def set_sim_join_pairs(
         .where(_COMP_COL_FN[comp_op](F.col("_sim_score"), F.lit(threshold)))
         .select("_l_key", "_r_key", "_sim_score")
     )
+    if inline_verify:
+        # duplicates (one per shared prefix token that survived the filters)
+        # carry identical scores; dedup the verified matches
+        pairs = pairs.distinct()
     return _append_empty_and_missing(
         pairs, measure, comp_op, threshold, allow_empty, allow_missing,
         l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,

@@ -112,14 +112,13 @@ def salted_token_join(
     ``n_salts_unused`` is retained for call-site compatibility; bucket
     counts come from the per-token plan."""
     if not hot:
-        out = ex_l.join(ex_r, tok_col)
         if pin_partitions:
             # still pin the exchange so AQE byte-coalescing cannot
             # re-serialize an exploding join with tiny input
-            out = ex_l.repartition(pin_partitions, F.col(tok_col)).join(
+            return ex_l.repartition(pin_partitions, F.col(tok_col)).join(
                 ex_r.repartition(pin_partitions, F.col(tok_col)), tok_col
             )
-        return out
+        return ex_l.join(ex_r, tok_col)
     # bounded literal map rank -> S_t (≤ α·P entries by construction)
     pairs = [x for kv in sorted(hot.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
     smap = F.create_map(*pairs)
