@@ -139,42 +139,43 @@ def q_edit_distance_part_rowlevel(spark, sf_dir):
     )
 
 
-_X3_OFFSET = 10_000_000
+_X2_OFFSET = 10_000_000
 
-_PART_X3_SQL = (
+_PART_X2_SQL = (
     "(SELECT p_partkey, p_name FROM part"
-    " UNION ALL SELECT p_partkey + 10000000, p_name FROM part"
-    " UNION ALL SELECT p_partkey + 20000000, p_name FROM part)"
+    " UNION ALL SELECT p_partkey + 10000000, p_name FROM part)"
 )
 
 
-def _part_x3(spark, sf_dir):
-    """The part table replicated 3x with disjoint key ranges.
+def _part_x2(spark, sf_dir):
+    """The part table replicated 2x with disjoint key ranges.
 
     Deterministically DERIVED from the driver testdata (no synthesized
     data): the scaling bench needs a workload where the join kernel's work
     dominates the ~20 s of per-job fixed cost (scan + ordering + stats job
     latency) that at sf0.1 is 40-70% of the rowlevel queries' wall and
     would otherwise cap any measured thread-scaling at ~0.5. Replication
-    multiplies the self-join's quadratic work 9x while the fixed cost stays
-    constant. The oracle applies the identical UNION ALL in SQL, so these
+    multiplies the self-join's quadratic work 4x while the fixed cost stays
+    constant. (2x, not more: the dup-heavy stress table multiplies the
+    quadratic self-join work superlinearly through aggregation state.)
+    The oracle applies the identical UNION ALL in SQL, so these
     queries stay fully value-checked."""
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
     out = None
-    for i in range(3):
+    for i in range(2):
         p = part.select(
-            (F.col("p_partkey") + F.lit(i * _X3_OFFSET)).alias("p_partkey"),
+            (F.col("p_partkey") + F.lit(i * _X2_OFFSET)).alias("p_partkey"),
             "p_name",
         )
         out = p if out is None else out.unionByName(p)
     return out
 
 
-def q_jaccard_part_rowlevel_x3(spark, sf_dir):
-    """Scaling kernel: jaccard rowlevel self-join on the 3x part table."""
+def q_jaccard_part_rowlevel_x2(spark, sf_dir):
+    """Scaling kernel: jaccard rowlevel self-join on the 2x part table."""
     from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
 
-    px = _part_x3(spark, sf_dir)
+    px = _part_x2(spark, sf_dir)
     pairs = set_sim_join_pairs(
         "jaccard", px, px, "p_partkey", "p_partkey", "p_name", "p_name",
         _WS, 0.5, allow_empty=False, self_join_dedup=True, value_dedup=False,
@@ -186,11 +187,11 @@ def q_jaccard_part_rowlevel_x3(spark, sf_dir):
     )
 
 
-def q_edit_distance_part_rowlevel_x3(spark, sf_dir):
-    """Scaling kernel: edit-distance rowlevel self-join on the 3x part table."""
+def q_edit_distance_part_rowlevel_x2(spark, sf_dir):
+    """Scaling kernel: edit-distance rowlevel self-join on the 2x part table."""
     from py_stringsimjoin_spark.operators.edit_distance_join import edit_distance_join
 
-    px = _part_x3(spark, sf_dir)
+    px = _part_x2(spark, sf_dir)
     out = edit_distance_join(
         px, px, "p_partkey", "p_partkey", "p_name", "p_name", 2,
         tokenizer=_QG2, out_sim_score=True, value_dedup=False,
@@ -948,10 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coefficient_part": _set_sim_part("overlap_coefficient", 1.0),
         "jaccard_part_qgram3": q_jaccard_qgram3,
         "jaccard_part_rowlevel": q_jaccard_part_rowlevel,
-        "jaccard_part_rowlevel_x3": q_jaccard_part_rowlevel_x3,
+        "jaccard_part_rowlevel_x2": q_jaccard_part_rowlevel_x2,
         "edit_distance_part": q_edit_distance_part,
         "edit_distance_part_rowlevel": q_edit_distance_part_rowlevel,
-        "edit_distance_part_rowlevel_x3": q_edit_distance_part_rowlevel_x3,
+        "edit_distance_part_rowlevel_x2": q_edit_distance_part_rowlevel_x2,
         "jaccard_docs": q_jaccard_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -986,10 +987,10 @@ def oracle_sql() -> dict[str, str]:
         "overlap_coefficient_part": _set_sim_part_sql(_OC_SCORE, 1.0),
         "jaccard_part_qgram3": _set_sim_part_sql(_J_SCORE, 0.6, tok=qg3),
         "jaccard_part_rowlevel": _set_sim_part_sql(_J_SCORE, 0.5),
-        "jaccard_part_rowlevel_x3": _set_sim_part_sql(_J_SCORE, 0.5, rel=_PART_X3_SQL),
+        "jaccard_part_rowlevel_x2": _set_sim_part_sql(_J_SCORE, 0.5, rel=_PART_X2_SQL),
         "edit_distance_part": _edit_distance_sql(),
         "edit_distance_part_rowlevel": _edit_distance_sql(),
-        "edit_distance_part_rowlevel_x3": _edit_distance_sql(rel=_PART_X3_SQL),
+        "edit_distance_part_rowlevel_x2": _edit_distance_sql(rel=_PART_X2_SQL),
         "jaccard_docs": _jaccard_docs_sql(),
         "exact_dups_docs": _EXACT_DUPS_SQL,
         "minhash_pairs_docs": _minhash_pairs_sql(),
