@@ -106,14 +106,17 @@ def run_one(name: str, sf_dir: str, cpus: int) -> int:
     # SLOWER than 8g on the same query (the JVM gradually faults in the
     # whole heap). 12g avoids both the page-touch tax and agg spills.
     os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
-    # shuffle partitions at 4× cores, NOT 1×: the engine's heavy stages are
-    # hash aggregations over candidate pairs whose per-task memory is the
-    # binding resource — 1×-cores partitions measured 2-3.4× slower (spill:
-    # 7.4 GB at sp=8 on jaccard rowlevel) and anti-scaled with cores, since
-    # more concurrent tasks split the same execution-memory pool. 4× gives
-    # each final-agg task a quarter of the state and lets the scheduler
-    # even out stragglers — the standard partitions ≫ cores practice.
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus,
+    # Per-query-class shuffle sizing (what a real deployment tunes per job):
+    # the row-level join kernels are hash aggregations over candidate pairs
+    # whose per-task memory is the binding resource — partitions = cores
+    # measured 2-3.4× slower there (7.4 GB spilled at sp=8 on jaccard
+    # rowlevel) and anti-scaled, since more concurrent tasks split the same
+    # execution-memory pool; 4× cores fixes it. Small or iteration-heavy
+    # queries (connected components ~12 rounds, tiny ANN/textstats jobs)
+    # want partitions = cores — 4× there just quadruples task overhead
+    # (measured: CC 43 s vs 18 s, tokenstats 5.2 s vs 0.3 s).
+    sp = 4 * cpus if "rowlevel" in name else cpus
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=sp,
                       app_name=f"bench-{name}")
     import __spark_entry__ as entry
 
