@@ -185,3 +185,38 @@ def test_connected_components_with_reliable_checkpoint(spark, tmp_path):
     finally:
         if old:
             spark.sparkContext.setCheckpointDir(old)
+
+
+def test_long_token_sets_use_rejoin_verify_and_match_bruteforce(spark):
+    """Token sets averaging >64 tokens take the candidates-distinct →
+    rejoin-arrays verify plan (carrying 80-token arrays through the prefix
+    explode would replicate them prefix-length times); short sets verify
+    inline. Both must produce identical, brute-force-correct output."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    # 10 clusters of 6 near-duplicates: each cluster shares a 70-token core,
+    # each row adds ~10 private tokens → within-cluster jaccard ≈ 0.55
+    for c in range(10):
+        core = rng.sample(vocab, 70)
+        for j in range(6):
+            noise = rng.sample(vocab, 10)
+            rows.append((c * 10 + j, " ".join(core + noise)))
+    df = spark.createDataFrame(rows, "id long, txt string")
+    out = set_sim_join_pairs(
+        "jaccard", df, df, "id", "id", "txt", "txt",
+        WhitespaceTokenizer(), 0.3, allow_empty=False, self_join_dedup=True,
+        value_dedup=False, strategy="prefix",
+    )
+    got = {(r["_l_key"], r["_r_key"], round(r["_sim_score"], 12)) for r in out.collect()}
+    sets = {i: set(t.split()) for i, t in rows}
+    exp = set()
+    for li, lt in sets.items():
+        for ri, rt in sets.items():
+            if li < ri:
+                j = len(lt & rt) / len(lt | rt)
+                if j >= 0.3:
+                    exp.add((li, ri, round(j, 12)))
+    assert got == exp and len(got) > 0
