@@ -56,3 +56,55 @@ def test_random_corpus_matches_oracle(spark, seed, threshold, measure, strategy,
     )
     for k, v in exp.items():
         assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def _mk_str_rows(seed: int, n: int):
+    """Random short strings over a small alphabet (dup- and typo-heavy)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(1, 8)
+        s = "".join(rng.choice("abcx") for _ in range(k))
+        if rng.random() < 0.1:
+            s = None
+        rows.append((f"r{i}", s))
+    return rows
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0, 1, 2, 3]),
+    comp_op=st.sampled_from(["<=", "<", "="]),
+    value_dedup=st.sampled_from([False, "auto"]),
+)
+def test_random_edit_distance_matches_oracle(spark, seed, threshold, comp_op, value_dedup):
+    from py_stringsimjoin_spark.functions.tokenizers import QgramTokenizer
+    from py_stringsimjoin_spark.operators.edit_distance_join import edit_distance_join
+
+    from .oracle import brute_force_edit_distance
+
+    rows_a = _mk_str_rows(seed, 12)
+    rows_b = _mk_str_rows(seed + 1, 12)
+    A = spark.createDataFrame(rows_a, "ID string, name string")
+    B = spark.createDataFrame(rows_b, "ID string, name string")
+    tok = QgramTokenizer(qval=2)
+    out = edit_distance_join(
+        A, B, "ID", "ID", "name", "name", threshold, comp_op=comp_op,
+        tokenizer=tok, value_dedup=value_dedup,
+    )
+    got = {
+        (r["l_ID"], r["r_ID"]): r["_sim_score"] for r in out.collect()
+    }
+    # bag tokenizer for the shared-qgram carve-out, like the join itself
+    from py_stringsimjoin_spark.operators.edit_distance_join import _as_bag
+
+    exp = brute_force_edit_distance(
+        rows_a, rows_b, 0, 0, 1, 1, _as_bag(tok), threshold, comp_op
+    )
+    assert set(got) == set(exp), (
+        f"t={threshold} {comp_op} dedup={value_dedup}: "
+        f"extra={set(got) - set(exp)} missing={set(exp) - set(got)}"
+    )
+    for k, v in exp.items():
+        assert got[k] == v
