@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_stringsimjoin_spark.functions.tokenizers import (
+    DelimiterTokenizer,
     QgramTokenizer,
     ShingleTokenizer,
     WhitespaceTokenizer,
@@ -28,6 +29,9 @@ _WS = WhitespaceTokenizer(return_set=True)
 _QG3 = QgramTokenizer(qval=3, return_set=True)
 _QG2 = QgramTokenizer(qval=2)  # bag, edit-distance default
 _SH2 = ShingleTokenizer(n=2)
+# multi-char + overlapping delimiters — the arbitrary-delimiter surface the
+# reference gets from py_stringmatching (tests/test_join.py:179-182)
+_DELIM = DelimiterTokenizer([", ", ","], return_set=True)
 
 # ---------------------------------------------------------------- helpers --
 
@@ -199,6 +203,32 @@ def q_edit_distance_part_rowlevel_x2(spark, sf_dir):
     return (
         out.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
         .select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("dist"))
+    )
+
+
+_PART_DELIM_SQL = (
+    "(SELECT p_partkey, replace(p_name, ' ', ', ') AS p_name FROM part)"
+)
+
+
+def q_jaccard_part_delim(spark, sf_dir):
+    """Jaccard self-join with an arbitrary-delimiter tokenizer: p_name
+    rewritten comma-delimited, tokenized on the overlapping delimiter set
+    {', ', ','} (longest-first). Exercises DelimiterTokenizer end-to-end
+    through the prefix/count kernel with a value-hash-checked oracle."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", F.regexp_replace("p_name", " ", ", ").alias("p_name")
+    )
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _DELIM, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
     )
 
 
@@ -948,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dice_part": _set_sim_part("dice", 0.6),
         "overlap_coefficient_part": _set_sim_part("overlap_coefficient", 1.0),
         "jaccard_part_qgram3": q_jaccard_qgram3,
+        "jaccard_part_delim": q_jaccard_part_delim,
         "jaccard_part_rowlevel": q_jaccard_part_rowlevel,
         "jaccard_part_rowlevel_x2": q_jaccard_part_rowlevel_x2,
         "edit_distance_part": q_edit_distance_part,
@@ -986,6 +1017,9 @@ def oracle_sql() -> dict[str, str]:
         "dice_part": _set_sim_part_sql(_D_SCORE, 0.6),
         "overlap_coefficient_part": _set_sim_part_sql(_OC_SCORE, 1.0),
         "jaccard_part_qgram3": _set_sim_part_sql(_J_SCORE, 0.6, tok=qg3),
+        "jaccard_part_delim": _set_sim_part_sql(
+            _J_SCORE, 0.5, tok=_DELIM, rel=_PART_DELIM_SQL
+        ),
         "jaccard_part_rowlevel": _set_sim_part_sql(_J_SCORE, 0.5),
         "jaccard_part_rowlevel_x2": _set_sim_part_sql(_J_SCORE, 0.5, rel=_PART_X2_SQL),
         "edit_distance_part": _edit_distance_sql(),

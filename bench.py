@@ -159,35 +159,40 @@ def main() -> int:
         rec = json.loads(line)
         return rec, None, steal
 
-    # medians are per (query, cpus, sf): local[8] and local[32] timings must
-    # not pollute each other's retry baselines
+    # medians history is per (query, cpus, sf): local[8] and local[32]
+    # timings must not pollute each other
     mkey = lambda n: f"{n}@{cpus}@{sf}"
-    medians = _load_medians()
+    # Shared-host variance policy (round-3 verdict + advisor): every headline
+    # query runs a FIXED number of attempts (default 2) and the recorded
+    # timing is the best of them — unconditionally, not only on 3×-median
+    # outliers, so a steal window polluting attempt 1 self-corrects instead
+    # of becoming the artifact of record. ALL attempts land in
+    # extras[*_attempts] and in the BENCH_MEDIANS.json history (not just the
+    # min), so the history stays an unbiased record of observed timings.
+    n_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2")))
     for name in BENCH_QUERIES:
         try:
-            rec, err, steal = attempt(name)
-            if rec is None:
-                failures[name] = err
+            recs: list[tuple[dict, float]] = []
+            err = None
+            for _ in range(n_attempts):
+                rec, err, steal = attempt(name)
+                if rec is not None:
+                    recs.append((rec, steal))
+                    _save_median(mkey(name), rec["sec"])
+            if not recs:
+                failures[name] = err or "no output"
                 print(f"[bench] {name}: FAILED", file=sys.stderr, flush=True)
                 continue
+            rec, steal = min(recs, key=lambda rs: rs[0]["sec"])
             sec = rec["sec"]
+            extras[f"{name}_attempts"] = [r["sec"] for r, _ in recs]
             extras[f"{name}_steal_pct"] = steal
-            # shared-host variance guard: a result >3× the query's recent
-            # median is presumed a host-steal window — one retry, keep min
-            med = _median(medians.get(mkey(name), []))
-            if med and sec > 3 * med:
-                print(f"[bench] {name}: {sec}s > 3x median {med}s — retrying",
-                      file=sys.stderr, flush=True)
-                rec2, err2, steal2 = attempt(name)
-                extras[f"{name}_attempts"] = [sec, rec2["sec"] if rec2 else None]
-                extras[f"{name}_steal_pct"] = min(steal, steal2)
-                if rec2 is not None and rec2["sec"] < sec:
-                    rec, sec = rec2, rec2["sec"]
             timings[name] = sec
             extras[f"{name}_rows"] = rec["rows"]
-            _save_median(mkey(name), sec)
-            print(f"[bench] {name}: {sec}s rows={rec['rows']} steal={steal}%",
-                  file=sys.stderr, flush=True)
+            print(
+                f"[bench] {name}: {sec}s (attempts "
+                f"{[r['sec'] for r, _ in recs]}) rows={rec['rows']} "
+                f"steal={steal}%", file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
             failures[name] = f"timeout after {QUERY_TIMEOUT_SEC}s"
             print(f"[bench] {name}: TIMEOUT", file=sys.stderr, flush=True)

@@ -10,7 +10,12 @@ resumable pipelines).
 """
 
 from .functions.converters import dataframe_column_to_str, remove_non_ascii_col
-from .functions.tokenizers import QgramTokenizer, ShingleTokenizer, WhitespaceTokenizer
+from .functions.tokenizers import (
+    DelimiterTokenizer,
+    QgramTokenizer,
+    ShingleTokenizer,
+    WhitespaceTokenizer,
+)
 from .operators.connected_components import connected_components
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
 from .operators.filters import (
@@ -31,6 +36,7 @@ from .sources.datasets import load_books_dataset, load_person_dataset
 __version__ = "0.1.0"
 
 __all__ = [
+    "DelimiterTokenizer",
     "QgramTokenizer",
     "ShingleTokenizer",
     "WhitespaceTokenizer",

@@ -75,6 +75,63 @@ class WhitespaceTokenizer(Tokenizer):
         return f"WhitespaceTokenizer(return_set={self.return_set})"
 
 
+def _escape_regex_char(ch: str) -> str:
+    """Escape one literal character identically for Java regex (Spark), RE2
+    (DuckDB) and Python ``re``: only genuinely special punctuation is
+    escaped — never letters/digits, where a backslash could form a class
+    escape (\\d) in one engine but not another."""
+    return "\\" + ch if ch in "\\.^$|?*+()[]{}" else ch
+
+
+class DelimiterTokenizer(Tokenizer):
+    """Split on any of an arbitrary set of literal delimiter strings.
+
+    Capability parity with py_stringmatching's ``DelimiterTokenizer`` as the
+    reference consumes it (/root/reference/py_stringsimjoin/tests/
+    test_join.py:179-182, benchmarks/custom_benchmarks/benchmark_join.py:
+    25-30): the string is segmented at every occurrence of any delimiter
+    (multi-character delimiters allowed) and empty tokens are dropped.
+    Delimiters are matched longest-first so overlapping delimiters (e.g.
+    ``", "`` and ``","``) behave identically in all three engines
+    (leftmost-first alternation in Java regex, RE2 and Python ``re``).
+    """
+
+    def __init__(self, delim_set=(" ",), return_set: bool = False):
+        delims = sorted(set(delim_set), key=lambda d: (-len(d), d))
+        if not delims or any(d == "" for d in delims):
+            raise ValueError("delim_set must contain non-empty strings")
+        self.delim_set = delims
+        self.return_set = return_set
+        self._pattern = "|".join(
+            "".join(_escape_regex_char(c) for c in d) for d in delims
+        )
+        import re
+
+        self._re = re.compile(self._pattern)
+
+    def spark_col(self, col: Column) -> Column:
+        toks = F.filter(F.split(col, self._pattern, -1), lambda t: t != "")
+        return F.when(col.isNull(), F.lit(None)).otherwise(self._maybe_set(toks))
+
+    def tokenize(self, s: str | None) -> list[str] | None:
+        if s is None:
+            return None
+        return self._maybe_set_py([t for t in self._re.split(s) if t != ""])
+
+    def duckdb_sql(self, expr: str) -> str:
+        pat = self._pattern.replace("'", "''")
+        toks = f"list_filter(string_split_regex({expr}, '{pat}'), t -> t <> '')"
+        if self.return_set:
+            toks = f"list_distinct({toks})"
+        return f"CASE WHEN {expr} IS NULL THEN NULL ELSE {toks} END"
+
+    def __repr__(self):
+        return (
+            f"DelimiterTokenizer(delim_set={self.delim_set}, "
+            f"return_set={self.return_set})"
+        )
+
+
 class QgramTokenizer(Tokenizer):
     """Character q-grams with optional #/$ padding (q-1 pad chars each side)."""
 

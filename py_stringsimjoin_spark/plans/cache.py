@@ -57,15 +57,22 @@ def _release(dfs: list[DataFrame]) -> int:
 def engine_cache_scope():
     """Release only the engine caches created inside this scope.
 
-    Caches registered before entry are untouched, so concurrent/outer plans
-    keep their persisted intermediates. Yields a callable returning how many
-    caches the scope has accumulated so far (diagnostics)."""
-    start = len(_ENGINE_CACHES)
+    Scoping is by identity, not list position (advisor finding): the set of
+    registry entries present at entry is snapshotted, and on exit only
+    entries NOT in that snapshot are released — so caches registered by
+    concurrent threads before the scope opened, and outer plans' persisted
+    intermediates, are untouched even if this thread's registrations
+    interleave with other threads'. (A cache another thread registers while
+    the scope is open is still swept — callers running fully concurrent
+    engine plans should give each its own scope or none.) Yields a callable
+    returning how many new caches have accumulated since entry
+    (diagnostics)."""
+    before = {id(df) for df in _ENGINE_CACHES}
     try:
-        yield lambda: len(_ENGINE_CACHES) - start
+        yield lambda: sum(1 for df in _ENGINE_CACHES if id(df) not in before)
     finally:
-        scoped = _ENGINE_CACHES[start:]
-        del _ENGINE_CACHES[start:]
+        scoped = [df for df in _ENGINE_CACHES if id(df) not in before]
+        _ENGINE_CACHES[:] = [df for df in _ENGINE_CACHES if id(df) in before]
         _release(scoped)
 
 

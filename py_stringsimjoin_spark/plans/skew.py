@@ -119,8 +119,24 @@ def salted_token_join(
                 ex_r.repartition(pin_partitions, F.col(tok_col)), tok_col
             )
         return ex_l.join(ex_r, tok_col)
-    # bounded literal map rank -> S_t (≤ α·P entries by construction)
-    pairs = [x for kv in sorted(hot.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    # bounded literal map rank -> S_t (≤ α·P entries by construction).
+    # Keys are explicitly cast to the _tok column's type: small Python ints
+    # would otherwise become IntegerType literals and force a narrowing
+    # long→int cast on the LOOKUP KEY, which for ≥2^31 token ranks (the
+    # web-scale vocabulary regime) wraps, misses the map, and silently
+    # disables the hot-token salting (advisor finding). String-keyed maps
+    # (the overlap joins salt on raw tokens) pass through unchanged.
+    key_type = dict(ex_l.dtypes).get(tok_col, "bigint")
+    key_lit = (
+        (lambda k: F.lit(k).cast("long"))
+        if key_type in ("bigint", "int", "smallint", "tinyint")
+        else F.lit
+    )
+    pairs = [
+        x
+        for kv in sorted(hot.items())
+        for x in (key_lit(kv[0]), F.lit(int(kv[1])).cast("int"))
+    ]
     smap = F.create_map(*pairs)
     s_col: Column = F.coalesce(smap[F.col(tok_col)], F.lit(1))
     l2 = ex_l.withColumn(

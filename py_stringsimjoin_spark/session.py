@@ -11,6 +11,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tmpfs_has_headroom(path: str) -> bool:
+    """True when ``path`` is a directory with enough free bytes to serve as a
+    shuffle local dir (spill must never be what OOMs the box)."""
+    min_gb = float(os.environ.get("SPARK_GRAFT_SHM_MIN_GB", "32"))
+    try:
+        st = os.statvfs(path)
+        return os.path.isdir(path) and st.f_bavail * st.f_frsize >= min_gb * (1 << 30)
+    except OSError:
+        return False
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "py_stringsimjoin_spark",
@@ -56,12 +67,16 @@ def get_spark(
     # local[32] and stopped scaling entirely). Local mode therefore defaults
     # spark.local.dir to tmpfs when available — the local-mode stand-in for
     # the NVMe local dirs any production cluster provisions for shuffle.
-    # $SPARK_LOCAL_DIRS (Spark's own env) or extra_conf override this.
+    # Guard (advisor finding): tmpfs is RAM-backed and often tiny (64 MB in a
+    # default Docker container), and spill landing in RAM defeats its purpose
+    # — so the default only fires when /dev/shm has plenty of free space
+    # (≥ SPARK_GRAFT_SHM_MIN_GB, default 32 GiB; this sandbox's is 126 GiB).
+    # $SPARK_LOCAL_DIRS (Spark's own env) or extra_conf override either way.
     if (
         master.startswith("local")
         and "SPARK_LOCAL_DIRS" not in os.environ
         and not (extra_conf or {}).get("spark.local.dir")
-        and os.path.isdir("/dev/shm")
+        and _tmpfs_has_headroom("/dev/shm")
     ):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():

@@ -60,3 +60,60 @@ def test_qgram_duckdb_parity():
             got = con.execute(f"select {sql} from (select ? as s)", [v]).fetchone()[0]
             exp = tok.tokenize(v)
             assert sorted(got) == sorted(exp), (tok, v, got, exp)
+
+
+def test_delimiter_values():
+    from py_stringsimjoin_spark.functions.tokenizers import DelimiterTokenizer
+
+    tok = DelimiterTokenizer([","])
+    assert tok.tokenize("a,b,,c") == ["a", "b", "c"]
+    assert tok.tokenize(",a,") == ["a"]
+    assert tok.tokenize("") == []
+    assert tok.tokenize(None) is None
+    # multi-char delimiter, longest-first over an overlapping shorter one
+    tok2 = DelimiterTokenizer([", ", ","])
+    assert tok2.tokenize("a, b,c") == ["a", "b", "c"]
+    # multiple delimiters incl. regex-special chars
+    tok3 = DelimiterTokenizer([".", "|", " "])
+    assert tok3.tokenize("a.b|c d") == ["a", "b", "c", "d"]
+    # return_set: order-preserving distinct
+    assert DelimiterTokenizer([","], return_set=True).tokenize("b,a,b") == ["b", "a"]
+    assert DelimiterTokenizer([","], return_set=False).tokenize("b,a,b") == ["b", "a", "b"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        DelimiterTokenizer([])
+    with pytest.raises(ValueError):
+        DelimiterTokenizer([""])
+
+
+def test_delimiter_matches_python(spark):
+    from py_stringsimjoin_spark.functions.tokenizers import DelimiterTokenizer
+
+    vals = ["a,b,,c", ",a,", "", "no-delims", None, "x, y,z", "a.b|c d", "b,a,b"]
+    for delims in ([","], [", ", ","], [".", "|", " "], ["--"]):
+        for rs in (True, False):
+            tok = DelimiterTokenizer(delims, return_set=rs)
+            got = _spark_tokenize(spark, tok, vals)
+            exp = [tok.tokenize(v) for v in vals]
+            assert got == exp, (delims, rs, got, exp)
+
+
+def test_delimiter_duckdb_parity():
+    import duckdb
+
+    from py_stringsimjoin_spark.functions.tokenizers import DelimiterTokenizer
+
+    con = duckdb.connect()
+    vals = ["a,b,,c", ",a,", "", "no-delims", "x, y,z", "a.b|c d", "b,a,b", "a--b-c"]
+    for delims in ([","], [", ", ","], [".", "|", " "], ["--"]):
+        for rs in (True, False):
+            tok = DelimiterTokenizer(delims, return_set=rs)
+            sql = tok.duckdb_sql("s")
+            for v in vals:
+                got = con.execute(f"select {sql} from (select ? as s)", [v]).fetchone()[0]
+                exp = tok.tokenize(v)
+                # list_distinct does not preserve order in DuckDB; joins
+                # consume tokens as (multi)sets, so sorted-equality is the
+                # parity that matters (same convention as the q-gram test)
+                assert sorted(got) == sorted(exp), (delims, rs, v, got, exp)
