@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenizers import QgramTokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
+from ..plans.pairkey import resolve_pair_packer
 from ..plans.stats import value_dedup_auto, value_hash_col
 from ..plans.validation import (
     validate_attr,
@@ -240,15 +241,33 @@ def edit_distance_join(
         keep = (dd >= 0) & (dd < t_int)
     else:  # "="
         keep = dd == t_int
-    pairs = (
+    verified = (
         salted_token_join(pl, pr, hot, n_salts, "_l_key", pin_partitions=n_shuffle)
         .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
         .where(ub >= alpha)
         .withColumn("_d", F.levenshtein(F.col("_l_str"), F.col("_r_str"), t_int))
         .where(keep)
-        .select("_l_key", "_r_key", dd.cast("double").alias("_sim_score"))
-        .distinct()
     )
+    # dedup the verified matches through a packed primitive key when the key
+    # dtypes allow it (plans/pairkey.py) — same spill math as set_sim_join
+    packer = resolve_pair_packer(ltable, rtable, l_key_attr, r_key_attr, is_self)
+    if packer is not None:
+        pairs = (
+            verified.select(
+                packer.pack(F.col("_l_key"), F.col("_r_key")).alias("_pk"),
+                dd.cast("double").alias("_sim_score"),
+            )
+            .distinct()
+            .select(
+                packer.unpack_l(F.col("_pk")).alias("_l_key"),
+                packer.unpack_r(F.col("_pk")).alias("_r_key"),
+                "_sim_score",
+            )
+        )
+    else:
+        pairs = verified.select(
+            "_l_key", "_r_key", dd.cast("double").alias("_sim_score")
+        ).distinct()
 
     if allow_missing:
         pairs = pairs.unionByName(

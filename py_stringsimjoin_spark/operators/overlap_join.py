@@ -87,15 +87,26 @@ def _expand_value_pairs(vpairs, ltable, rtable, l_key_attr, r_key_attr,
 
 
 def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok, with_sizes: bool):
-    """Exploded token equi-join with measured-frequency hot-token salting.
+    """Exploded token equi-join with sampled-frequency hot-token salting.
 
     The overlap joins explode ALL tokens (exactness needs every shared
     token), so on Zipfian web text the hottest tokens would serialize the
     join into a few quadratic-output tasks — the same failure mode the
     prefix joins salt against (plans/skew.py; AQE cannot split exploding
-    joins because their *input* is small). One frequency aggregation over
-    the exploded build side finds the provably-hot tokens (freq >
-    sqrt(Σf²/P), at most P of them) and exactly those are salted."""
+    joins because their *input* is small).
+
+    Hot-token detection is SAMPLED (round-4; the round-3 full frequency
+    aggregation was a second tokenize pass over the whole corpus): a
+    ``saltSampleFraction`` row sample (default 1%) of each input is
+    tokenized and aggregated, and hotness is decided on the sampled counts.
+    The decision rule is scale-invariant — hot ⟺ f² > Σf²/(α·P) and
+    S_t = ceil(α·P·f²/Σf²) use only frequency *ratios*, and under uniform
+    row sampling both numerator and denominator scale by ~p² (the Zipf head
+    dominates Σf², and head tokens are well-represented in any sample) — so
+    the salt plan converges to the exact-count plan while tokenizing only
+    the sample. Salting is output-invariant: a sampling miss costs balance,
+    never correctness. Set the conf to 1.0 for exact counts (one extra
+    corpus pass, the old behavior)."""
     l_nn = (
         ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
         .where(F.col("_l_str").isNotNull())
@@ -118,11 +129,27 @@ def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_att
     spark = ltable.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    # vocabulary-sized; persisted because the Σf² agg and the hot-token
-    # collect both read it (one corpus tokenize pass total)
+    p = float(spark.conf.get("spark.py_stringsimjoin.saltSampleFraction", "0.01"))
+    if p >= 1.0:
+        tok_stream = l_ex.select("_tok").unionByName(r_ex.select("_tok"))
+    else:
+        # sample ROWS before tokenizing, so only the sample pays the
+        # tokenize+explode cost; the join itself remains the one full
+        # tokenize pass per input
+        tok_stream = None
+        for t, a in ((ltable, l_join_attr), (rtable, r_join_attr)):
+            s = (
+                t.select(F.col(a).alias("_s"))
+                .where(F.col("_s").isNotNull())
+                .sample(fraction=p, seed=42)
+                .withColumn("_tokens", tok.spark_col(F.col("_s")))
+                .select(F.explode("_tokens").alias("_tok"))
+            )
+            tok_stream = s if tok_stream is None else tok_stream.unionByName(s)
+    # sample-vocabulary-sized; persisted because the Σf² agg and the
+    # hot-token collect both read it
     freq = persist_tracked(
-        l_ex.select("_tok").unionByName(r_ex.select("_tok"))
-        .groupBy("_tok").agg(F.count("*").alias("_freq"))
+        tok_stream.groupBy("_tok").agg(F.count("*").alias("_freq"))
     )
     fd = F.col("_freq").cast("double")
     w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..functions.tokenizers import Tokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
-from ..plans.stats import value_dedup_auto, value_hash_col
+from ..plans.pairkey import resolve_pair_packer
+from ..plans.stats import sample_plan_stats, value_hash_col
 from ..plans.validation import (
     COMP_OP_FN,
     validate_attr,
@@ -110,6 +111,7 @@ def set_sim_join_pairs(
     strategy: str = "auto",
     value_dedup: bool | str = "auto",
     shuffle_partitions: int | None = None,
+    _plan_stats: dict | None = None,
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
 
@@ -136,15 +138,17 @@ def set_sim_join_pairs(
         exact overlap, score as pure JVM arithmetic (zero UDF); wins when
         ℓ(n) ≈ n (short token sets / low thresholds), where the prefix
         plan pays its extra joins + Python stage for no pruning.
-      * ``"auto"``    — one tiny stats job (avg token count + avg prefix
-        length on the left side) picks between them: count when the
-        prefix would keep >60% of tokens or sets average ≤4 tokens.
+      * ``"auto"``    — picks between them from the shared bounded-sample
+        stats job (plans/stats.sample_plan_stats; O(sample) cost at any
+        corpus size): count when the prefix would keep >60% of tokens or
+        sets average ≤4 tokens.
 
     ``value_dedup``: the second cost-based decision — dup-heavy corpora
     (re-crawled pages, repeated product names) make the row-level join
     quadratic in the duplicate count for no information: similarity is a
     function of the VALUE, not the row. When the distinct/total ratio of
-    the join attrs drops below 0.6 (one approx_count_distinct stats job),
+    the join attrs drops below 0.6 (estimated by the same bounded-sample
+    stats job — a limit() read, not a corpus scan),
     the join runs on distinct values only and the result is expanded back
     to rows by two equality joins — identical output, work shrinks by the
     duplication factor squared. ``True``/``False`` force the choice.
@@ -181,11 +185,28 @@ def set_sim_join_pairs(
     # cache (halves the prep work for clustering/dedup pipelines)
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
 
+    # All three plan-time decisions (value dedup, prefix-vs-count strategy,
+    # inline-vs-rejoin verify) share ONE bounded-sample stats job
+    # (plans/stats.sample_plan_stats), computed lazily on first need and
+    # passed down to the value-dedup recursion so it is never repeated.
+    plan_stats = _plan_stats
+
+    def get_stats() -> dict:
+        nonlocal plan_stats
+        if plan_stats is None:
+            sides = [(l_proj, "_l_str")]
+            if not is_self:
+                sides.append((r_proj, "_r_str"))
+            plan_stats = sample_plan_stats(
+                sides,
+                tokenizer=tok,
+                prefix_col_fn=lambda sz: fm.prefix_length_col(sz, measure, threshold),
+            )
+        return plan_stats
+
     if value_dedup == "auto":
-        sides = [(l_proj, "_l_str")]
-        if not is_self:
-            sides.append((r_proj, "_r_str"))
-        value_dedup = value_dedup_auto(sides)  # ONE stats job (plans/stats.py)
+        st = get_stats()
+        value_dedup = st["n"] > 0 and st["nd"] / st["n"] < 0.6
     if value_dedup:
         lv = l_proj.where(F.col("_l_str").isNotNull()).select(
             F.col("_l_str").alias("_v")
@@ -200,7 +221,7 @@ def set_sim_join_pairs(
             comp_op, allow_empty, allow_missing=False,
             position_filter=position_filter, self_join_dedup=False,
             verify=verify, strategy=strategy, value_dedup=False,
-            shuffle_partitions=shuffle_partitions,
+            shuffle_partitions=shuffle_partitions, _plan_stats=plan_stats,
         ).select(
             value_hash_col(F.col("_l_key")).alias("_h1"),
             value_hash_col(F.col("_r_key")).alias("_h2"),
@@ -252,25 +273,27 @@ def set_sim_join_pairs(
     if strategy not in ("auto", "prefix", "count"):
         raise AssertionError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        stats = l_rk.agg(
-            F.avg("_l_size").alias("s"),
-            F.avg(fm.prefix_length_col(F.col("_l_size"), measure, threshold)).alias("p"),
-        ).first()
-        avg_size = stats["s"] or 0.0
-        avg_pfx = stats["p"] or 0.0
+        st = get_stats()
+        avg_size = st["avg_size"]
+        avg_pfx = st["avg_pfx"]
         strategy = (
             "count"
             if avg_size <= 4 or (avg_size > 0 and avg_pfx / avg_size > 0.6)
             else "prefix"
         )
-    else:
-        avg_size = None
 
     n_shuffle = shuffle_partitions or int(
         ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
     hot = hot_token_ranks(ordering, n_salts)
+    # Every strategy ends in a hash aggregation keyed by the candidate pair
+    # (groupBy / distinct) — the plan's spill-dominant stage on dup-heavy
+    # corpora. When both keys provably fit in 32 bits the pair is packed
+    # into ONE primitive long through that aggregation (plans/pairkey.py;
+    # round-3 event logs measured the two-column grouping key spilling
+    # 4-8× its exchange bytes).
+    packer = resolve_pair_packer(ltable, rtable, l_key_attr, r_key_attr, is_self)
 
     if strategy == "count":
         ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))
@@ -283,11 +306,34 @@ def set_sim_join_pairs(
         )
         if self_join_dedup:
             joined = joined.where(F.col("_l_key") < F.col("_r_key"))
-        grouped = joined.groupBy("_l_key", "_r_key").agg(
-            F.count("*").alias("_ov"),
-            F.min("_l_size").alias("_ls"),
-            F.min("_r_size").alias("_rs"),
-        )
+        if packer is not None:
+            # sizes are functionally dependent on their key, so min() over
+            # the packed (l_size << 32 | r_size) long IS (min_ls, min_rs);
+            # the whole agg state is two primitive longs per group
+            szs = F.shiftleft(F.col("_l_size").cast("long"), 32).bitwiseOR(
+                F.col("_r_size").cast("long")
+            )
+            grouped = (
+                joined.groupBy(
+                    packer.pack(F.col("_l_key"), F.col("_r_key")).alias("_pk")
+                )
+                .agg(F.count("*").alias("_ov"), F.min(szs).alias("_szs"))
+                .select(
+                    packer.unpack_l(F.col("_pk")).alias("_l_key"),
+                    packer.unpack_r(F.col("_pk")).alias("_r_key"),
+                    "_ov",
+                    F.shiftright(F.col("_szs"), 32).cast("int").alias("_ls"),
+                    F.shiftright(F.shiftleft(F.col("_szs"), 32), 32)
+                    .cast("int")
+                    .alias("_rs"),
+                )
+            )
+        else:
+            grouped = joined.groupBy("_l_key", "_r_key").agg(
+                F.count("*").alias("_ov"),
+                F.min("_l_size").alias("_ls"),
+                F.min("_r_size").alias("_rs"),
+            )
         ov = F.col("_ov").cast("double")
         ls = F.col("_ls").cast("double")
         rs = F.col("_rs").cast("double")
@@ -326,9 +372,7 @@ def set_sim_join_pairs(
     # bytes (corpus × prefix × setsize) and candidate-shuffle bytes.
     inline_verify = False
     if verify:
-        if avg_size is None:
-            avg_size = l_rk.agg(F.avg("_l_size").alias("s")).first()["s"] or 0.0
-        inline_verify = avg_size <= 64
+        inline_verify = get_stats()["avg_size"] <= 64
 
     pl = (
         l_rk.withColumn(
@@ -380,8 +424,22 @@ def set_sim_join_pairs(
                 F.col("_l_size"), F.col("_r_size"), measure, threshold
             )
         )
+    def _distinct_pairs(df):
+        """distinct() over candidate pairs, through the packed key when
+        available (one primitive long instead of a two-column UnsafeRow)."""
+        if packer is None:
+            return df.select("_l_key", "_r_key").distinct()
+        return (
+            df.select(packer.pack(F.col("_l_key"), F.col("_r_key")).alias("_pk"))
+            .distinct()
+            .select(
+                packer.unpack_l(F.col("_pk")).alias("_l_key"),
+                packer.unpack_r(F.col("_pk")).alias("_r_key"),
+            )
+        )
+
     if not verify:
-        cand = joined.select("_l_key", "_r_key").distinct()
+        cand = _distinct_pairs(joined)
         return _append_empty_and_missing(
             cand, measure, comp_op, threshold, allow_empty, allow_missing,
             l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,
@@ -398,7 +456,7 @@ def set_sim_join_pairs(
     if inline_verify:
         verify_in = joined
     else:
-        cand = joined.select("_l_key", "_r_key").distinct()
+        cand = _distinct_pairs(joined)
         verify_in = cand.join(l_rk.select("_l_key", "_l_ranked"), "_l_key").join(
             r_rk.select("_r_key", "_r_ranked"), "_r_key"
         ).select("_l_key", "_r_key", "_l_ranked", "_r_ranked")
@@ -422,7 +480,21 @@ def set_sim_join_pairs(
     if inline_verify:
         # duplicates (one per shared prefix token that survived the filters)
         # carry identical scores; dedup the verified matches
-        pairs = pairs.distinct()
+        if packer is not None:
+            pairs = (
+                pairs.select(
+                    packer.pack(F.col("_l_key"), F.col("_r_key")).alias("_pk"),
+                    "_sim_score",
+                )
+                .distinct()
+                .select(
+                    packer.unpack_l(F.col("_pk")).alias("_l_key"),
+                    packer.unpack_r(F.col("_pk")).alias("_r_key"),
+                    "_sim_score",
+                )
+            )
+        else:
+            pairs = pairs.distinct()
     return _append_empty_and_missing(
         pairs, measure, comp_op, threshold, allow_empty, allow_missing,
         l_rk, r_rk, ltable, rtable, l_key_attr, r_key_attr,

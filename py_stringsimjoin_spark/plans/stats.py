@@ -1,47 +1,96 @@
 """Shared pre-plan statistics for the engine's cost-based decisions.
 
-The joins make two cost-based choices Catalyst cannot (they are domain
+The joins make three cost-based choices Catalyst cannot (they are domain
 logic, not relational rewrites): *value dedup* (run the join over distinct
-join-attr VALUES when the corpus is duplicate-heavy) and *prefix vs count*
-strategy. Both need tiny table statistics. Round 2 computed them with 3-4
-sequential driver-blocking jobs per join call; this module collapses the
-value-dedup decision into ONE Spark job regardless of side count.
+join-attr VALUES when the corpus is duplicate-heavy), *prefix vs count*
+strategy, and *inline vs rejoin* verify placement. All need tiny table
+statistics.
 
-NOTE ON EAGERNESS (advisor finding): calling a join builder with
-``value_dedup="auto"`` (the default) runs this stats job at PLAN TIME, before
-any action on the returned DataFrame — the physical plan shape depends on
-the answer, so it cannot be deferred without making the whole builder lazy.
-Callers that build plans without executing them (or that already know their
-corpus) should pass ``value_dedup=True/False`` explicitly to skip the scan.
+Round 3 computed them with full-corpus driver-blocking jobs per join call
+(count + approx_count_distinct over every join attr, then an avg-size
+aggregation that materialized the whole ranked-token table at plan time) —
+at 100 TB that is two-to-three extra corpus reads per query. Round 4
+replaces them with ONE bounded-sample job: each side contributes at most
+``spark.py_stringsimjoin.statsSampleRows`` rows (default 100k) via
+``limit()``, which Spark satisfies by reading a handful of input partitions
+— the job's cost is O(sample), independent of corpus size. The decisions
+these estimates feed are pure physical-plan choices; every strategy produces
+identical output, so a sampling miss costs performance, never correctness.
+Set the conf to ``0`` to restore exact full-corpus statistics, or pass
+``value_dedup=`` / ``strategy=`` explicitly to skip the job entirely.
+
+NOTE ON EAGERNESS: the stats job still runs at PLAN TIME (the physical plan
+shape depends on the answer, so it cannot be deferred) — but it is now a
+bounded read, not a corpus scan.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+DEFAULT_SAMPLE_ROWS = 100_000
 
-def dup_value_stats(sides: list[tuple[DataFrame, str]]) -> tuple[int, int]:
-    """(total_rows, total_approx_distinct) over the non-null join attrs.
 
-    ONE Spark job for any number of sides: union the projected columns with a
-    side tag, aggregate per side, sum on the driver (per-side distinct counts
-    are summed, matching the round-2 per-side semantics — NOT a global
-    distinct across sides). At web scale this is one corpus scan of a single
-    projected column; pass ``value_dedup`` explicitly to skip it entirely.
+def _sample_rows_conf(df: DataFrame) -> int:
+    return int(
+        df.sparkSession.conf.get(
+            "spark.py_stringsimjoin.statsSampleRows", str(DEFAULT_SAMPLE_ROWS)
+        )
+    )
+
+
+def sample_plan_stats(
+    sides: list[tuple[DataFrame, str]],
+    tokenizer=None,
+    prefix_col_fn: Callable[[Column], Column] | None = None,
+    sample_rows: int | None = None,
+) -> dict:
+    """ONE bounded Spark job → the estimates every plan-time decision needs.
+
+    Returns ``{"n", "nd", "avg_size", "avg_pfx"}`` (the last two only when a
+    tokenizer is given): per-side row count, per-side approx-distinct of the
+    join attr (summed across sides, matching the round-2 per-side
+    semantics), and the row-weighted average token-set size / prefix length.
+    Each side is capped at ``sample_rows`` rows (``limit`` — a bounded read
+    of the first input partitions, not a corpus scan); ``sample_rows<=0``
+    means exact full-table statistics.
     """
+    if sample_rows is None:
+        sample_rows = _sample_rows_conf(sides[0][0])
     u = None
     for i, (df, col) in enumerate(sides):
         p = df.where(F.col(col).isNotNull()).select(
             F.col(col).alias("_v"), F.lit(i).alias("_side")
         )
+        if sample_rows > 0:
+            p = p.limit(sample_rows)
         u = p if u is None else u.unionByName(p)
-    rows = (
-        u.groupBy("_side")
-        .agg(F.count("*").alias("n"), F.approx_count_distinct("_v").alias("nd"))
-        .collect()
-    )
-    return sum(r["n"] for r in rows), sum(r["nd"] for r in rows)
+    aggs = [F.count("*").alias("n"), F.approx_count_distinct("_v").alias("nd")]
+    if tokenizer is not None:
+        u = u.withColumn("_sz", F.size(tokenizer.spark_col(F.col("_v"))))
+        aggs.append(F.avg("_sz").alias("s"))
+        if prefix_col_fn is not None:
+            aggs.append(F.avg(prefix_col_fn(F.col("_sz"))).alias("p"))
+    rows = u.groupBy("_side").agg(*aggs).collect()
+    n = sum(r["n"] for r in rows)
+    out = {"n": n, "nd": sum(r["nd"] for r in rows)}
+    if tokenizer is not None:
+        tot = n or 1
+        out["avg_size"] = sum((r["s"] or 0.0) * r["n"] for r in rows) / tot
+        if prefix_col_fn is not None:
+            out["avg_pfx"] = sum((r["p"] or 0.0) * r["n"] for r in rows) / tot
+    return out
+
+
+def dup_value_stats(
+    sides: list[tuple[DataFrame, str]], sample_rows: int | None = None
+) -> tuple[int, int]:
+    """(rows, approx_distinct) over the non-null join attrs — sample-bounded."""
+    st = sample_plan_stats(sides, sample_rows=sample_rows)
+    return st["n"], st["nd"]
 
 
 def value_dedup_auto(sides: list[tuple[DataFrame, str]], ratio: float = 0.6) -> bool:
