@@ -107,15 +107,22 @@ def run_one(name: str, sf_dir: str, cpus: int) -> int:
     # whole heap). 12g avoids both the page-touch tax and agg spills.
     os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
     # Per-query-class shuffle sizing (what a real deployment tunes per job):
-    # the row-level join kernels are hash aggregations over candidate pairs
-    # whose per-task memory is the binding resource — partitions = cores
-    # measured 2-3.4× slower there (7.4 GB spilled at sp=8 on jaccard
-    # rowlevel) and anti-scaled, since more concurrent tasks split the same
-    # execution-memory pool; 4× cores fixes it. Small or iteration-heavy
-    # queries (connected components ~12 rounds, tiny ANN/textstats jobs)
-    # want partitions = cores — 4× there just quadruples task overhead
-    # (measured: CC 43 s vs 18 s, tokenstats 5.2 s vs 0.3 s).
-    sp = 4 * cpus if "rowlevel" in name else cpus
+    # the row-level join kernels are exploding joins + hash aggregations
+    # whose partition count must be sized by the WORKLOAD — aggregate state
+    # per task and the (token, salt) key space — not by core count, and held
+    # CONSTANT across parallelism levels so the scaling bench compares the
+    # same physical plan with more threads, exactly like adding executors to
+    # a fixed job on a cluster. Round-4 measurement on jaccard x2 at sf0.1:
+    # partitions=4×cores gave 198-313 s at local[4] / 74-100 s at local[16];
+    # a constant 64-256 partitions gave 96 s / 44 s (under-partitioning
+    # left multi-key salt-bucket collisions + agg spill; see BENCH.md).
+    # Small or iteration-heavy queries (connected components ~12 rounds,
+    # tiny ANN/textstats jobs) still want partitions = cores.
+    sp = (
+        int(os.environ.get("SPARK_GRAFT_ROWLEVEL_SP", "256"))
+        if "rowlevel" in name
+        else cpus
+    )
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=sp,
                       app_name=f"bench-{name}")
     import __spark_entry__ as entry

@@ -27,6 +27,7 @@ from .operators.filters import (
 )
 from .operators.matcher import apply_matcher
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
+from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
 from .plans.cache import engine_cache_scope, release_engine_caches
@@ -57,6 +58,7 @@ __all__ = [
     "PositionFilter",
     "SuffixFilter",
     "apply_matcher",
+    "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",
     "dataframe_column_to_str",

@@ -1,0 +1,153 @@
+"""Prepared (pre-tokenized, pre-ranked) corpora for repeated set-sim joins.
+
+The expensive, threshold-INDEPENDENT part of every set-similarity self-join
+is the corpus preparation: tokenize → global token ordering → ranked int
+arrays. Pipelines that join the same corpus repeatedly — threshold sweeps,
+multi-measure scoring, periodic re-dedup — pay that preparation once per
+join call unless it is factored out. ``PreparedSetSimCorpus`` materializes
+it once:
+
+    corpus = PreparedSetSimCorpus(df, "doc_id", "text", tok)
+    a = corpus.join_pairs("jaccard", 0.8, self_join_dedup=True)
+    b = corpus.join_pairs("cosine", 0.7, self_join_dedup=True)   # no re-rank
+
+Both joins read the SAME persisted ranked table and ordering; only the
+prefix lengths / filters / verify (pure column arithmetic over the stored
+rank arrays) differ per call. With ``path=`` the prepared tables are also
+written to parquet and re-read from disk, so a later session (or another
+job on the cluster) skips preparation entirely; ``buckets=`` additionally
+writes the ranked table with ``bucketBy(key)`` via ``saveAsTable`` so
+downstream key-equi-joins (output assembly, candset filtering, the
+value-expansion joins) read pre-bucketed data with no shuffle on that side.
+The token-equi-join itself shuffles by TOKEN, so bucketing-by-key cannot
+remove that exchange — the preparation reuse (no tokenize, no ordering
+build, no rank groupBy) is the main saving, measured in BENCH.md.
+
+Scope: SELF-joins only. Two independently prepared corpora cannot be joined
+against each other — each has its own token→rank mapping, and re-ranking
+one side against the other's ordering would silently drop unseen tokens.
+Corpora are row-level by construction; for dup-heavy corpora prepare over
+``df.select(key, attr).distinct()`` yourself and expand afterwards.
+
+The reference has no analogous surface (every join call re-tokenizes and
+rebuilds its ordering dict, join/set_sim_join.py:16-139); this is the
+bucketed-pre-partitioning pattern any warehouse engine uses for repeated
+co-located joins, applied Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizers import Tokenizer
+from ..plans.cache import persist_tracked
+from ..plans.stats import sample_plan_stats
+from ..plans import filter_math as fm
+from .set_sim_join import as_set_tokenizer, set_sim_join_pairs
+from .token_ordering import add_ranked_tokens, build_token_ordering
+
+
+class PreparedSetSimCorpus:
+    """Tokenized + globally-ranked + persisted self-join corpus."""
+
+    def __init__(
+        self,
+        table: DataFrame,
+        key_attr: str,
+        join_attr: str,
+        tokenizer: Tokenizer,
+        path: str | None = None,
+        buckets: int | None = None,
+        table_name: str | None = None,
+    ):
+        self.table = table
+        self.key_attr = key_attr
+        self.join_attr = join_attr
+        self.tokenizer = as_set_tokenizer(tokenizer)
+        spark = table.sparkSession
+
+        proj = table.select(
+            F.col(key_attr).alias("_l_key"), F.col(join_attr).alias("_l_str")
+        )
+        nn = proj.where(F.col("_l_str").isNotNull()).withColumn(
+            "_tokens", self.tokenizer.spark_col(F.col("_l_str"))
+        )
+        ordering = build_token_ordering([(nn, "_tokens")])
+        ranked = add_ranked_tokens(
+            nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"
+        ).select("_l_key", "_l_ranked", "_l_size")
+
+        if path is not None:
+            # materialize to storage once; downstream joins (this session or
+            # any later one via ``load``) scan parquet instead of recomputing
+            ordering.write.mode("overwrite").parquet(f"{path}/ordering")
+            if buckets:
+                name = table_name or "ssj_prepared_ranked"
+                (
+                    ranked.write.mode("overwrite")
+                    .bucketBy(buckets, "_l_key")
+                    .sortBy("_l_key")
+                    .option("path", f"{path}/ranked")
+                    .saveAsTable(name)
+                )
+                ranked = spark.table(name)
+            else:
+                ranked.write.mode("overwrite").parquet(f"{path}/ranked")
+                ranked = spark.read.parquet(f"{path}/ranked")
+            ordering = spark.read.parquet(f"{path}/ordering")
+        else:
+            ordering = persist_tracked(ordering)
+            ranked = persist_tracked(ranked)
+        self.ordering = ordering
+        self.ranked = ranked
+        # plan-time estimates shared by every join over this corpus
+        # (prefix fraction is threshold-dependent, so only the generic pieces
+        # are cached; join_pairs fills avg_pfx per call from avg_size)
+        self.stats = sample_plan_stats([(proj, "_l_str")], tokenizer=self.tokenizer)
+
+    def join_pairs(
+        self,
+        measure: str,
+        threshold: float,
+        comp_op: str = ">=",
+        allow_empty: bool = True,
+        allow_missing: bool = False,
+        position_filter: bool = True,
+        self_join_dedup: bool = False,
+        verify: bool = True,
+        strategy: str = "auto",
+        shuffle_partitions: int | None = None,
+    ) -> DataFrame:
+        """Self-join this corpus → DataFrame(_l_key, _r_key, _sim_score).
+
+        Identical semantics to ``set_sim_join_pairs`` on the original table
+        (oracle-checked in tests); preparation stages are skipped."""
+        stats = dict(self.stats)
+        # the cached stats carry avg token-set size; derive the per-call
+        # prefix estimate with the same formula the sampler would use
+        stats["avg_pfx"] = float(
+            fm.prefix_length(max(int(round(stats["avg_size"])), 1), measure, threshold)
+        )
+        return set_sim_join_pairs(
+            measure,
+            self.table,
+            self.table,
+            self.key_attr,
+            self.key_attr,
+            self.join_attr,
+            self.join_attr,
+            self.tokenizer,
+            threshold,
+            comp_op=comp_op,
+            allow_empty=allow_empty,
+            allow_missing=allow_missing,
+            position_filter=position_filter,
+            self_join_dedup=self_join_dedup,
+            verify=verify,
+            strategy=strategy,
+            value_dedup=False,
+            shuffle_partitions=shuffle_partitions,
+            _plan_stats=stats,
+            _prepared=self,
+        )

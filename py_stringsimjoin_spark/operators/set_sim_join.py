@@ -112,6 +112,7 @@ def set_sim_join_pairs(
     value_dedup: bool | str = "auto",
     shuffle_partitions: int | None = None,
     _plan_stats: dict | None = None,
+    _prepared=None,
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
 
@@ -185,6 +186,17 @@ def set_sim_join_pairs(
     # cache (halves the prep work for clustering/dedup pipelines)
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
 
+    if _prepared is not None:
+        # prepared self-corpus (operators/prepared.py): the ordering and the
+        # ranked arrays are reused as-is — tokenize / ordering-build / rank
+        # all skipped. Row-level by construction (prepare over a distinct-
+        # value table yourself if your corpus is dup-heavy).
+        if not is_self:
+            raise ValueError("prepared corpora support self-joins only")
+        value_dedup = False
+        if _plan_stats is None:
+            _plan_stats = _prepared.stats
+
     # All three plan-time decisions (value dedup, prefix-vs-count strategy,
     # inline-vs-rejoin verify) share ONE bounded-sample stats job
     # (plans/stats.sample_plan_stats), computed lazily on first need and
@@ -248,7 +260,15 @@ def set_sim_join_pairs(
                 mp = mp.select("_l_key", "_r_key")
             out = out.unionByName(mp)
         return out
-    if is_self:
+    if _prepared is not None:
+        ordering = _prepared.ordering
+        l_rk = _prepared.ranked
+        r_rk = l_rk.select(
+            F.col("_l_key").alias("_r_key"),
+            F.col("_l_ranked").alias("_r_ranked"),
+            F.col("_l_size").alias("_r_size"),
+        )
+    elif is_self:
         ordering = build_token_ordering([(l_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(
             l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"

@@ -108,3 +108,61 @@ def test_random_edit_distance_matches_oracle(spark, seed, threshold, comp_op, va
     )
     for k, v in exp.items():
         assert got[k] == v
+
+
+def _brute_missing_pairs(rows_a, rows_b, l_key_i, r_key_i, l_join_i, r_join_i):
+    """Reference allow_missing semantics (utils/missing_value_handler.py):
+    (NULL-attr l-row × every r-row) ∪ (non-NULL l-row × NULL-attr r-row),
+    NULL score."""
+    out = {}
+    for la in rows_a:
+        if la[l_join_i] is None:
+            for rb in rows_b:
+                out[(la[l_key_i], rb[r_key_i])] = None
+    for rb in rows_b:
+        if rb[r_join_i] is None:
+            for la in rows_a:
+                if la[l_join_i] is not None:
+                    out[(la[l_key_i], rb[r_key_i])] = None
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.25, 0.5, 1.0]),
+    measure=st.sampled_from(["jaccard", "cosine", "dice"]),
+    comp_op=st.sampled_from([">=", ">", "="]),
+    allow_missing=st.booleans(),
+    strategy=st.sampled_from(["prefix", "count"]),
+)
+def test_comp_op_allow_missing_grid(
+    spark, seed, threshold, measure, comp_op, allow_missing, strategy
+):
+    """The reference parameter grid (tests/test_join.py:198-216): comp_op
+    variants × allow_missing against brute force, both physical strategies."""
+    rows_a = _mk_rows(seed, 12)
+    rows_b = _mk_rows(seed + 1, 12)
+    A = spark.createDataFrame(rows_a, "ID string, name string")
+    B = spark.createDataFrame(rows_b, "ID string, name string")
+    out = set_sim_join_pairs(
+        measure, A, B, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(), threshold, comp_op=comp_op,
+        allow_missing=allow_missing, strategy=strategy, value_dedup=False,
+    )
+    got = {(r["_l_key"], r["_r_key"]): r["_sim_score"] for r in out.collect()}
+    exp = brute_force_set_sim(
+        rows_a, rows_b, 0, 0, 1, 1, WhitespaceTokenizer(), measure, threshold,
+        comp_op=comp_op,
+    )
+    if allow_missing:
+        exp.update(_brute_missing_pairs(rows_a, rows_b, 0, 0, 1, 1))
+    assert set(got) == set(exp), (
+        f"{measure} t={threshold} {comp_op} missing={allow_missing} "
+        f"{strategy}: extra={set(got) - set(exp)} missing={set(exp) - set(got)}"
+    )
+    for k, v in exp.items():
+        if v is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(v, abs=1e-9)

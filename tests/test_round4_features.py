@@ -174,3 +174,62 @@ def test_overlap_salt_sampling_invariant(spark):
     exact = run("1.0")
     sampled = run("0.05")
     assert exact == sampled and len(exact) > 0
+
+
+def _pairs_set(df):
+    return sorted(
+        (r["_l_key"], r["_r_key"], round(r["_sim_score"], 9)) for r in df.collect()
+    )
+
+
+def test_prepared_corpus_matches_direct(spark, tmp_path):
+    from py_stringsimjoin_spark.operators.prepared import PreparedSetSimCorpus
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    rows = [
+        (i, f"{a} {b} {c}")
+        for i, (a, b, c) in enumerate(
+            [(x, y, z) for x in "abcd" for y in "abcd" for z in "abcd"]
+        )
+    ]
+    tbl = spark.createDataFrame(rows, "id long, s string")
+
+    corpus = PreparedSetSimCorpus(tbl, "id", "s", _WS)
+    for measure, t in (("jaccard", 0.5), ("cosine", 0.7), ("dice", 0.6)):
+        direct = set_sim_join_pairs(
+            measure, tbl, tbl, "id", "id", "s", "s", _WS, t,
+            self_join_dedup=True, value_dedup=False,
+        )
+        prepared = corpus.join_pairs(measure, t, self_join_dedup=True)
+        assert _pairs_set(prepared) == _pairs_set(direct), (measure, t)
+        assert len(_pairs_set(prepared)) > 0
+
+    # path-persisted variant: reload from parquet, same results
+    p = str(tmp_path / "corpus")
+    corpus2 = PreparedSetSimCorpus(tbl, "id", "s", _WS, path=p)
+    direct = set_sim_join_pairs(
+        "jaccard", tbl, tbl, "id", "id", "s", "s", _WS, 0.5,
+        self_join_dedup=True, value_dedup=False,
+    )
+    assert _pairs_set(corpus2.join_pairs("jaccard", 0.5, self_join_dedup=True)) == _pairs_set(direct)
+
+
+def test_prepared_corpus_bucketed(spark, tmp_path):
+    from py_stringsimjoin_spark.operators.prepared import PreparedSetSimCorpus
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    rows = [(i, f"w{i % 6} w{(i + 2) % 6}") for i in range(60)]
+    tbl = spark.createDataFrame(rows, "id long, s string")
+    p = str(tmp_path / "bk")
+    corpus = PreparedSetSimCorpus(
+        tbl, "id", "s", _WS, path=p, buckets=2, table_name="t_r4_bucketed"
+    )
+    try:
+        direct = set_sim_join_pairs(
+            "jaccard", tbl, tbl, "id", "id", "s", "s", _WS, 0.5,
+            self_join_dedup=True, value_dedup=False,
+        )
+        got = corpus.join_pairs("jaccard", 0.5, self_join_dedup=True)
+        assert _pairs_set(got) == _pairs_set(direct)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_r4_bucketed")
