@@ -77,8 +77,8 @@ def _load_medians() -> dict:
 
 
 def _save_median(name: str, sec: float) -> None:
-    """Keep a rolling window of recent per-query timings (cross-run memory
-    for the >3×-median retry heuristic)."""
+    """Keep a rolling window of recent per-query timings (unbiased history:
+    every attempt is recorded, not just the best-of-N winner)."""
     hist = _load_medians()
     vals = hist.get(name, [])
     vals = (vals + [sec])[-9:]
