@@ -4,10 +4,16 @@ BASELINE.json's two-cluster-size criterion cannot use a real cluster in this
 sandbox, so the same job set runs at local[N] and local[4N] on the same
 input. The sandbox is a shared-host VM with CPU steal (identical runs vary
 up to 5×), so each parallelism level runs ``SPARK_GRAFT_SCALE_ATTEMPTS``
-times (default 3); the per-query MEDIAN across attempts is the number of
-record, and the steal%% observed during every attempt is recorded next to it
-so a polluted window is visible in the artifact rather than silently folded
-into an efficiency figure.
+times (default 3); the per-query MEDIAN across CLEAN attempts is the number
+of record. "Clean" is decided by an EXTERNAL contamination signal — the
+hypervisor steal%% read from /proc/stat around the attempt — never by the
+timing itself: an attempt whose steal%% exceeds
+``SPARK_GRAFT_CLEAN_STEAL_PCT`` (default 3.0) is replaced by an extra
+attempt (at most ``SPARK_GRAFT_SCALE_EXTRA`` replacements, default 3), and
+EVERY attempt, stolen or clean, is recorded in the artifact with its
+steal%%. The same gate applies identically at both parallelism levels and
+to the platform-ceiling control, so the policy cannot bias the efficiency
+ratio in either direction.
 
 Efficiency per query = (T_N / T_4N) / 4. Writes SCALING.json (machine
 readable, judge gate) and appends a table to BENCH.md.
@@ -44,6 +50,18 @@ def _median(vals):
     return s[len(s) // 2] if s else None
 
 
+CLEAN_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_CLEAN_STEAL_PCT", "3.0"))
+EXTRA_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "3"))
+
+
+def _read_cpu():
+    """(steal_jiffies, total_jiffies) from /proc/stat (same probe bench.py
+    uses per query) — for gating the control runs on the same signal."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     env.setdefault("SPARK_GRAFT_BENCH_QUERIES", SCALING_QUERIES)
@@ -60,17 +78,39 @@ def run(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def _is_clean(r: dict) -> bool:
+    """A bench run is clean iff every query's best-attempt steal%% is under
+    the gate. steal%% is measured by bench.py around the subprocess, an
+    external hypervisor signal — the gate never reads the timing."""
+    steals = [
+        v for k, v in r.get("extras", {}).items()
+        if k.endswith("_steal_pct") and v is not None
+    ]
+    return bool(steals) and max(steals) <= CLEAN_STEAL_PCT
+
+
 def run_level(cpus: int, sf_dir: str, attempts: int) -> dict:
-    """attempts × bench at one parallelism → per-query median + evidence."""
+    """attempts clean bench runs at one parallelism (stolen-window runs are
+    replaced, up to EXTRA_ATTEMPTS, and still recorded) → per-query median
+    over the clean runs + full evidence."""
     runs = []
-    for i in range(attempts):
+    while True:
+        clean = sum(_is_clean(r) for r in runs)
+        if clean >= attempts or len(runs) >= attempts + EXTRA_ATTEMPTS:
+            break
         r = run(cpus, sf_dir)
         runs.append(r)
-        print(f"[scaling] local[{cpus}] attempt {i + 1}/{attempts}: "
-              f"total={r['value']}s", file=sys.stderr, flush=True)
+        print(f"[scaling] local[{cpus}] attempt {len(runs)} "
+              f"(clean {clean + _is_clean(r)}/{attempts}): "
+              f"total={r['value']}s clean={_is_clean(r)}",
+              file=sys.stderr, flush=True)
+    clean_runs = [r for r in runs if _is_clean(r)]
+    # fall back to all runs if the window never went quiet — visible in the
+    # artifact because every attempt carries its steal%%
+    basis = clean_runs if len(clean_runs) >= 2 else runs
     queries = sorted({q for r in runs for q in r["queries"]})
     med = {
-        q: _median([r["queries"][q] for r in runs if q in r["queries"]])
+        q: _median([r["queries"][q] for r in basis if q in r["queries"]])
         for q in queries
     }
     # verified output pairs per second at this parallelism (median attempt)
@@ -89,15 +129,16 @@ def run_level(cpus: int, sf_dir: str, attempts: int) -> dict:
         "median_total": round(med_total, 3),
         "verified_pairs_per_sec": pairs_per_sec,
         "attempts": [r["queries"] for r in runs],
+        "clean_attempts": [_is_clean(r) for r in runs],
         "steal_pct": steals,
         "cps": _median([
             r["extras"].get("candidate_pairs_per_sec")
-            for r in runs
+            for r in basis
             if r["extras"].get("candidate_pairs_per_sec") is not None
         ] or [None]),
         "stage_wall": _median([
             r["extras"].get("pipeline_stage_wall_sec")
-            for r in runs
+            for r in basis
             if r["extras"].get("pipeline_stage_wall_sec") is not None
         ] or [None]),
     }
@@ -118,23 +159,29 @@ print(f"{{time.time() - t0:.1f}}")
 """
 
 
-def run_control(cpus: int, attempts: int = 1) -> list[float]:
+def run_control(cpus: int, attempts: int = 1) -> tuple[list, list]:
     """Platform ceiling probe: a trivial CPU-only Spark job (no engine code,
-    no shuffle) at the given parallelism, ``attempts`` serial runs (each a
-    fresh JVM). Whatever efficiency THIS job gets between the two levels is
-    the most any Spark job can get on this host — the kernels' efficiencies
-    are reported alongside it, at the same median-of-N protocol."""
-    vals = []
-    for _ in range(attempts):
+    no shuffle) at the given parallelism, ``attempts`` CLEAN serial runs
+    (each a fresh JVM), under the same steal%% gate as the kernels. Whatever
+    efficiency THIS job gets between the two levels is the most any Spark
+    job can get on this host — the kernels' efficiencies are reported
+    alongside it, at the same clean-median-of-N protocol. Returns
+    (list of (sec, steal_pct), clean flags)."""
+    vals, clean = [], []
+    while sum(clean) < attempts and len(vals) < attempts + EXTRA_ATTEMPTS:
+        s0, t0 = _read_cpu()
         out = subprocess.run(
             [sys.executable, "-c", _CONTROL_SRC.format(repo=REPO), str(cpus)],
             capture_output=True, text=True, cwd=REPO, timeout=1200,
         )
+        s1, t1 = _read_cpu()
+        steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
         try:
-            vals.append(float(out.stdout.strip().splitlines()[-1]))
+            vals.append((float(out.stdout.strip().splitlines()[-1]), steal))
+            clean.append(steal <= CLEAN_STEAL_PCT)
         except Exception:
             pass
-    return vals
+    return vals, clean
 
 
 def main():
@@ -150,10 +197,16 @@ def main():
     factor = hi // lo
     r_lo = run_level(lo, sf_dir, attempts)
     r_hi = run_level(hi, sf_dir, attempts)
-    ctrl_lo_all = run_control(lo, attempts)
-    ctrl_hi_all = run_control(hi, attempts)
-    ctrl_lo = _median(ctrl_lo_all)
-    ctrl_hi = _median(ctrl_hi_all)
+    ctrl_lo_all, ctrl_lo_clean = run_control(lo, attempts)
+    ctrl_hi_all, ctrl_hi_clean = run_control(hi, attempts)
+
+    def _ctrl_median(all_vals, clean_flags):
+        cln = [v for (v, _), c in zip(all_vals, clean_flags) if c]
+        basis = cln if len(cln) >= 2 else [v for v, _ in all_vals]
+        return _median(basis)
+
+    ctrl_lo = _ctrl_median(ctrl_lo_all, ctrl_lo_clean)
+    ctrl_hi = _ctrl_median(ctrl_hi_all, ctrl_hi_clean)
     ctrl_eff = (
         round((ctrl_lo / ctrl_hi) / factor, 3) if ctrl_lo and ctrl_hi else None
     )
@@ -174,7 +227,9 @@ def main():
     ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
         f"\n## Scaling run {ts} — {sf_dir}, local[{lo}] vs local[{hi}], "
-        f"median of {attempts}\n",
+        f"clean-window median of {attempts} "
+        f"(steal gate {CLEAN_STEAL_PCT}%, stolen attempts replaced and "
+        f"recorded)\n",
         f"| query | T_{lo} med (s) | T_{hi} med (s) | efficiency "
         f"(T_{lo}/T_{hi})/{factor} | steal% range |",
         "|---|---|---|---|---|",
@@ -218,28 +273,38 @@ def main():
         },
         "per_query": per_query,
         "attempts": attempts,
+        "clean_steal_gate_pct": CLEAN_STEAL_PCT,
         "detail": {
             f"local[{lo}]": {
-                "attempts": r_lo["attempts"], "steal_pct": r_lo["steal_pct"]
+                "attempts": r_lo["attempts"],
+                "clean": r_lo["clean_attempts"],
+                "steal_pct": r_lo["steal_pct"],
             },
             f"local[{hi}]": {
-                "attempts": r_hi["attempts"], "steal_pct": r_hi["steal_pct"]
+                "attempts": r_hi["attempts"],
+                "clean": r_hi["clean_attempts"],
+                "steal_pct": r_hi["steal_pct"],
             },
         },
         "platform_cpu_control": {
             "job": "spark.range(3e9) -> xxhash64 -> sum (no engine code, no shuffle)",
-            "attempts_sec": {
+            "attempts_sec_steal": {
                 f"local[{lo}]": ctrl_lo_all,
                 f"local[{hi}]": ctrl_hi_all,
+            },
+            "clean": {
+                f"local[{lo}]": ctrl_lo_clean,
+                f"local[{hi}]": ctrl_hi_clean,
             },
             "median_sec": {f"local[{lo}]": ctrl_lo, f"local[{hi}]": ctrl_hi},
             "efficiency": ctrl_eff,
             "note": (
                 "Platform ceiling: the SAME trivial CPU-only Spark job at "
-                "both levels, median of the same number of serial attempts "
-                "as the kernels, same session builder. The VM's vCPUs do "
-                "not deliver linear aggregate JVM throughput, so kernel "
-                "efficiencies are reported relative to this ceiling."
+                "both levels, clean-window median of the same number of "
+                "serial attempts as the kernels (identical steal gate), "
+                "same session builder. The VM's vCPUs do not deliver "
+                "linear aggregate JVM throughput, so kernel efficiencies "
+                "are reported relative to this ceiling."
             ),
         },
         "efficiency_vs_platform_ceiling": (
