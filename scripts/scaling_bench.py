@@ -184,6 +184,34 @@ def run_control(cpus: int, attempts: int = 1) -> tuple[list, list]:
     return vals, clean
 
 
+PARTIAL = os.path.join(REPO, "SCALING_PARTIAL.json")
+
+
+def _checkpointed(key: str, params: dict, fn):
+    """Run ``fn()`` once per (key, params): a multi-hour scaling session that
+    dies mid-run (the sandbox kills long sessions) resumes from the completed
+    levels instead of re-burning 45 min of clean-window attempts. The cache
+    is invalidated whenever the protocol params (sf_dir, attempts, steal
+    gate) change, and deleted entirely on successful completion."""
+    state = {}
+    if os.path.exists(PARTIAL):
+        try:
+            with open(PARTIAL) as f:
+                state = json.load(f)
+        except Exception:
+            state = {}
+    if state.get("params") != params:
+        state = {"params": params}
+    if key in state:
+        print(f"[scaling] {key}: reusing checkpointed result", file=sys.stderr)
+        return state[key]
+    out = fn()
+    state[key] = out
+    with open(PARTIAL, "w") as f:
+        json.dump(state, f)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # N vs 4N thread counts. Default 4 vs 16, NOT 8 vs 32: a multiprocessing
@@ -195,10 +223,19 @@ def main():
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
     attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
     factor = hi // lo
-    r_lo = run_level(lo, sf_dir, attempts)
-    r_hi = run_level(hi, sf_dir, attempts)
-    ctrl_lo_all, ctrl_lo_clean = run_control(lo, attempts)
-    ctrl_hi_all, ctrl_hi_clean = run_control(hi, attempts)
+    params = {
+        "sf_dir": sf_dir, "attempts": attempts, "lo": lo, "hi": hi,
+        "gate": CLEAN_STEAL_PCT, "queries": SCALING_QUERIES,
+    }
+    # each level's control runs IMMEDIATELY after its kernels: the platform
+    # ceiling is window-sensitive (measured 0.53 vs 0.69 in windows an hour
+    # apart), so kernel and control must share the window per level
+    r_lo = _checkpointed("kernels_lo", params, lambda: run_level(lo, sf_dir, attempts))
+    ctrl_lo_all, ctrl_lo_clean = _checkpointed(
+        "control_lo", params, lambda: run_control(lo, attempts))
+    r_hi = _checkpointed("kernels_hi", params, lambda: run_level(hi, sf_dir, attempts))
+    ctrl_hi_all, ctrl_hi_clean = _checkpointed(
+        "control_hi", params, lambda: run_control(hi, attempts))
 
     def _ctrl_median(all_vals, clean_flags):
         cln = [v for (v, _), c in zip(all_vals, clean_flags) if c]
@@ -325,6 +362,8 @@ def main():
     # machine-readable copy for the judge next to BENCH.md
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=1)
+    if os.path.exists(PARTIAL):
+        os.remove(PARTIAL)
     print(json.dumps(result))
 
 
