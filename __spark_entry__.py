@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-currently 33 queries, every one with a DuckDB oracle below.
+currently 34 queries, every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_stringsimjoin_spark.functions.tokenizers import (
+    AlphanumericTokenizer,
     DelimiterTokenizer,
     QgramTokenizer,
     ShingleTokenizer,
@@ -33,6 +34,8 @@ _SH2 = ShingleTokenizer(n=2)
 # multi-char + overlapping delimiters — the arbitrary-delimiter surface the
 # reference gets from py_stringmatching (tests/test_join.py:179-182)
 _DELIM = DelimiterTokenizer([", ", ","], return_set=True)
+# maximal alphanumeric runs — py_stringmatching AlphanumericTokenizer parity
+_ALNUM = AlphanumericTokenizer(return_set=True)
 
 # ---------------------------------------------------------------- helpers --
 
@@ -225,6 +228,34 @@ def q_jaccard_part_delim(spark, sf_dir):
     pairs = set_sim_join_pairs(
         "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
         _DELIM, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+_PART_ALNUM_SQL = (
+    "(SELECT p_partkey, p_name || ' #' || (p_partkey % 97) AS p_name FROM part)"
+)
+
+
+def q_jaccard_part_alnum(spark, sf_dir):
+    """Jaccard self-join with the alphanumeric tokenizer: p_name suffixed
+    with a punctuated numeric tag ('#<key mod 97>'), tokenized as maximal
+    [a-zA-Z0-9]+ runs so the '#' is stripped and the digits become a third
+    token. Exercises AlphanumericTokenizer end-to-end through the set-sim
+    kernel with a value-hash-checked oracle."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat("p_name", F.lit(" #"), F.col("p_partkey") % 97).alias("p_name"),
+    )
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _ALNUM, 0.5, allow_empty=False, self_join_dedup=True,
     )
     return pairs.select(
         F.col("_l_key").alias("l_p_partkey"),
@@ -980,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coefficient_part": _set_sim_part("overlap_coefficient", 1.0),
         "jaccard_part_qgram3": q_jaccard_qgram3,
         "jaccard_part_delim": q_jaccard_part_delim,
+        "jaccard_part_alnum": q_jaccard_part_alnum,
         "jaccard_part_rowlevel": q_jaccard_part_rowlevel,
         "jaccard_part_rowlevel_x2": q_jaccard_part_rowlevel_x2,
         "edit_distance_part": q_edit_distance_part,
@@ -1020,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_part_qgram3": _set_sim_part_sql(_J_SCORE, 0.6, tok=qg3),
         "jaccard_part_delim": _set_sim_part_sql(
             _J_SCORE, 0.5, tok=_DELIM, rel=_PART_DELIM_SQL
+        ),
+        "jaccard_part_alnum": _set_sim_part_sql(
+            _J_SCORE, 0.5, tok=_ALNUM, rel=_PART_ALNUM_SQL
         ),
         "jaccard_part_rowlevel": _set_sim_part_sql(_J_SCORE, 0.5),
         "jaccard_part_rowlevel_x2": _set_sim_part_sql(_J_SCORE, 0.5, rel=_PART_X2_SQL),

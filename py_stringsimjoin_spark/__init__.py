@@ -11,6 +11,8 @@ resumable pipelines).
 
 from .functions.converters import dataframe_column_to_str, remove_non_ascii_col
 from .functions.tokenizers import (
+    AlphabeticTokenizer,
+    AlphanumericTokenizer,
     DelimiterTokenizer,
     QgramTokenizer,
     ShingleTokenizer,
@@ -37,6 +39,8 @@ from .sources.datasets import load_books_dataset, load_person_dataset
 __version__ = "0.1.0"
 
 __all__ = [
+    "AlphabeticTokenizer",
+    "AlphanumericTokenizer",
     "DelimiterTokenizer",
     "QgramTokenizer",
     "ShingleTokenizer",

@@ -132,6 +132,56 @@ class DelimiterTokenizer(Tokenizer):
         )
 
 
+class AlphanumericTokenizer(Tokenizer):
+    """Maximal runs of ASCII alphanumeric characters as tokens.
+
+    Capability parity with py_stringmatching's ``AlphanumericTokenizer``
+    (the reference accepts any py_stringmatching tokenizer for the set-sim
+    joins, /root/reference/py_stringsimjoin/utils/validation.py:73-84); the
+    upstream tokenizer is defined by the ASCII regex ``[a-zA-Z0-9]+``, so
+    non-ASCII letters act as separators. Implemented as split-on-complement
+    + drop-empties, which is regex-findall semantics expressed identically
+    in Java regex (Spark), RE2 (DuckDB) and Python ``re``.
+    """
+
+    _keep = "a-zA-Z0-9"
+
+    def __init__(self, return_set: bool = False):
+        self.return_set = return_set
+        import re
+
+        self._re = re.compile(f"[^{self._keep}]+")
+
+    def spark_col(self, col: Column) -> Column:
+        toks = F.filter(F.split(col, f"[^{self._keep}]+", -1), lambda t: t != "")
+        return F.when(col.isNull(), F.lit(None)).otherwise(self._maybe_set(toks))
+
+    def tokenize(self, s: str | None) -> list[str] | None:
+        if s is None:
+            return None
+        return self._maybe_set_py([t for t in self._re.split(s) if t != ""])
+
+    def duckdb_sql(self, expr: str) -> str:
+        toks = (
+            f"list_filter(string_split_regex({expr}, '[^{self._keep}]+'), "
+            "t -> t <> '')"
+        )
+        if self.return_set:
+            toks = f"list_distinct({toks})"
+        return f"CASE WHEN {expr} IS NULL THEN NULL ELSE {toks} END"
+
+    def __repr__(self):
+        return f"{type(self).__name__}(return_set={self.return_set})"
+
+
+class AlphabeticTokenizer(AlphanumericTokenizer):
+    """Maximal runs of ASCII alphabetic characters (py_stringmatching
+    ``AlphabeticTokenizer``, regex ``[a-zA-Z]+``); digits act as separators.
+    """
+
+    _keep = "a-zA-Z"
+
+
 class QgramTokenizer(Tokenizer):
     """Character q-grams with optional #/$ padding (q-1 pad chars each side)."""
 

@@ -66,20 +66,47 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature_col(tokens_col, num_perm: int = 64) -> "F.Column":
-    """array<long> MinHash signature from an array<string> token column —
-    pure Spark expressions (min over permuted token hashes)."""
+def minhash_perm_cols(tokens_col, num_perm: int = 64) -> list["F.Column"]:
+    """One long Column per permutation (min over permuted token hashes) from
+    an array<string> token column — pure Spark expressions. Per-ROW form:
+    valid where aggregations are not (Structured Streaming micro-batches);
+    batch plans use the flat explode+agg form in ``minhash_lsh_pairs``,
+    which computes the same values faster at scale."""
     th = F.transform(tokens_col, _token_hash_col)
 
     def _perm_fn(a, b):
         # factory, NOT default-arg lambda: PySpark counts lambda params
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MERSENNE)
 
-    sigs = [
+    return [
         F.array_min(F.transform(th, _perm_fn(a, b)))
         for a, b in minhash_perm_params(num_perm)
     ]
-    return F.array(*sigs)
+
+
+def minhash_signature_col(tokens_col, num_perm: int = 64) -> "F.Column":
+    """array<long> MinHash signature from an array<string> token column."""
+    return F.array(*minhash_perm_cols(tokens_col, num_perm))
+
+
+def band_bucket_exprs(sig_cols: list["F.Column"], bands: int) -> list["F.Column"]:
+    """One md5 bucket Column per LSH band from ``num_perm`` per-permutation
+    signature Columns. The SINGLE definition of the band-bucket hash — the
+    batch self-join and the streaming stream-static probe both call it, so a
+    stream row lands in exactly the bucket its batch twin would."""
+    if len(sig_cols) % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rpb = len(sig_cols) // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(bi),
+                *[sig_cols[bi * rpb + j].cast("string") for j in range(rpb)],
+            )
+        )
+        for bi in range(bands)
+    ]
 
 
 def minhash_lsh_pairs(
@@ -93,7 +120,6 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (l_id < r_id) sharing ≥1 LSH band bucket."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
     tok = tokenizer or ShingleTokenizer(n=3)
     # flat signature plan (same values as minhash_signature_col): explode
     # tokens once, hash once per row, then ONE hash-aggregate with num_perm
@@ -115,25 +141,9 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(params)
         ]
     )
+    buckets = band_bucket_exprs([F.col(f"_s{i}") for i in range(num_perm)], bands)
     band_rows = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.lit(bi),
-                            *[
-                                F.col(f"_s{bi * rows_per_band + j}").cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
+        "id", F.posexplode(F.array(*buckets)).alias("_band", "_bucket")
     )
     a = band_rows.select(F.col("id").alias("l_id"), "_band", "_bucket")
     b = band_rows.select(F.col("id").alias("r_id"), "_band", "_bucket")

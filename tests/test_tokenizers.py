@@ -117,3 +117,57 @@ def test_delimiter_duckdb_parity():
                 # consume tokens as (multi)sets, so sorted-equality is the
                 # parity that matters (same convention as the q-gram test)
                 assert sorted(got) == sorted(exp), (delims, rs, v, got, exp)
+
+
+def test_alnum_alpha_values():
+    from py_stringsimjoin_spark.functions.tokenizers import (
+        AlphabeticTokenizer,
+        AlphanumericTokenizer,
+    )
+
+    an = AlphanumericTokenizer()
+    assert an.tokenize("data9,(science), 90") == ["data9", "science", "90"]
+    assert an.tokenize("") == []
+    assert an.tokenize("!!") == []
+    assert an.tokenize(None) is None
+    # non-ASCII letters act as separators (upstream ASCII regex semantics)
+    assert an.tokenize("héllo") == ["h", "llo"]
+    al = AlphabeticTokenizer()
+    assert al.tokenize("data9sci 90 x") == ["data", "sci", "x"]
+    assert AlphanumericTokenizer(return_set=True).tokenize("b a b") == ["b", "a"]
+    assert AlphanumericTokenizer(return_set=False).tokenize("b a b") == ["b", "a", "b"]
+
+
+def test_alnum_alpha_matches_python(spark):
+    from py_stringsimjoin_spark.functions.tokenizers import (
+        AlphabeticTokenizer,
+        AlphanumericTokenizer,
+    )
+
+    vals = ["data9,(science), 90", "", "!!", None, "a1b2", "x  y-z", "héllo"]
+    for cls in (AlphanumericTokenizer, AlphabeticTokenizer):
+        for rs in (True, False):
+            tok = cls(return_set=rs)
+            got = _spark_tokenize(spark, tok, vals)
+            exp = [tok.tokenize(v) for v in vals]
+            assert got == exp, (cls.__name__, rs, got, exp)
+
+
+def test_alnum_alpha_duckdb_parity():
+    import duckdb
+
+    from py_stringsimjoin_spark.functions.tokenizers import (
+        AlphabeticTokenizer,
+        AlphanumericTokenizer,
+    )
+
+    con = duckdb.connect()
+    vals = ["data9,(science), 90", "", "!!", "a1b2", "x  y-z", "b a b", "héllo"]
+    for cls in (AlphanumericTokenizer, AlphabeticTokenizer):
+        for rs in (True, False):
+            tok = cls(return_set=rs)
+            sql = tok.duckdb_sql("s")
+            for v in vals:
+                got = con.execute(f"select {sql} from (select ? as s)", [v]).fetchone()[0]
+                exp = tok.tokenize(v)
+                assert sorted(got) == sorted(exp), (cls.__name__, rs, v, got, exp)
