@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-currently 34 queries, every one with a DuckDB oracle below.
+currently 35 queries, every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -974,6 +974,88 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <=
 """
 
 
+def q_ivf_topk_emb(spark, sf_dir):
+    """IVF top-k with the SQL-replicable configuration: centroids are the
+    first 16 corpus vectors in md5(id) order, assignment/probing run as JVM
+    expressions whose float64 op order matches the DuckDB oracle exactly
+    (operators/ivf.py docstring). The production path (seeded k-means +
+    numpy batch assignment) is pytest-oracled in tests/test_ivf.py."""
+    from py_stringsimjoin_spark.operators.ivf import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(
+        emb, queries, k=5, num_cells=16, nprobe=4,
+        centroids="sample", method="expr",
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ivf_topk_sql(k: int = 5, num_cells: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """Mirror of ivf.ivf_topk(centroids="sample", method="expr"): centroid
+    rule = row_number over md5(CAST(id AS VARCHAR)) — the identical ordering
+    Spark's orderBy(md5(...)).limit(C) computes — then nearest-cell
+    assignment, nprobe probing, and exact cosine rerank, every float64 sum
+    sequential in index order on both engines."""
+    dot_ec = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> e[i]::DOUBLE * c[i]::DOUBLE), 'sum')"
+    ).format(d=dim)
+    dot_qc = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> qe[i]::DOUBLE * ce[i]::DOUBLE), 'sum')"
+    ).format(d=dim)
+    nrm = (
+        "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS e FROM embeddings
+), cent AS (
+  SELECT cell, c FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+           embedding AS c
+    FROM embeddings
+  ) WHERE cell < {num_cells}
+), cell_scores AS (
+  SELECT v.id, cent.cell,
+         {dot_ec} / ({nrm.format(v='e')} * {nrm.format(v='c')}) AS s
+  FROM v CROSS JOIN cent
+), assign AS (
+  SELECT id AS neighbor_id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rn
+    FROM cell_scores
+  ) WHERE rn = 1
+), probes AS (
+  SELECT id AS query_id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rn
+    FROM cell_scores WHERE id % 100 = 0
+  ) WHERE rn <= {nprobe}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.query_id <> a.neighbor_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {dot_qc} / ({nrm.format(v='qe')} * {nrm.format(v='ce')}) AS cos
+  FROM cand
+  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = cand.query_id
+  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c ON c.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
 def q_overlap_filter_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.filters import OverlapFilter
 
@@ -1039,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_pairs_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_emb,
+        "ivf_topk_embeddings": q_ivf_topk_emb,
     }
 
 
@@ -1083,4 +1166,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _ngram_jaccard_docs_sql(),
         "simhash_pairs_docs": _simhash_pairs_sql(),
         "lsh_topk_embeddings": _lsh_topk_sql(),
+        "ivf_topk_embeddings": _ivf_topk_sql(),
     }
