@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-currently 35 queries, every one with a DuckDB oracle below.
+currently 37 queries, every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1082,6 +1082,106 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_tfidf_cosine_part(spark, sf_dir):
+    """Weighted (inverse-df) cosine self-join on part.p_name.
+
+    ``weighting="inv_df"`` + ``exact_order=True`` is the IEEE-exact oracle
+    configuration (operators/weighted.py): 1/df weights are correctly-rounded
+    divisions and all sums fold sequentially in token-sorted order, so Spark
+    and DuckDB produce bit-identical doubles. ``value_dedup=True`` exercises
+    the distinct-value scoring plan (output bit-identical to row-level)."""
+    from py_stringsimjoin_spark.operators.weighted import tfidf_cosine_join
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = tfidf_cosine_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.6, weighting="inv_df", value_dedup=True, exact_order=True,
+    )
+    return out.where(F.col("l_key") < F.col("r_key")).select(
+        F.col("l_key").alias("l_p_partkey"),
+        F.col("r_key").alias("r_p_partkey"),
+        "sim",
+    )
+
+
+def _tfidf_cosine_sql(threshold: float = 0.6) -> str:
+    # mirrors the exact_order fold: list(x ORDER BY tok) + list_aggregate
+    # 'sum' is a sequential left fold in DuckDB (verified), matching Spark's
+    # F.aggregate over sort_array-collected structs
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), nz AS (
+  SELECT id, toks FROM base WHERE len(toks) > 0
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM nz
+), w AS (
+  SELECT tok, 1.0 / (2 * count(*)) AS w FROM t GROUP BY tok
+), ex AS (
+  SELECT t.id, t.tok, w.w FROM t JOIN w USING (tok)
+), nrm AS (
+  SELECT id, sqrt(list_aggregate(list(w * w ORDER BY tok), 'sum')) AS nrm
+  FROM ex GROUP BY id
+), dots AS (
+  SELECT a.id AS l_id, b.id AS r_id,
+         list_aggregate(list(a.w * b.w ORDER BY a.tok), 'sum') AS dot
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT d.l_id AS l_p_partkey, d.r_id AS r_p_partkey,
+       d.dot / (nl.nrm * nr.nrm) AS sim
+FROM dots d JOIN nrm nl ON d.l_id = nl.id JOIN nrm nr ON d.r_id = nr.id
+WHERE d.dot / (nl.nrm * nr.nrm) >= {threshold}
+"""
+
+
+def q_canonical_part(spark, sf_dir):
+    """Full linkage tail: jaccard match pairs -> connected components ->
+    one canonical (survivor) record per cluster, longest-name rule."""
+    from py_stringsimjoin_spark.operators.canonical import canonicalize_clusters
+    from py_stringsimjoin_spark.operators.connected_components import (
+        connected_components,
+    )
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    comp = connected_components(pairs, "_l_key", "_r_key")
+    clusters = comp.select(F.col("node").alias("p_partkey"), "component")
+    return canonicalize_clusters(
+        part, clusters, "p_partkey", "component",
+        rank_attr="p_name", strategy="longest", keep_attrs=["p_name"],
+    ).select("component", "canonical_id", "cluster_size", "p_name")
+
+
+def _canonical_part_sql() -> str:
+    cc = _connected_components_sql()
+    return f"""
+WITH RECURSIVE comp AS (
+{cc}
+), assigned AS (
+  SELECT p.p_partkey AS id,
+         coalesce(c.component, p.p_partkey) AS component,
+         p.p_name
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.node
+), ranked AS (
+  SELECT component, id, p_name,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY length(coalesce(p_name, '')) DESC, id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM assigned
+)
+SELECT component, id AS canonical_id, cluster_size, p_name
+FROM ranked WHERE rn = 1
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -1122,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_emb,
         "ivf_topk_embeddings": q_ivf_topk_emb,
+        "tfidf_cosine_part": q_tfidf_cosine_part,
+        "canonical_part": q_canonical_part,
     }
 
 
@@ -1167,4 +1269,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _simhash_pairs_sql(),
         "lsh_topk_embeddings": _lsh_topk_sql(),
         "ivf_topk_embeddings": _ivf_topk_sql(),
+        "tfidf_cosine_part": _tfidf_cosine_sql(),
+        "canonical_part": _canonical_part_sql(),
     }

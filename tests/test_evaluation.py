@@ -1,0 +1,35 @@
+"""evaluate_blocking vs hand-computed metrics."""
+
+from py_stringsimjoin_spark.operators.evaluation import evaluate_blocking
+
+
+def test_evaluate_blocking_basic(spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], ["l_key", "r_key"]
+    )
+    true = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], ["l_key", "r_key"])
+    m = evaluate_blocking(cand, true, n_left=10, n_right=10)
+    assert m["n_candidates"] == 4 and m["n_true"] == 3
+    assert m["n_true_found"] == 2
+    assert m["pairs_completeness"] == 2 / 3
+    assert m["pairs_quality"] == 2 / 4
+    assert m["reduction_ratio"] == 1.0 - 4 / 100
+
+
+def test_evaluate_blocking_symmetric(spark):
+    # unordered self-join pairs: (b,a) counts as (a,b); dupes collapse
+    cand = spark.createDataFrame([(2, 1), (1, 2), (3, 1)], ["l_key", "r_key"])
+    true = spark.createDataFrame([(1, 2)], ["l_key", "r_key"])
+    m = evaluate_blocking(cand, true, n_left=5, n_right=5, symmetric=True)
+    assert m["n_candidates"] == 2 and m["n_true_found"] == 1
+    assert m["pairs_completeness"] == 1.0
+    assert m["reduction_ratio"] == 1.0 - 2 / 10
+
+
+def test_evaluate_blocking_empty_truth(spark):
+    cand = spark.createDataFrame([(1, 2)], ["l_key", "r_key"])
+    true = spark.createDataFrame([], "l_key long, r_key long")
+    m = evaluate_blocking(cand, true)
+    assert m["pairs_completeness"] is None
+    assert m["pairs_quality"] == 0.0
+    assert m["reduction_ratio"] is None
