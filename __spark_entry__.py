@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-currently 37 queries, every one with a DuckDB oracle below.
+currently 38 queries, every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1182,6 +1182,59 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_blocking_quality_part(spark, sf_dir):
+    """Blocking-stage evaluation as ONE lazy plan: prefix-filter candidates
+    (jaccard 0.7) scored against the true jaccard>=0.7 matches — pairs
+    completeness (1.0 by the prefix-filter guarantee), pairs quality, and
+    reduction ratio vs the n·(n−1)/2 self-join cross product."""
+    from py_stringsimjoin_spark.operators.evaluation import blocking_metrics
+    from py_stringsimjoin_spark.operators.filters import PrefixFilter
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = PrefixFilter(_WS, "JACCARD", 0.7).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    ).where(F.col("l_p_partkey") != F.col("r_p_partkey"))
+    truth = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.7, allow_empty=False, self_join_dedup=True,
+    )
+    return blocking_metrics(
+        cand, truth, "l_p_partkey", "r_p_partkey", "_l_key", "_r_key",
+        ltable=part, rtable=part, symmetric=True,
+    )
+
+
+def _blocking_quality_sql() -> str:
+    pfx = _prefix_filter_sql()
+    truth = _set_sim_part_sql(_J_SCORE, 0.7)
+    return f"""
+WITH cand_raw AS (
+{pfx}
+), truth_raw AS (
+{truth}
+), c AS (
+  SELECT DISTINCT least(l_p_partkey, r_p_partkey) AS a,
+                  greatest(l_p_partkey, r_p_partkey) AS b
+  FROM cand_raw
+), t AS (
+  SELECT DISTINCT least(l_p_partkey, r_p_partkey) AS a,
+                  greatest(l_p_partkey, r_p_partkey) AS b
+  FROM truth_raw
+), f AS (
+  SELECT count(*) AS n_true_found FROM c JOIN t USING (a, b)
+), nc AS (SELECT count(*) AS n_candidates FROM c),
+nt AS (SELECT count(*) AS n_true FROM t),
+np AS (SELECT count(*)::DOUBLE AS n FROM part)
+SELECT n_candidates, n_true, n_true_found,
+       n_true_found::DOUBLE / nullif(n_true, 0)::DOUBLE AS pairs_completeness,
+       n_true_found::DOUBLE / nullif(n_candidates, 0)::DOUBLE AS pairs_quality,
+       1.0 - n_candidates::DOUBLE / nullif(n * (n - 1.0) / 2.0, 0.0)
+         AS reduction_ratio
+FROM nc, nt, f, np
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -1224,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_emb,
         "tfidf_cosine_part": q_tfidf_cosine_part,
         "canonical_part": q_canonical_part,
+        "blocking_quality_part": q_blocking_quality_part,
     }
 
 
@@ -1271,4 +1325,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "canonical_part": _canonical_part_sql(),
+        "blocking_quality_part": _blocking_quality_sql(),
     }

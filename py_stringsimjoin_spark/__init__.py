@@ -18,7 +18,9 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
+from .operators.canonical import canonicalize_clusters
 from .operators.connected_components import connected_components
+from .operators.evaluation import blocking_metrics, evaluate_blocking
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
 from .operators.filters import (
     OverlapFilter,
@@ -32,6 +34,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
+from .operators.weighted import tfidf_cosine_join
 from .plans.cache import engine_cache_scope, release_engine_caches
 from .session import get_spark
 from .sources.datasets import load_books_dataset, load_person_dataset
@@ -62,6 +65,10 @@ __all__ = [
     "PositionFilter",
     "SuffixFilter",
     "apply_matcher",
+    "blocking_metrics",
+    "canonicalize_clusters",
+    "evaluate_blocking",
+    "tfidf_cosine_join",
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",

@@ -35,6 +35,76 @@ def _canon(df: DataFrame, l: str, r: str, symmetric: bool) -> DataFrame:
     return df.select(a.alias("_a"), b.alias("_b")).distinct()
 
 
+def blocking_metrics(
+    candset: DataFrame,
+    labeled: DataFrame,
+    cand_l: str = "l_key",
+    cand_r: str = "r_key",
+    label_l: str = "l_key",
+    label_r: str = "r_key",
+    ltable: DataFrame | None = None,
+    rtable: DataFrame | None = None,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Lazy one-row DataFrame with the same metrics as ``evaluate_blocking``.
+
+    Fully declarative — counts are aggregations cross-joined into one plan
+    (each a 1-row broadcast), so it composes into pipelines and runs as ONE
+    job instead of four. Pass ``ltable``/``rtable`` to get
+    ``reduction_ratio`` (their row counts fold in lazily too; with
+    ``symmetric=True`` and both passed, the cross-product size is
+    n_l·(n_l−1)/2 — the self-join convention). Integer-ratio divisions are
+    IEEE-exact, so the output is cross-engine hash-stable.
+    """
+    cand = _canon(candset, cand_l, cand_r, symmetric)
+    true = _canon(labeled, label_l, label_r, symmetric)
+    found = cand.join(true, ["_a", "_b"], "left_semi")
+
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(F.broadcast(true.agg(F.count(F.lit(1)).alias("n_true"))))
+        .crossJoin(F.broadcast(found.agg(F.count(F.lit(1)).alias("n_true_found"))))
+    )
+    if ltable is not None and rtable is not None:
+        if symmetric:
+            tot = ltable.agg(
+                (
+                    F.count(F.lit(1)).cast("double")
+                    * (F.count(F.lit(1)) - 1).cast("double")
+                    / F.lit(2.0)
+                ).alias("_total")
+            )
+        else:
+            tot = (
+                ltable.agg(F.count(F.lit(1)).cast("double").alias("_nl"))
+                .crossJoin(
+                    F.broadcast(rtable.agg(F.count(F.lit(1)).cast("double").alias("_nr")))
+                )
+                .select((F.col("_nl") * F.col("_nr")).alias("_total"))
+            )
+        counts = counts.crossJoin(F.broadcast(tot))
+        rr = F.lit(1.0) - F.col("n_candidates").cast("double") / F.nullif(
+            F.col("_total"), F.lit(0.0)
+        )
+    else:
+        rr = F.lit(None).cast("double")
+
+    return counts.select(
+        "n_candidates",
+        "n_true",
+        "n_true_found",
+        (
+            F.col("n_true_found").cast("double")
+            / F.nullif(F.col("n_true"), F.lit(0)).cast("double")
+        ).alias("pairs_completeness"),
+        (
+            F.col("n_true_found").cast("double")
+            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
+        ).alias("pairs_quality"),
+        rr.alias("reduction_ratio"),
+    )
+
+
 def evaluate_blocking(
     candset: DataFrame,
     labeled: DataFrame,
