@@ -33,8 +33,11 @@ from ..plans.validation import (
 )
 from .missing_pairs import missing_pairs
 from .set_sim_join import as_set_tokenizer
-from ..plans.cache import persist_tracked
-from ..plans.skew import SALT_ALPHA, resolve_salt_parallelism, salted_token_join
+from ..plans.skew import (
+    resolve_salt_parallelism,
+    salted_token_join,
+    sampled_hot_tokens,
+)
 
 _COMP_COL = {
     ">=": lambda c, t: c >= t,
@@ -129,38 +132,9 @@ def _token_pairs(ltable, rtable, l_key_attr, r_key_attr, l_join_attr, r_join_att
     spark = ltable.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    p = float(spark.conf.get("spark.py_stringsimjoin.saltSampleFraction", "0.01"))
-    if p >= 1.0:
-        tok_stream = l_ex.select("_tok").unionByName(r_ex.select("_tok"))
-    else:
-        # sample ROWS before tokenizing, so only the sample pays the
-        # tokenize+explode cost; the join itself remains the one full
-        # tokenize pass per input
-        tok_stream = None
-        for t, a in ((ltable, l_join_attr), (rtable, r_join_attr)):
-            s = (
-                t.select(F.col(a).alias("_s"))
-                .where(F.col("_s").isNotNull())
-                .sample(fraction=p, seed=42)
-                .withColumn("_tokens", tok.spark_col(F.col("_s")))
-                .select(F.explode("_tokens").alias("_tok"))
-            )
-            tok_stream = s if tok_stream is None else tok_stream.unionByName(s)
-    # sample-vocabulary-sized; persisted because the Σf² agg and the
-    # hot-token collect both read it
-    freq = persist_tracked(
-        tok_stream.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    hot = sampled_hot_tokens(
+        spark, [(ltable, l_join_attr), (rtable, r_join_attr)], tok, n_salts
     )
-    fd = F.col("_freq").cast("double")
-    w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
-    hot: dict = {}
-    if w > 0:
-        import math
-
-        budget = w / (SALT_ALPHA * max(n_salts, 1))
-        cap = SALT_ALPHA * max(n_salts, 1)
-        for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
-            hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
     joined = salted_token_join(
         l_ex, r_ex, hot, l_salt_key="_l_key",
         pin_partitions=n_shuffle if hot else None,

@@ -55,6 +55,11 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizers import Tokenizer
 from ..plans.cache import tracked_cache as _tc
+from ..plans.skew import (
+    resolve_salt_parallelism,
+    salted_token_join,
+    sampled_hot_tokens,
+)
 from ..plans.validation import validate_attr, validate_attr_type, validate_threshold
 
 
@@ -176,9 +181,26 @@ def tfidf_cosine_join(
     l_norm = norms(l_ex, "l")
     r_norm = norms(r_ex, "r")
 
-    pairs = l_ex.join(r_ex, "_tok").select(
-        "_luk", "_ruk", "_tok", (F.col("_lw") * F.col("_rw")).alias("_p")
+    # the pair join explodes quadratically on hot tokens — same Zipf hazard
+    # and same mitigation as the overlap joins (plans/skew.py): hot tokens
+    # detected on a bounded row sample, per-token proportional salting,
+    # output-invariant. With value_dedup the sampled (row-level) counts
+    # over-estimate a dup-heavy token's share among the distinct-value
+    # units actually joined — a balance-only inaccuracy that costs at most
+    # bounded build replication, never correctness.
+    spark = ltable.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_salts = resolve_salt_parallelism(ltable, n_shuffle)
+    hot = sampled_hot_tokens(
+        spark, [(ltable, l_join_attr), (rtable, r_join_attr)], tokenizer, n_salts
     )
+    pairs = salted_token_join(
+        l_ex,
+        r_ex,
+        hot,
+        l_salt_key="_luk",
+        pin_partitions=n_shuffle if hot else None,
+    ).select("_luk", "_ruk", "_tok", (F.col("_lw") * F.col("_rw")).alias("_p"))
     if exact_order:
         dot = (
             pairs.groupBy("_luk", "_ruk")

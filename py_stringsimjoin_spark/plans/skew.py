@@ -97,6 +97,54 @@ def hot_token_ranks(
     return out
 
 
+def sampled_hot_tokens(
+    spark,
+    inputs: list,
+    tokenizer,
+    parallelism: int,
+    alpha: int = SALT_ALPHA,
+) -> dict:
+    """{token: S_t} from a bounded row sample — no full-corpus pass.
+
+    ``inputs`` is a list of ``(DataFrame, join_attr)`` pairs. Each input
+    contributes a ``saltSampleFraction`` row sample (default 1%), tokenized
+    and frequency-aggregated; hotness is decided on the sampled counts with
+    the scale-invariant ratio rule (hot ⟺ f² > Σf²/(α·P), S_t =
+    ceil(α·P·f²/Σf²) clamped to [2, α·P]) — under uniform row sampling both
+    sides of the ratio scale by ~p², so the sampled plan converges to the
+    exact-count plan while tokenizing only the sample. Salting is
+    output-invariant: a sampling miss costs balance, never correctness.
+    Set the conf to 1.0 for exact counts (one extra corpus pass)."""
+    from .cache import persist_tracked
+
+    p = float(spark.conf.get("spark.py_stringsimjoin.saltSampleFraction", "0.01"))
+    tok_stream = None
+    for t, a in inputs:
+        s = t.select(F.col(a).alias("_s")).where(F.col("_s").isNotNull())
+        if p < 1.0:
+            # sample ROWS before tokenizing so only the sample pays the
+            # tokenize+explode cost
+            s = s.sample(fraction=p, seed=42)
+        s = s.withColumn("_tokens", tokenizer.spark_col(F.col("_s"))).select(
+            F.explode("_tokens").alias("_tok")
+        )
+        tok_stream = s if tok_stream is None else tok_stream.unionByName(s)
+    # sample-vocabulary-sized; persisted because the Σf² agg and the
+    # hot-token collect both read it
+    freq = persist_tracked(
+        tok_stream.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    )
+    fd = F.col("_freq").cast("double")
+    w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
+    hot: dict = {}
+    if w > 0:
+        budget = w / (alpha * max(parallelism, 1))
+        cap = alpha * max(parallelism, 1)
+        for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
+            hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
+    return hot
+
+
 def salted_token_join(
     ex_l: DataFrame,
     ex_r: DataFrame,
