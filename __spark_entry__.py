@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-currently 38 queries, every one with a DuckDB oracle below.
+currently 39 queries, every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1235,6 +1235,39 @@ FROM nc, nt, f, np
 """
 
 
+def q_prepared_multi_part(spark, sf_dir):
+    """Prepared-corpus reuse as one oracled query: ONE tokenize+ordering+rank
+    pass over part feeds BOTH a jaccard-0.5 and a cosine-0.7 self-join
+    (operators/prepared.py — threshold sweeps / multi-measure scoring skip
+    re-preparation). Output identical to running the two joins standalone."""
+    from py_stringsimjoin_spark.operators.prepared import PreparedSetSimCorpus
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corpus = PreparedSetSimCorpus(part, "p_partkey", "p_name", _WS)
+    out = None
+    for measure, thr in (("jaccard", 0.5), ("cosine", 0.7)):
+        pairs = corpus.join_pairs(
+            measure, thr, allow_empty=False, self_join_dedup=True
+        ).select(
+            F.lit(measure).alias("measure"),
+            F.col("_l_key").alias("l_p_partkey"),
+            F.col("_r_key").alias("r_p_partkey"),
+            F.col("_sim_score").alias("sim"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
+def _prepared_multi_sql() -> str:
+    j = _set_sim_part_sql(_J_SCORE, 0.5)
+    c = _set_sim_part_sql(_C_SCORE, 0.7)
+    return f"""
+SELECT 'jaccard' AS measure, * FROM ({j})
+UNION ALL
+SELECT 'cosine' AS measure, * FROM ({c})
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -1278,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_part": q_tfidf_cosine_part,
         "canonical_part": q_canonical_part,
         "blocking_quality_part": q_blocking_quality_part,
+        "prepared_multi_part": q_prepared_multi_part,
     }
 
 
@@ -1326,4 +1360,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "canonical_part": _canonical_part_sql(),
         "blocking_quality_part": _blocking_quality_sql(),
+        "prepared_multi_part": _prepared_multi_sql(),
     }
