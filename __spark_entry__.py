@@ -1136,6 +1136,94 @@ WHERE d.dot / (nl.nrm * nr.nrm) >= {threshold}
 """
 
 
+def q_topk_jaccard_part(spark, sf_dir):
+    """Per-left-record top-3 jaccard neighbors (sim >= 0.5) on part.p_name.
+
+    Exercises ``operators/topk_join.py``: threshold kernel at the floor,
+    then a per-left window rank with deterministic (sim DESC, r_key ASC)
+    tie-breaking — both directions kept, self pairs excluded."""
+    from py_stringsimjoin_spark.operators.topk_join import topk_set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = topk_set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 3, 0.5,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+        F.col("_rank").cast("long").alias("nbr_rank"),
+    )
+
+
+def _topk_jaccard_sql(k: int = 3, floor: float = 0.5) -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id <> b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT l_id, r_id, {_J_SCORE} AS sim,
+         row_number() OVER (PARTITION BY l_id ORDER BY {_J_SCORE} DESC, r_id) AS rk
+  FROM pairs WHERE {_J_SCORE} >= {floor}
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim, rk AS nbr_rank
+FROM scored WHERE rk <= {k}
+"""
+
+
+def q_topk_edit_part(spark, sf_dir):
+    """Per-left-record 3 nearest neighbors by Levenshtein distance (<= 2)
+    on part.p_name — ``operators/topk_join.topk_edit_distance_join``."""
+    from py_stringsimjoin_spark.operators.topk_join import topk_edit_distance_join
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = topk_edit_distance_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name", 3, 2,
+        tokenizer=_QG2,
+    )
+    return out.select(
+        "l_p_partkey",
+        "r_p_partkey",
+        F.col("_sim_score").alias("dist"),
+        F.col("rank").cast("long").alias("nbr_rank"),
+    )
+
+
+def _topk_edit_sql(k: int = 3, ceiling: int = 2) -> str:
+    toks = _QG2.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS s, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(list_distinct(toks)) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id <> b.id
+), d AS (
+  SELECT c.l_id, c.r_id, levenshtein(pa.s, pb.s)::DOUBLE AS dist
+  FROM cand c JOIN base pa ON pa.id = c.l_id JOIN base pb ON pb.id = c.r_id
+  WHERE levenshtein(pa.s, pb.s) <= {ceiling}
+), ranked AS (
+  SELECT l_id, r_id, dist,
+         row_number() OVER (PARTITION BY l_id ORDER BY dist, r_id) AS rk
+  FROM d
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, dist, rk AS nbr_rank
+FROM ranked WHERE rk <= {k}
+"""
+
+
 def q_canonical_part(spark, sf_dir):
     """Full linkage tail: jaccard match pairs -> connected components ->
     one canonical (survivor) record per cluster, longest-name rule."""
@@ -1309,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_emb,
         "ivf_topk_embeddings": q_ivf_topk_emb,
         "tfidf_cosine_part": q_tfidf_cosine_part,
+        "topk_jaccard_part": q_topk_jaccard_part,
+        "topk_edit_part": q_topk_edit_part,
         "canonical_part": q_canonical_part,
         "blocking_quality_part": q_blocking_quality_part,
         "prepared_multi_part": q_prepared_multi_part,
@@ -1358,6 +1448,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_sql(),
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
+        "topk_jaccard_part": _topk_jaccard_sql(),
+        "topk_edit_part": _topk_edit_sql(),
         "canonical_part": _canonical_part_sql(),
         "blocking_quality_part": _blocking_quality_sql(),
         "prepared_multi_part": _prepared_multi_sql(),

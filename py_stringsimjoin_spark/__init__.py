@@ -34,6 +34,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
+from .operators.topk_join import topk_edit_distance_join, topk_sim_join
 from .operators.weighted import tfidf_cosine_join
 from .plans.cache import engine_cache_scope, release_engine_caches
 from .session import get_spark
@@ -69,6 +70,8 @@ __all__ = [
     "canonicalize_clusters",
     "evaluate_blocking",
     "tfidf_cosine_join",
+    "topk_edit_distance_join",
+    "topk_sim_join",
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",

@@ -42,8 +42,12 @@ def assemble_output(
     r_out_prefix: str = "r_",
     sim_score_col: str | None = "_sim_score",
     add_dense_id: bool | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """pairs has columns (_l_key, _r_key [, sim_score_col])."""
+    """pairs has columns (_l_key, _r_key [, sim_score_col] [, extra_cols]).
+
+    ``extra_cols``: additional pair-level columns (e.g. the top-k join's
+    ``_rank``) carried through to the output, after the sim score."""
     if add_dense_id is None:
         add_dense_id = (
             str(
@@ -78,6 +82,8 @@ def assemble_output(
     cols += [F.col(f"{r_out_prefix}{a}") for a in r_out]
     if sim_score_col is not None and sim_score_col in pairs.columns:
         cols.append(F.col(sim_score_col))
+    for c in extra_cols or []:
+        cols.append(F.col(c))
     result = out.select(*cols)
     if add_dense_id:
         w = Window.orderBy(*result.columns[:2])
