@@ -169,3 +169,44 @@ def dedup_recrawls(
     (late data beyond the watermark is discarded by the engine) — the
     streaming-ingest hygiene step before candidate generation."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates([url_col])
+
+
+def windowed_match_counts(
+    matches: DataFrame,
+    ts_col: str,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    key_col: str = "_l_key",
+) -> DataFrame:
+    """Event-time-windowed match metrics with late-data handling.
+
+    The monitoring tail of the streaming pipeline: per event-time window,
+    how many verified matches arrived and how many distinct stream pages
+    produced them. ``withWatermark`` bounds the aggregation state — windows
+    older than the watermark are finalized and dropped from the store, and
+    records arriving later than that are discarded (the documented
+    late-data contract). Tumbling windows by default; pass ``slide`` for
+    sliding ones.
+
+    Output: ``window_start, window_end, n_matches, n_src_pages``. Works on
+    a streaming OR a batch DataFrame (the same expressions run in both —
+    handy for backfilling the metric over historical match parquet).
+    """
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    src = matches
+    if matches.isStreaming:
+        src = matches.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(win.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.approx_count_distinct(key_col).alias("n_src_pages"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_matches",
+            "n_src_pages",
+        )
+    )

@@ -173,3 +173,59 @@ def test_write_matches_stream_sink(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {("s1", "u1")}
+
+
+def test_windowed_match_counts_streaming_and_batch(spark, tmp_path):
+    """Watermarked event-time windowed aggregation over a match stream; the
+    same plan must also run in batch mode (backfill) with equal results."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from py_stringsimjoin_spark.streaming.stream_join import windowed_match_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("_l_key", T.StringType()),
+            T.StructField("_r_key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("s1", "u1", t0),
+        ("s1", "u2", t0 + datetime.timedelta(minutes=1)),
+        ("s2", "u1", t0 + datetime.timedelta(minutes=2)),
+        ("s3", "u9", t0 + datetime.timedelta(minutes=7)),
+    ]
+    src = str(tmp_path / "match_stream")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_match_counts(stream, "ts", "5 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["n_matches"], r["n_src_pages"])
+            for r in spark.sql("select * from win_sink").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (t0, 3, 2),                                   # s1, s1, s2 in [0, 5)
+        (t0 + datetime.timedelta(minutes=5), 1, 1),   # s3 in [5, 10)
+    }
+    assert got == want
+
+    # batch backfill: identical expressions over the same parquet
+    batch = windowed_match_counts(spark.read.parquet(src), "ts", "5 minutes")
+    got_b = {
+        (r["window_start"], r["n_matches"], r["n_src_pages"])
+        for r in batch.collect()
+    }
+    assert got_b == want
