@@ -1,0 +1,108 @@
+"""Physical-plan regression guards for the scale properties the docs claim.
+
+These don't check RESULTS (the oracle suite does); they check the PLAN:
+joins must stay entirely JVM-side (a Python eval node in the hot path is the
+round-2 anti-scaling regression), and parquet scans must prune to the
+columns the join actually needs (a scan reading 9 columns for a 2-column
+join multiplies IO 4x at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_stringsimjoin_spark import (
+    QgramTokenizer,
+    WhitespaceTokenizer,
+    edit_distance_join,
+    jaccard_join,
+    overlap_join,
+)
+
+PART = "/root/testdata/sf0.001/part.parquet"
+
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def _plan(df, mode="extended") -> str:
+    qe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(qe, mode)
+
+
+@pytest.fixture(scope="module")
+def part(spark):
+    return spark.read.parquet(PART)
+
+
+def test_set_sim_join_plan_is_python_free(part):
+    out = jaccard_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        WhitespaceTokenizer(), 0.5,
+    )
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in jaccard join plan"
+
+
+def test_edit_distance_join_plan_is_python_free(part):
+    out = edit_distance_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name", 2,
+        tokenizer=QgramTokenizer(qval=2),
+    )
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in edit-distance join plan"
+
+
+def test_overlap_join_plan_is_python_free(part):
+    out = overlap_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        WhitespaceTokenizer(), 2,
+    )
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in overlap join plan"
+
+
+def test_join_scan_prunes_to_needed_columns(part):
+    """part has 9 columns; a join using (p_partkey, p_name) with no
+    out_attrs must never scan the other 7."""
+    assert len(part.columns) > 2
+    out = jaccard_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        WhitespaceTokenizer(), 0.5,
+    )
+    plan = _plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, "no parquet scan in plan"
+    for ln in scan_lines:
+        for col in ("p_brand", "p_type", "p_retailprice", "p_comment", "p_mfgr"):
+            assert col not in ln, f"unpruned column {col}: {ln.strip()}"
+
+
+def test_out_attrs_widen_scan_only_with_request(part):
+    out = jaccard_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        WhitespaceTokenizer(), 0.5,
+        l_out_attrs=["p_brand"], r_out_attrs=["p_brand"],
+    )
+    assert "l_p_brand" in out.columns and "r_p_brand" in out.columns
+    plan = _plan(out)
+    assert "p_brand" in plan  # requested attr is read...
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in scan_lines:
+        assert "p_comment" not in ln  # ...but unrequested ones still are not
+
+
+def test_topk_window_rank_stays_jvm(part):
+    from py_stringsimjoin_spark import topk_sim_join
+
+    out = topk_sim_join(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        WhitespaceTokenizer(), 3, 0.5,
+    )
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in top-k join plan"
+    assert "Window" in plan
