@@ -1136,6 +1136,53 @@ WHERE d.dot / (nl.nrm * nr.nrm) >= {threshold}
 """
 
 
+def q_jaccard_two_tables(spark, sf_dir):
+    """R≠S jaccard join: even-keyed parts vs odd-keyed parts.
+
+    Every other part-table driver query goes through the self-join path
+    (shared ordering, l<r dedup); this one exercises the genuine two-table
+    plan — token ordering built over BOTH sides' frequencies, no self
+    dedup — which is the shape of linking two different corpora."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    lt = part.where(F.col("p_partkey") % 2 == 0)
+    rt = part.where(F.col("p_partkey") % 2 == 1)
+    pairs = set_sim_join_pairs(
+        "jaccard", lt, rt, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def _jaccard_two_tables_sql(threshold: float = 0.5) -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH l AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part
+  WHERE p_name IS NOT NULL AND p_partkey % 2 = 0
+), r AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part
+  WHERE p_name IS NOT NULL AND p_partkey % 2 = 1
+), lt AS (
+  SELECT id, len(toks) AS sz, unnest(toks) AS tok FROM l
+), rt AS (
+  SELECT id, len(toks) AS sz, unnest(toks) AS tok FROM r
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM lt a JOIN rt b ON a.tok = b.tok
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, {_J_SCORE} AS sim
+FROM pairs WHERE {_J_SCORE} >= {threshold}
+"""
+
+
 def q_topk_jaccard_part(spark, sf_dir):
     """Per-left-record top-3 jaccard neighbors (sim >= 0.5) on part.p_name.
 
@@ -1397,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_emb,
         "ivf_topk_embeddings": q_ivf_topk_emb,
         "tfidf_cosine_part": q_tfidf_cosine_part,
+        "jaccard_two_tables": q_jaccard_two_tables,
         "topk_jaccard_part": q_topk_jaccard_part,
         "topk_edit_part": q_topk_edit_part,
         "canonical_part": q_canonical_part,
@@ -1448,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_sql(),
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
+        "jaccard_two_tables": _jaccard_two_tables_sql(),
         "topk_jaccard_part": _topk_jaccard_sql(),
         "topk_edit_part": _topk_edit_sql(),
         "canonical_part": _canonical_part_sql(),
