@@ -151,3 +151,108 @@ class PreparedSetSimCorpus:
             _plan_stats=stats,
             _prepared=self,
         )
+
+    def join_delta_pairs(
+        self,
+        delta: DataFrame,
+        measure: str,
+        threshold: float,
+        comp_op: str = ">=",
+        delta_key_attr: str | None = None,
+        delta_join_attr: str | None = None,
+    ) -> DataFrame:
+        """Join NEW rows against this prepared corpus without re-preparing it.
+
+        The incremental-crawl pattern: the corpus (N rows) is prepared once;
+        each increment (n ≪ N rows) joins against it in one pass — no corpus
+        re-tokenize, no ordering rebuild, no corpus-side shuffle beyond the
+        probe join against the persisted ranked table. Returns
+        ``(_l_key, _r_key, _sim_score)`` with ``_l_key`` from the delta and
+        ``_r_key`` from the corpus (delta-internal pairs are NOT included —
+        fold the increment into a new prepared corpus periodically).
+
+        Correctness with unseen tokens: delta tokens absent from the corpus
+        vocabulary cannot match any corpus row, but they DO count in the
+        delta row's set size — so sizes come from the FULL token set while
+        the overlap is computed on the known-rank arrays (exact: the
+        intersection can only contain known tokens). The candidate probe
+        uses ALL known delta tokens against the corpus's exact prefix — a
+        superset of the delta's own prefix, so no true pair is missed
+        (same argument as ``streaming/stream_join.stream_candidates``).
+
+        allow_empty semantics are the ``False`` variant (no empty-empty
+        score-1.0 pairs) — an increment row with no tokens matches nothing.
+        """
+        from .set_sim_join import _COMP_COL_FN
+
+        dk = delta_key_attr or self.key_attr
+        da = delta_join_attr or self.join_attr
+        d = (
+            delta.select(F.col(dk).alias("_l_key"), F.col(da).alias("_s"))
+            .where(F.col("_s").isNotNull())
+            .withColumn("_dt", self.tokenizer.spark_col(F.col("_s")))
+            .select("_l_key", F.size("_dt").alias("_l_full"), "_dt")
+        )
+        # one ordering lookup serves both the probe and the known-rank arrays
+        exr = (
+            d.select("_l_key", F.explode("_dt").alias("token"))
+            .join(self.ordering.select("token", "rank"), "token")
+            .select("_l_key", "rank")
+        )
+        known = exr.groupBy("_l_key").agg(
+            F.array_sort(F.collect_list("rank")).alias("_l_ranked")
+        )
+        dr = (
+            d.join(known, "_l_key", "left")
+            .withColumn(
+                "_l_ranked",
+                F.coalesce(F.col("_l_ranked"), F.array().cast("array<long>")),
+            )
+            .select("_l_key", "_l_full", "_l_ranked")
+        )
+        # corpus prefix: a slice of the persisted ranked arrays — the only
+        # corpus-wide work per call, and it is pure column arithmetic
+        pref = (
+            self.ranked.withColumn(
+                "_pfx", fm.prefix_length_col(F.col("_l_size"), measure, threshold)
+            )
+            .select(
+                F.col("_l_key").alias("_r_key"),
+                F.col("_l_size").alias("_r_size"),
+                F.explode(F.expr("slice(_l_ranked, 1, _pfx)")).alias("rank"),
+            )
+        )
+        probe = exr.join(d.select("_l_key", "_l_full"), "_l_key")
+        cand = (
+            probe.join(pref, "rank")
+            .where(
+                (F.col("_r_size")
+                 >= fm.size_lower_bound_col(F.col("_l_full"), measure, threshold))
+                & (F.col("_r_size")
+                   <= fm.size_upper_bound_col(F.col("_l_full"), measure, threshold))
+            )
+            .select("_l_key", "_r_key")
+            .distinct()
+        )
+        corpus_r = self.ranked.select(
+            F.col("_l_key").alias("_r_key"),
+            F.col("_l_ranked").alias("_r_ranked"),
+            F.col("_l_size").alias("_r_size"),
+        )
+        j = cand.join(dr, "_l_key").join(corpus_r, "_r_key")
+        ov = F.size(F.array_intersect("_l_ranked", "_r_ranked")).cast("double")
+        ls = F.col("_l_full").cast("double")
+        rs = F.col("_r_size").cast("double")
+        if measure == "jaccard":
+            score = ov / (ls + rs - ov)
+        elif measure == "cosine":
+            score = ov / F.sqrt(ls * rs)
+        elif measure == "dice":
+            score = F.lit(2.0) * ov / (ls + rs)
+        else:
+            raise ValueError(f"unsupported measure for delta join: {measure}")
+        return (
+            j.withColumn("_sim_score", score)
+            .where(_COMP_COL_FN[comp_op](F.col("_sim_score"), F.lit(threshold)))
+            .select("_l_key", "_r_key", "_sim_score")
+        )
