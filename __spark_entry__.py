@@ -1183,6 +1183,52 @@ FROM pairs WHERE {_J_SCORE} >= {threshold}
 """
 
 
+def q_delta_join_part(spark, sf_dir):
+    """Incremental-crawl path: odd-keyed parts join as a DELTA against a
+    corpus prepared from even-keyed parts (operators/prepared.py
+    join_delta_pairs). The oracle is the plain cross-side jaccard join of
+    the two subsets — the delta plan must reproduce it exactly even though
+    its ordering/vocabulary is built from the corpus side only (delta-only
+    tokens count in sizes but can never match)."""
+    from py_stringsimjoin_spark.operators.prepared import PreparedSetSimCorpus
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corpus = PreparedSetSimCorpus(
+        part.where(F.col("p_partkey") % 2 == 0), "p_partkey", "p_name", _WS
+    )
+    delta = part.where(F.col("p_partkey") % 2 == 1)
+    pairs = corpus.join_delta_pairs(delta, "jaccard", 0.5)
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def _delta_join_part_sql(threshold: float = 0.5) -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH l AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part
+  WHERE p_name IS NOT NULL AND p_partkey % 2 = 1
+), r AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part
+  WHERE p_name IS NOT NULL AND p_partkey % 2 = 0
+), lt AS (
+  SELECT id, len(toks) AS sz, unnest(toks) AS tok FROM l
+), rt AS (
+  SELECT id, len(toks) AS sz, unnest(toks) AS tok FROM r
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM lt a JOIN rt b ON a.tok = b.tok
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, {_J_SCORE} AS sim
+FROM pairs WHERE {_J_SCORE} >= {threshold}
+"""
+
+
 def q_topk_jaccard_part(spark, sf_dir):
     """Per-left-record top-3 jaccard neighbors (sim >= 0.5) on part.p_name.
 
@@ -1445,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_emb,
         "tfidf_cosine_part": q_tfidf_cosine_part,
         "jaccard_two_tables": q_jaccard_two_tables,
+        "delta_join_part": q_delta_join_part,
         "topk_jaccard_part": q_topk_jaccard_part,
         "topk_edit_part": q_topk_edit_part,
         "canonical_part": q_canonical_part,
@@ -1497,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
+        "delta_join_part": _delta_join_part_sql(),
         "topk_jaccard_part": _topk_jaccard_sql(),
         "topk_edit_part": _topk_edit_sql(),
         "canonical_part": _canonical_part_sql(),
