@@ -52,9 +52,11 @@ def blocking_metrics(
     (each a 1-row broadcast), so it composes into pipelines and runs as ONE
     job instead of four. Pass ``ltable``/``rtable`` to get
     ``reduction_ratio`` (their row counts fold in lazily too; with
-    ``symmetric=True`` and both passed, the cross-product size is
-    n_l·(n_l−1)/2 — the self-join convention). Integer-ratio divisions are
-    IEEE-exact, so the output is cross-engine hash-stable.
+    ``symmetric=True`` and ``rtable is ltable``, the cross-product size is
+    n·(n−1)/2 — the self-join convention; two distinct tables use n_l·n_r
+    even when pairs are unordered, matching ``evaluate_blocking``).
+    Integer-ratio divisions are IEEE-exact, so the output is cross-engine
+    hash-stable.
     """
     cand = _canon(candset, cand_l, cand_r, symmetric)
     true = _canon(labeled, label_l, label_r, symmetric)
@@ -66,7 +68,11 @@ def blocking_metrics(
         .crossJoin(F.broadcast(found.agg(F.count(F.lit(1)).alias("n_true_found"))))
     )
     if ltable is not None and rtable is not None:
-        if symmetric:
+        # the n·(n−1)/2 self-join convention applies only when both sides
+        # really are the same table — mirroring evaluate_blocking's
+        # `symmetric and n_left == n_right` guard; unordered pairs across
+        # two DIFFERENT tables still have an n_l·n_r cross product
+        if symmetric and rtable is ltable:
             tot = ltable.agg(
                 (
                     F.count(F.lit(1)).cast("double")

@@ -185,13 +185,13 @@ def assign_cells(
             if nprobe == 1:
                 cells = np.argmax(S, axis=1)[:, None]
             else:
-                part = np.argpartition(-S, nprobe - 1, axis=1)[:, :nprobe]
-                # order the probes best-first, ties → lower cell id (matches
-                # the expr/SQL ORDER BY s DESC, cell ASC)
-                order = np.lexsort(
-                    (part, -np.take_along_axis(S, part, axis=1)), axis=1
-                )
-                cells = np.take_along_axis(part, order, axis=1)
+                # full stable sort, not argpartition: at the nprobe boundary
+                # argpartition picks an arbitrary member of a tied score set,
+                # which would diverge from the expr/SQL rule; a stable sort
+                # on -S breaks every tie by lower cell id, matching
+                # ORDER BY s DESC, cell ASC exactly (ncells is small, the
+                # full sort is noise)
+                cells = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {

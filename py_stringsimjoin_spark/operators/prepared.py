@@ -106,6 +106,63 @@ class PreparedSetSimCorpus:
         # are cached; join_pairs fills avg_pfx per call from avg_size)
         self.stats = sample_plan_stats([(proj, "_l_str")], tokenizer=self.tokenizer)
 
+    @classmethod
+    def load(
+        cls,
+        table: DataFrame,
+        key_attr: str,
+        join_attr: str,
+        tokenizer: Tokenizer,
+        path: str,
+        table_name: str | None = None,
+    ) -> "PreparedSetSimCorpus":
+        """Reconstruct a prepared corpus from a prior ``path=``
+        materialization WITHOUT re-tokenizing or re-ranking.
+
+        ``table`` must be the same corpus the materialization was built from
+        (its rows are what join outputs refer to); ``tokenizer`` must be the
+        one used at prepare time — neither is re-derivable from the stored
+        tables, so both are caller-supplied and unvalidated. Pass
+        ``table_name`` to read a ``buckets=`` materialization through the
+        metastore (bucketed scan) instead of plain parquet. The only job
+        this runs is the bounded-sample stats probe; the tokenize / ordering
+        / rank work is skipped entirely.
+        """
+        self = cls.__new__(cls)
+        self.table = table
+        self.key_attr = key_attr
+        self.join_attr = join_attr
+        self.tokenizer = as_set_tokenizer(tokenizer)
+        spark = table.sparkSession
+        self.ordering = spark.read.parquet(f"{path}/ordering")
+        if table_name is not None:
+            self.ranked = spark.table(table_name)
+        else:
+            self.ranked = spark.read.parquet(f"{path}/ranked")
+        proj = table.select(
+            F.col(key_attr).alias("_l_key"), F.col(join_attr).alias("_l_str")
+        )
+        self.stats = sample_plan_stats([(proj, "_l_str")], tokenizer=self.tokenizer)
+        return self
+
+    def resolve_packer(self):
+        """Pair-key packer for self-joins over this corpus, resolved ONCE.
+
+        For long-typed keys ``plans.pairkey.resolve_pair_packer`` costs a
+        column-pruned min/max job; its answer is a property of the corpus,
+        not of the threshold — so threshold sweeps over a prepared corpus
+        must not re-pay it per call. (The ``pairKeyPacking`` conf is read at
+        first resolution; flip it before the first join, not mid-sweep.)
+        """
+        if not hasattr(self, "_packer_resolved"):
+            from ..plans.pairkey import resolve_pair_packer
+
+            self._packer = resolve_pair_packer(
+                self.table, self.table, self.key_attr, self.key_attr, True
+            )
+            self._packer_resolved = True
+        return self._packer
+
     def join_pairs(
         self,
         measure: str,

@@ -313,7 +313,12 @@ def set_sim_join_pairs(
     # into ONE primitive long through that aggregation (plans/pairkey.py;
     # round-3 event logs measured the two-column grouping key spilling
     # 4-8× its exchange bytes).
-    packer = resolve_pair_packer(ltable, rtable, l_key_attr, r_key_attr, is_self)
+    # prepared corpora cache the packer decision (its bounds job is a corpus
+    # property — a threshold sweep must not re-pay the scan per call)
+    if _prepared is not None:
+        packer = _prepared.resolve_packer()
+    else:
+        packer = resolve_pair_packer(ltable, rtable, l_key_attr, r_key_attr, is_self)
 
     if strategy == "count":
         ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))

@@ -158,7 +158,13 @@ def tfidf_cosine_join(
 
     def exploded(units: DataFrame, side: str) -> DataFrame:
         e = units.select(F.col("_uk").alias(f"_{side}uk"), F.explode("_toks").alias("_tok"))
-        return e.join(F.broadcast(weights), "_tok").select(
+        # no broadcast HINT on the weight table: it has one row per DISTINCT
+        # token, i.e. it is vocabulary-sized — unbounded on web corpora. Let
+        # Catalyst/AQE broadcast it when its measured size is under the
+        # threshold and fall back to a shuffle hash join when it is not;
+        # forcing the broadcast would collect a multi-GB vocabulary to the
+        # driver at exactly the scale this module targets.
+        return e.join(weights, "_tok").select(
             f"_{side}uk", "_tok", F.col("_w").alias(f"_{side}w")
         )
 

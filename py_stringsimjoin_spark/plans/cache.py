@@ -67,13 +67,20 @@ def engine_cache_scope():
     engine plans should give each its own scope or none.) Yields a callable
     returning how many new caches have accumulated since entry
     (diagnostics)."""
-    before = {id(df) for df in _ENGINE_CACHES}
+    # hold STRONG references alongside the id set: if a pre-existing entry
+    # were released and garbage-collected while the scope is open, CPython
+    # could recycle its address for a brand-new cache, whose id would then
+    # falsely test as "pre-existing" and escape the sweep. Keeping the
+    # snapshot objects alive pins their ids for the scope's lifetime.
+    before_refs = list(_ENGINE_CACHES)
+    before = {id(df) for df in before_refs}
     try:
         yield lambda: sum(1 for df in _ENGINE_CACHES if id(df) not in before)
     finally:
         scoped = [df for df in _ENGINE_CACHES if id(df) not in before]
         _ENGINE_CACHES[:] = [df for df in _ENGINE_CACHES if id(df) in before]
         _release(scoped)
+        del before_refs
 
 
 def release_engine_caches() -> int:

@@ -21,10 +21,20 @@ When to pack is decided statically from the key dtypes (byte/short/int are
 always safe) or — for long keys, whose values usually still fit (row ids,
 dense surrogate keys) — from an exact min/max bounds job over just the key
 columns (column-pruned scan; parquet row-group statistics make it cheap).
-The bounds job also rejects NULL keys, which would collapse distinct pairs
-into one group. ``spark.py_stringsimjoin.pairKeyPacking=off`` disables the
-whole mechanism; packing never changes results, only the aggregation's
-memory profile (oracle-checked both ways in tests/test_round4_features.py).
+
+NULL keys: the key attribute is contractually unique and non-null — the
+reference REJECTS tables violating it (utils/validation.py:37-44
+``validate_key_attr`` raises), and this engine documents it as a
+precondition with ``plans.validation.assert_unique_key`` as the opt-in
+distributed check (an eager per-call scan is wrong at 10^12 rows). The
+long-key bounds job happens to also reject NULLs (they'd collapse distinct
+pairs into one packed group); the static small-int path does NOT re-check —
+on contract-violating input its aggregation groups all NULL-keyed rows
+together where the unpacked groupBy would keep them per-(NULL, r) distinct.
+``spark.py_stringsimjoin.pairKeyPacking=off`` disables the whole mechanism;
+on contract-honoring input packing never changes results, only the
+aggregation's memory profile (oracle-checked both ways in
+tests/test_round4_features.py).
 """
 
 from __future__ import annotations

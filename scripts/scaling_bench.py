@@ -105,9 +105,11 @@ def run_level(cpus: int, sf_dir: str, attempts: int) -> dict:
               f"total={r['value']}s clean={_is_clean(r)}",
               file=sys.stderr, flush=True)
     clean_runs = [r for r in runs if _is_clean(r)]
-    # fall back to all runs if the window never went quiet — visible in the
-    # artifact because every attempt carries its steal%%
-    basis = clean_runs if len(clean_runs) >= 2 else runs
+    # median over whatever clean runs exist; fall back to all runs only if
+    # the window NEVER went quiet — visible in the artifact because every
+    # attempt carries its steal%%. (Even one clean run beats a median over
+    # runs the gate just classified as stolen.)
+    basis = clean_runs if clean_runs else runs
     queries = sorted({q for r in runs for q in r["queries"]})
     med = {
         q: _median([r["queries"][q] for r in basis if q in r["queries"]])
@@ -168,7 +170,14 @@ def run_control(cpus: int, attempts: int = 1) -> tuple[list, list]:
     alongside it, at the same clean-median-of-N protocol. Returns
     (list of (sec, steal_pct), clean flags)."""
     vals, clean = [], []
-    while sum(clean) < attempts and len(vals) < attempts + EXTRA_ATTEMPTS:
+    failures = 0
+    # failures count against the attempt budget too — a persistently-broken
+    # control (JVM won't start, unparsable stdout) must terminate the loop,
+    # not respawn forever
+    while (
+        sum(clean) < attempts
+        and len(vals) + failures < attempts + EXTRA_ATTEMPTS
+    ):
         s0, t0 = _read_cpu()
         out = subprocess.run(
             [sys.executable, "-c", _CONTROL_SRC.format(repo=REPO), str(cpus)],
@@ -180,7 +189,10 @@ def run_control(cpus: int, attempts: int = 1) -> tuple[list, list]:
             vals.append((float(out.stdout.strip().splitlines()[-1]), steal))
             clean.append(steal <= CLEAN_STEAL_PCT)
         except Exception:
-            pass
+            failures += 1
+            print(f"[scaling] control local[{cpus}] attempt failed "
+                  f"(rc={out.returncode}): {out.stderr.strip()[-200:]}",
+                  file=sys.stderr, flush=True)
     return vals, clean
 
 
@@ -239,7 +251,7 @@ def main():
 
     def _ctrl_median(all_vals, clean_flags):
         cln = [v for (v, _), c in zip(all_vals, clean_flags) if c]
-        basis = cln if len(cln) >= 2 else [v for v, _ in all_vals]
+        basis = cln if cln else [v for v, _ in all_vals]
         return _median(basis)
 
     ctrl_lo = _ctrl_median(ctrl_lo_all, ctrl_lo_clean)

@@ -213,6 +213,13 @@ def test_prepared_corpus_matches_direct(spark, tmp_path):
     )
     assert _pairs_set(corpus2.join_pairs("jaccard", 0.5, self_join_dedup=True)) == _pairs_set(direct)
 
+    # cross-session reload: load() must skip preparation (no ordering/rank
+    # rebuild) and reproduce the direct join exactly
+    corpus3 = PreparedSetSimCorpus.load(tbl, "id", "s", _WS, p)
+    assert _pairs_set(corpus3.join_pairs("jaccard", 0.5, self_join_dedup=True)) == _pairs_set(direct)
+    # the packer decision is resolved once and memoized across the sweep
+    assert corpus3.resolve_packer() is corpus3.resolve_packer()
+
 
 def test_prepared_corpus_bucketed(spark, tmp_path):
     from py_stringsimjoin_spark.operators.prepared import PreparedSetSimCorpus
