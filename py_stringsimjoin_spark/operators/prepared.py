@@ -239,6 +239,13 @@ class PreparedSetSimCorpus:
 
         allow_empty semantics are the ``False`` variant (no empty-empty
         score-1.0 pairs) — an increment row with no tokens matches nothing.
+
+        Skew: the probe join is a plain shuffle join on the rank (not the
+        exploded-amplification shape the measured per-token salting
+        targets), so AQE's skew-join split covers hot tokens here; for
+        small increments Catalyst broadcasts the delta side and skew is
+        moot. If the "increment" approaches corpus size, re-prepare and
+        run the full kernel instead — that is the salted, measured path.
         """
         from .set_sim_join import _COMP_COL_FN
 
