@@ -177,11 +177,23 @@ def main() -> int:
     # extras[*_attempts] and in the BENCH_MEDIANS.json history (not just the
     # min), so the history stays an unbiased record of observed timings.
     n_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2")))
+    # when EVERY attempt of a query ran in a stolen window (steal% above the
+    # same external gate the scaling protocol uses), spend up to this many
+    # extra attempts hoping for a clean one — bounded, and recorded like any
+    # other attempt, so it cannot bias the history
+    n_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "1")))
+    clean_pct = float(os.environ.get("SPARK_GRAFT_CLEAN_STEAL_PCT", "3.0"))
     for name in BENCH_QUERIES:
         try:
             recs: list[tuple[dict, float]] = []
             err = None
-            for _ in range(n_attempts):
+            budget = n_attempts + n_extra
+            tries = 0
+            while tries < budget and (
+                tries < n_attempts
+                or all(s is None or s > clean_pct for _, s in recs)
+            ):
+                tries += 1
                 rec, err, steal = attempt(name)
                 if rec is not None:
                     recs.append((rec, steal))
