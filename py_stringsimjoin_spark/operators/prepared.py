@@ -232,10 +232,18 @@ class PreparedSetSimCorpus:
         vocabulary cannot match any corpus row, but they DO count in the
         delta row's set size — so sizes come from the FULL token set while
         the overlap is computed on the known-rank arrays (exact: the
-        intersection can only contain known tokens). The candidate probe
-        uses ALL known delta tokens against the corpus's exact prefix — a
-        superset of the delta's own prefix, so no true pair is missed
-        (same argument as ``streaming/stream_join.stream_candidates``).
+        intersection can only contain known tokens). The candidate probe is
+        the full prefix-filter + PPJoin position bound, both sides: extend
+        the corpus's total order by placing unseen tokens AFTER every known
+        rank — corpus arrays are unchanged, and the delta row's sorted-set
+        prefix of length p(|full set|) is then exactly
+        ``slice(known_ranks, 1, p)`` as far as any corpus set can see (the
+        unseen tail of the prefix intersects nothing). Any true pair's
+        first common token is a known rank inside both prefixes, so no
+        pair is missed; the position bound at that token uses the KNOWN
+        remaining count on the delta side (the overlap is a subset of the
+        known ranks), which is tighter than |full| − pos − 1 and still an
+        upper bound.
 
         allow_empty semantics are the ``False`` variant (no empty-empty
         score-1.0 pairs) — an increment row with no tokens matches nothing.
@@ -283,10 +291,35 @@ class PreparedSetSimCorpus:
             .select(
                 F.col("_l_key").alias("_r_key"),
                 F.col("_l_size").alias("_r_size"),
-                F.explode(F.expr("slice(_l_ranked, 1, _pfx)")).alias("rank"),
+                F.posexplode(F.expr("slice(_l_ranked, 1, _pfx)")).alias(
+                    "_r_pos", "rank"
+                ),
             )
         )
-        probe = exr.join(d.select("_l_key", "_l_full"), "_l_key")
+        # delta prefix: length from the FULL size (unseen tokens sort last in
+        # the extended order, so the known part of the true prefix is exactly
+        # this slice); position within the known array IS the position within
+        # the full sorted set for every known token
+        probe = (
+            dr.withColumn(
+                "_pfx", fm.prefix_length_col(F.col("_l_full"), measure, threshold)
+            )
+            .select(
+                "_l_key",
+                "_l_full",
+                F.size("_l_ranked").alias("_l_known"),
+                F.posexplode(F.expr("slice(_l_ranked, 1, _pfx)")).alias(
+                    "_l_pos", "rank"
+                ),
+            )
+        )
+        # PPJoin position bound (set_sim_join.py's per-row formulation): the
+        # pair's min-rank shared token attains the maximum of the bound, so
+        # filtering rows before the distinct loses no qualifying pair
+        pos_ub = F.lit(1) + F.least(
+            F.col("_l_known") - F.col("_l_pos") - 1,
+            F.col("_r_size") - F.col("_r_pos") - 1,
+        )
         cand = (
             probe.join(pref, "rank")
             .where(
@@ -294,6 +327,8 @@ class PreparedSetSimCorpus:
                  >= fm.size_lower_bound_col(F.col("_l_full"), measure, threshold))
                 & (F.col("_r_size")
                    <= fm.size_upper_bound_col(F.col("_l_full"), measure, threshold))
+                & (pos_ub >= fm.overlap_threshold_col(
+                    F.col("_l_full"), F.col("_r_size"), measure, threshold))
             )
             .select("_l_key", "_r_key")
             .distinct()
