@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 43 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 44 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1449,6 +1449,49 @@ SELECT 'cosine' AS measure, * FROM ({c})
 """
 
 
+def q_snm_blocking_part(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo) on part:
+    window-7 candidates under two sort passes — p_name's first 8 chars and
+    its reverse (operators/sorted_neighborhood.py). A blocking paradigm the
+    reference lacks; candidate volume is O(n·w) by construction."""
+    from py_stringsimjoin_spark.operators.sorted_neighborhood import (
+        multipass_sorted_neighborhood,
+    )
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = multipass_sorted_neighborhood(
+        part,
+        "p_partkey",
+        [F.substring("p_name", 1, 8), F.reverse(F.col("p_name"))],
+        window_size=7,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+    )
+
+
+def _snm_blocking_sql(w: int = 7) -> str:
+    def one_pass(bk: str) -> str:
+        return f"""
+  SELECT least(a.k, b.k) AS l_p_partkey, greatest(a.k, b.k) AS r_p_partkey
+  FROM (SELECT p_partkey AS k,
+               row_number() OVER (ORDER BY {bk}, p_partkey) - 1 AS pos
+        FROM part WHERE p_name IS NOT NULL) a
+  JOIN (SELECT p_partkey AS k,
+               row_number() OVER (ORDER BY {bk}, p_partkey) - 1 AS pos
+        FROM part WHERE p_name IS NOT NULL) b
+  ON b.pos BETWEEN a.pos + 1 AND a.pos + {w - 1}"""
+
+    return f"""
+SELECT DISTINCT l_p_partkey, r_p_partkey FROM (
+{one_pass("substr(p_name, 1, 8)")}
+UNION ALL
+{one_pass("reverse(p_name)")}
+)
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -1497,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_part": q_canonical_part,
         "blocking_quality_part": q_blocking_quality_part,
         "prepared_multi_part": q_prepared_multi_part,
+        "snm_blocking_part": q_snm_blocking_part,
     }
 
 
@@ -1550,4 +1594,5 @@ def oracle_sql() -> dict[str, str]:
         "canonical_part": _canonical_part_sql(),
         "blocking_quality_part": _blocking_quality_sql(),
         "prepared_multi_part": _prepared_multi_sql(),
+        "snm_blocking_part": _snm_blocking_sql(),
     }
