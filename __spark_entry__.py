@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 44 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 45 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1471,6 +1471,46 @@ def q_snm_blocking_part(spark, sf_dir):
     )
 
 
+def q_snm_two_tables_part(spark, sf_dir):
+    """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
+    sort order on p_name's first 8 chars, window-5 cross-table candidates
+    (operators/sorted_neighborhood.py sorted_neighborhood_pairs_two_tables)."""
+    from py_stringsimjoin_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs_two_tables,
+    )
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    lt = part.where(F.col("p_partkey") % 2 == 0)
+    rt = part.where(F.col("p_partkey") % 2 == 1)
+    pairs = sorted_neighborhood_pairs_two_tables(
+        lt, rt, "p_partkey", "p_partkey",
+        F.substring("p_name", 1, 8), F.substring("p_name", 1, 8),
+        window_size=5,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+    )
+
+
+def _snm_two_tables_sql(w: int = 5) -> str:
+    return f"""
+WITH merged AS (
+  SELECT p_partkey AS k, substr(p_name, 1, 8) AS bk, 0 AS side
+  FROM part WHERE p_name IS NOT NULL AND p_partkey % 2 = 0
+  UNION ALL
+  SELECT p_partkey AS k, substr(p_name, 1, 8) AS bk, 1 AS side
+  FROM part WHERE p_name IS NOT NULL AND p_partkey % 2 = 1
+), ranked AS (
+  SELECT k, side, row_number() OVER (ORDER BY bk, side, k) - 1 AS pos FROM merged
+)
+SELECT CASE WHEN a.side = 0 THEN a.k ELSE b.k END AS l_p_partkey,
+       CASE WHEN a.side = 0 THEN b.k ELSE a.k END AS r_p_partkey
+FROM ranked a JOIN ranked b ON b.pos BETWEEN a.pos + 1 AND a.pos + {w - 1}
+WHERE a.side <> b.side
+"""
+
+
 def _snm_blocking_sql(w: int = 7) -> str:
     def one_pass(bk: str) -> str:
         return f"""
@@ -1541,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality_part": q_blocking_quality_part,
         "prepared_multi_part": q_prepared_multi_part,
         "snm_blocking_part": q_snm_blocking_part,
+        "snm_two_tables_part": q_snm_two_tables_part,
     }
 
 
@@ -1595,4 +1636,5 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality_part": _blocking_quality_sql(),
         "prepared_multi_part": _prepared_multi_sql(),
         "snm_blocking_part": _snm_blocking_sql(),
+        "snm_two_tables_part": _snm_two_tables_sql(),
     }

@@ -121,6 +121,62 @@ def sorted_neighborhood_pairs(
     return pairs
 
 
+def sorted_neighborhood_pairs_two_tables(
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_blocking_key: Column | str,
+    r_blocking_key: Column | str,
+    window_size: int,
+) -> DataFrame:
+    """R≠S sorted-neighborhood → DataFrame(_l_key, _r_key).
+
+    The record-linkage form of SNM: both tables merge into ONE sort order
+    (the whole point — a left record's nearest sort neighbors from the
+    right table land next to it even when neither side shares a token),
+    and a pair is emitted when the two records are less than
+    ``window_size`` apart in that merged order. Only cross-table pairs are
+    returned; ``_l_key`` always refers to ``ltable``. The merged order is
+    made total by (blocking key, side, key), so output is deterministic.
+    NULL blocking keys are excluded as in the single-table pass.
+    """
+    if window_size < 2:
+        raise ValueError("window_size must be >= 2 (w-1 forward neighbors)")
+    validate_attr(ltable, l_key_attr, "left")
+    validate_attr(rtable, r_key_attr, "right")
+    lbk = F.col(l_blocking_key) if isinstance(l_blocking_key, str) else l_blocking_key
+    rbk = F.col(r_blocking_key) if isinstance(r_blocking_key, str) else r_blocking_key
+    merged = (
+        ltable.select(
+            F.col(l_key_attr).alias("_k"), lbk.alias("_bk"), F.lit(0).alias("_side")
+        )
+        .where(F.col("_bk").isNotNull())
+        .unionByName(
+            rtable.select(
+                F.col(r_key_attr).alias("_k"), rbk.alias("_bk"), F.lit(1).alias("_side")
+            ).where(F.col("_bk").isNotNull())
+        )
+    )
+    pos = global_sorted_positions(
+        merged, [F.col("_bk").asc(), F.col("_side").asc(), F.col("_k").asc()]
+    ).select("_k", "_side", "_pos")
+    probe = pos.select(
+        F.col("_k").alias("_k1"),
+        F.col("_side").alias("_side1"),
+        F.col("_pos").alias("_p0"),
+        F.explode(F.sequence(F.lit(1), F.lit(window_size - 1))).alias("_off"),
+    ).select("_k1", "_side1", (F.col("_p0") + F.col("_off")).alias("_pos"))
+    return (
+        probe.join(pos, "_pos")
+        .where(F.col("_side1") != F.col("_side"))
+        .select(
+            F.when(F.col("_side1") == 0, F.col("_k1")).otherwise(F.col("_k")).alias("_l_key"),
+            F.when(F.col("_side1") == 0, F.col("_k")).otherwise(F.col("_k1")).alias("_r_key"),
+        )
+    )
+
+
 def multipass_sorted_neighborhood(
     table: DataFrame,
     key_attr: str,

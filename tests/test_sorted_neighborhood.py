@@ -123,3 +123,41 @@ def test_window_size_validation(spark):
         sorted_neighborhood_pairs(_df(spark), "id", "name", 1)
     with pytest.raises(ValueError):
         multipass_sorted_neighborhood(_df(spark), "id", [], 3)
+
+
+L_ROWS = [(1, "john smith"), (2, "mary jones"), (3, "robert brown"), (4, None)]
+R_ROWS = [(10, "jon smith"), (11, "marie jones"), (12, "zed"), (13, "aaron hall")]
+
+
+def brute_two(l_items, r_items, w):
+    merged = sorted(
+        [(k, 0, i) for i, k in l_items if k is not None]
+        + [(k, 1, i) for i, k in r_items if k is not None]
+    )
+    out = set()
+    for a in range(len(merged)):
+        for b in range(a + 1, min(a + w, len(merged))):
+            if merged[a][1] != merged[b][1]:
+                l = merged[a][2] if merged[a][1] == 0 else merged[b][2]
+                r = merged[b][2] if merged[a][1] == 0 else merged[a][2]
+                out.add((l, r))
+    return out
+
+
+@pytest.mark.parametrize("w", [2, 4, 8])
+def test_two_table_matches_brute_force(spark, w):
+    from py_stringsimjoin_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs_two_tables,
+    )
+
+    lt = spark.createDataFrame(L_ROWS, ["id", "name"])
+    rt = spark.createDataFrame(R_ROWS, ["rid", "rname"])
+    got = {
+        (r["_l_key"], r["_r_key"])
+        for r in sorted_neighborhood_pairs_two_tables(
+            lt, rt, "id", "rid", "name", "rname", w
+        ).collect()
+    }
+    assert got == brute_two(L_ROWS, R_ROWS, w)
+    # cross-side only: no left-left or right-right ids on the wrong side
+    assert all(l in {1, 2, 3} and r in {10, 11, 12, 13} for l, r in got)
