@@ -73,3 +73,53 @@ def test_delta_join_comp_op_gt(spark):
     gt = corpus.join_delta_pairs(delta_df, "jaccard", 1.0, comp_op=">").collect()
     assert {(r["_l_key"], r["_r_key"]) for r in ge} == {(101, 1)}
     assert gt == []
+
+
+@pytest.mark.parametrize("seed,measure,threshold", [
+    (0, "jaccard", 0.4),
+    (1, "cosine", 0.5),
+    (2, "dice", 0.6),
+    (3, "jaccard", 0.7),
+])
+def test_delta_join_randomized_vs_brute_force(spark, seed, measure, threshold):
+    """Randomized corpora with Zipf-ish shared vocab + per-row novel tokens:
+    the delta-side prefix + position prune must lose no qualifying pair."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    def mk(n_rows, id0, novel_tag):
+        rows = []
+        for i in range(n_rows):
+            n = rng.randint(1, 8)
+            toks = rng.sample(vocab, min(n, len(vocab)))
+            # ~30% of rows get tokens the corpus never sees
+            if rng.random() < 0.3:
+                toks += [f"{novel_tag}{i}_{j}" for j in range(rng.randint(1, 3))]
+            rng.shuffle(toks)
+            rows.append((id0 + i, " ".join(toks)))
+        return rows
+
+    corpus_rows = mk(60, 0, "c")     # corpus-side novel tokens: rare ranks
+    delta_rows = mk(40, 1000, "d")   # delta-side novel tokens: unseen entirely
+    corpus_df = spark.createDataFrame(corpus_rows, ["id", "name"])
+    delta_df = spark.createDataFrame(delta_rows, ["id", "name"])
+    corpus = PreparedSetSimCorpus(corpus_df, "id", "name", WS)
+
+    got = {
+        (r["_l_key"], r["_r_key"]): r["_sim_score"]
+        for r in corpus.join_delta_pairs(delta_df, measure, threshold).collect()
+    }
+    want = {}
+    for li, ln in delta_rows:
+        lt = WS.tokenize(ln)
+        for ri, rn in corpus_rows:
+            rt = WS.tokenize(rn)
+            if not lt or not rt:
+                continue
+            s = sim_on_sets(measure, lt, rt)
+            if s >= threshold:
+                want[(li, ri)] = s
+    assert set(got) == set(want)
+    for pair, s in want.items():
+        assert got[pair] == pytest.approx(s, abs=1e-12)
