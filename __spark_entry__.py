@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 45 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 46 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -1471,6 +1471,48 @@ def q_snm_blocking_part(spark, sf_dir):
     )
 
 
+def q_bcubed_part(spark, sf_dir):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin) of the p_brand
+    clustering of part against p_type ground truth — the cluster-level ER
+    metric next to pairwise PC/PQ/RR (operators/evaluation.py
+    bcubed_metrics, exact_order fold for bit-exact cross-engine sums)."""
+    from py_stringsimjoin_spark.operators.evaluation import bcubed_metrics
+
+    part = _read(spark, sf_dir, "part")
+    return bcubed_metrics(
+        part, "p_partkey", "p_brand", "p_type", exact_order=True
+    )
+
+
+def _bcubed_sql() -> str:
+    return """
+WITH a AS (
+  SELECT p_partkey AS k, p_brand AS c, p_type AS t FROM part
+  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+), ct AS (SELECT c, t, count(*) AS n_ct FROM a GROUP BY 1, 2),
+cs AS (SELECT c, count(*) AS n_c FROM a GROUP BY 1),
+ts AS (SELECT t, count(*) AS n_t FROM a GROUP BY 1),
+terms AS (
+  SELECT ct.c, ct.t, ct.n_ct,
+         CAST(n_ct * n_ct AS DOUBLE) / CAST(n_c AS DOUBLE) AS pm,
+         CAST(n_ct * n_ct AS DOUBLE) / CAST(n_t AS DOUBLE) AS rm
+  FROM ct JOIN cs USING (c) JOIN ts USING (t)
+), s AS (
+  SELECT list_aggregate(list(pm ORDER BY c, t), 'sum') AS ps,
+         list_aggregate(list(rm ORDER BY c, t), 'sum') AS rs,
+         CAST(sum(n_ct) AS BIGINT) AS n
+  FROM terms
+)
+SELECT CASE WHEN n > 0 THEN ps / CAST(n AS DOUBLE) END AS bcubed_precision,
+       CASE WHEN n > 0 THEN rs / CAST(n AS DOUBLE) END AS bcubed_recall,
+       CASE WHEN n > 0 AND ps + rs > 0 THEN
+         2.0 * (ps / CAST(n AS DOUBLE)) * (rs / CAST(n AS DOUBLE))
+           / (ps / CAST(n AS DOUBLE) + rs / CAST(n AS DOUBLE)) END AS bcubed_f1,
+       n AS n_records
+FROM s
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -1582,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepared_multi_part": q_prepared_multi_part,
         "snm_blocking_part": q_snm_blocking_part,
         "snm_two_tables_part": q_snm_two_tables_part,
+        "bcubed_part": q_bcubed_part,
     }
 
 
@@ -1637,4 +1680,5 @@ def oracle_sql() -> dict[str, str]:
         "prepared_multi_part": _prepared_multi_sql(),
         "snm_blocking_part": _snm_blocking_sql(),
         "snm_two_tables_part": _snm_two_tables_sql(),
+        "bcubed_part": _bcubed_sql(),
     }

@@ -152,3 +152,95 @@ def evaluate_blocking(
         "n_true": n_true,
         "n_true_found": n_found,
     }
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+    exact_order: bool = False,
+) -> DataFrame:
+    """B-cubed precision / recall / F1 — lazy one-row DataFrame.
+
+    The standard cluster-level ER metric (Bagga & Baldwin): per record e,
+    precision(e) = |C(e) ∩ L(e)| / |C(e)| and recall(e) = |C(e) ∩ L(e)| /
+    |L(e)| where C/L are e's predicted/true clusters; the metrics average
+    over records. Unlike pairwise F1 it is defined for singleton clusters
+    and weights every record equally regardless of cluster size.
+
+    Never materializes per-record terms: records in the same
+    (pred, true) block share their scores, so the plan aggregates once by
+    (pred, true) — ``n_ct`` rows — and folds
+    ``n_ct·(n_ct/n_c)`` / ``n_ct·(n_ct/n_t)`` masses. Three hash
+    aggregations + two joins on cluster ids; nothing is quadratic and
+    nothing depends on cluster sizes fitting anywhere.
+
+    ``exact_order=False`` (production) sums the per-block masses with a
+    distributed SUM — order-nondeterministic in the last ulps, fine
+    operationally. ``exact_order=True`` folds them sequentially in
+    (pred, true) order — bit-identical to a DuckDB
+    ``list_aggregate(list(term ORDER BY c, t), 'sum')``, the driver-oracle
+    configuration (same trade as operators/weighted.py) — at the cost of
+    collecting the block-term list into one row; use only where the number
+    of (pred, true) blocks is driver-sized.
+
+    Output columns: ``bcubed_precision``, ``bcubed_recall``, ``bcubed_f1``,
+    ``n_records`` (all NULL-free; an empty input yields one row of NULLs
+    via the CASE guards). Rows whose pred or true id is NULL are excluded
+    — a record with no cluster assignment has no defined B³ score.
+    """
+    base = assignments.select(
+        F.col(key_attr).alias("_k"),
+        F.col(pred_attr).alias("_c"),
+        F.col(true_attr).alias("_t"),
+    ).where(F.col("_c").isNotNull() & F.col("_t").isNotNull())
+    ct = base.groupBy("_c", "_t").agg(F.count("*").alias("_n_ct"))
+    cs = base.groupBy("_c").agg(F.count("*").alias("_n_c"))
+    ts = base.groupBy("_t").agg(F.count("*").alias("_n_t"))
+    sq = (F.col("_n_ct") * F.col("_n_ct")).cast("double")
+    terms = (
+        ct.join(cs, "_c")
+        .join(ts, "_t")
+        .select(
+            "_c",
+            "_t",
+            F.col("_n_ct"),
+            (sq / F.col("_n_c").cast("double")).alias("_pm"),
+            (sq / F.col("_n_t").cast("double")).alias("_rm"),
+        )
+    )
+    if exact_order:
+        folded = terms.agg(
+            F.array_sort(
+                F.collect_list(F.struct("_c", "_t", "_pm", "_rm"))
+            ).alias("_xs"),
+            F.sum("_n_ct").alias("_n"),
+        ).select(
+            F.aggregate(
+                "_xs", F.lit(0.0), lambda acc, x: acc + x["_pm"]
+            ).alias("_ps"),
+            F.aggregate(
+                "_xs", F.lit(0.0), lambda acc, x: acc + x["_rm"]
+            ).alias("_rs"),
+            "_n",
+        )
+    else:
+        folded = terms.agg(
+            F.sum("_pm").alias("_ps"),
+            F.sum("_rm").alias("_rs"),
+            F.sum("_n_ct").alias("_n"),
+        )
+    nd = F.col("_n").cast("double")
+    p = F.when(F.col("_n") > 0, F.col("_ps") / nd)
+    r = F.when(F.col("_n") > 0, F.col("_rs") / nd)
+    return folded.select(
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        F.when(
+            (F.col("_n") > 0) & (F.col("_ps") + F.col("_rs") > 0),
+            F.lit(2.0) * (F.col("_ps") / nd) * (F.col("_rs") / nd)
+            / (F.col("_ps") / nd + F.col("_rs") / nd),
+        ).alias("bcubed_f1"),
+        F.col("_n").alias("n_records"),
+    )
