@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 46 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 47 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -694,6 +694,45 @@ def q_apply_matcher_part(spark, sf_dir):
         "p_name", "p_name", _WS, "jaccard", 0.6,
     )
     return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
+
+
+def q_jw_matcher_part(spark, sf_dir):
+    """apply_matcher with the string-based jaro_winkler measure over an
+    overlap-blocked candset — the reference's py_stringmatching-measure
+    surface (apply_matcher.py:77) with a DuckDB-exact vectorized kernel
+    (functions/sims.batch_jaro_winkler, bit-parity vs rapidfuzz/DuckDB)."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey",
+        "p_partkey", "p_name", "p_name", None, "jaro_winkler", 0.9,
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
+
+
+def _jw_matcher_part_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS name, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+)
+SELECT c.l_id AS l_p_partkey, c.r_id AS r_p_partkey,
+       jaro_winkler_similarity(la.name, rb.name) AS sim
+FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
+WHERE jaro_winkler_similarity(la.name, rb.name) >= 0.9
+"""
 
 
 def q_connected_components_part(spark, sf_dir):
@@ -1605,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_filter_part": q_position_filter_part,
         "overlap_filter_part": q_overlap_filter_part,
         "apply_matcher_part": q_apply_matcher_part,
+        "jw_matcher_part": q_jw_matcher_part,
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -1661,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "position_filter_part": _position_filter_sql(),
         "overlap_filter_part": _overlap_filter_sql(),
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
+        "jw_matcher_part": _jw_matcher_part_sql(),
         "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),
         "profile_part": _PROFILE_SQL,

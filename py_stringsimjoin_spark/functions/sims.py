@@ -144,3 +144,109 @@ def batch_cosine_embeddings(q: np.ndarray, X: np.ndarray) -> np.ndarray:
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return qn @ xn.T
+
+
+def _encode_bytes(strs, max_len: int, pad: int) -> tuple[np.ndarray, np.ndarray]:
+    """list[str] -> (UTF-8 byte matrix padded with ``pad``, byte lengths)."""
+    n = len(strs)
+    bss = [b"" if s is None else s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bss), np.int64, n)  # FULL lengths
+    mat = np.full((n, max(max_len, 1)), pad, dtype=np.int16)
+    for i, b in enumerate(bss):  # per-row fill; cheap vs the position loop
+        b = b[:max_len]
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return mat, lens
+
+
+def batch_jaro(l_strs, r_strs) -> np.ndarray:
+    """Jaro similarity for a batch of string pairs, DuckDB/rapidfuzz-parity.
+
+    Semantics pinned against DuckDB's ``jaro_similarity`` (itself
+    rapidfuzz-based) so apply_matcher results oracle exactly:
+
+    * operates on UTF-8 BYTES (multi-byte codepoints count per byte),
+    * either side empty (or NULL) -> 0.0 — including both-empty,
+    * match window = max(0, max(|P|,|T|)//2 - 1); greedy first-untaken match,
+    * transpositions t = (#mismatched matched positions) // 2,
+    * score = (m/|P| + m/|T| + (m-t)/m) / 3 in exactly that float64 order.
+
+    Vectorized across the batch like ``batch_levenshtein``: the only Python
+    loops are over byte POSITIONS (<= max length) and batch assembly; each
+    step is a numpy op over all pairs at once, so cost is O(n * la * lb)
+    flat numpy work, no per-pair Python in the scan.
+    """
+    n = len(l_strs)
+    if n == 0:
+        return np.empty(0, np.float64)
+    la_max = max((0 if s is None else len(s.encode("utf-8")) for s in l_strs), default=0)
+    lb_max = max((0 if s is None else len(s.encode("utf-8")) for s in r_strs), default=0)
+    A, alen = _encode_bytes(l_strs, la_max, pad=-1)
+    B, blen = _encode_bytes(r_strs, lb_max, pad=-2)
+
+    bound = np.maximum(np.maximum(alen, blen) // 2 - 1, 0)  # (n,)
+    taken = np.zeros_like(B, dtype=bool)  # matched positions of T
+    match_j = np.full((n, max(la_max, 1)), -1, dtype=np.int64)
+    jidx = np.arange(B.shape[1], dtype=np.int64)
+    for i in range(la_max):
+        active = alen > i
+        if not active.any():
+            break
+        lo = np.maximum(0, i - bound)[:, None]
+        hi = np.minimum(blen, i + bound + 1)[:, None]
+        cand = (B == A[:, i : i + 1]) & ~taken & (jidx >= lo) & (jidx < hi)
+        cand[~active] = False
+        has = cand.any(axis=1)
+        first = np.argmax(cand, axis=1)  # first True per row (valid where has)
+        rows = np.flatnonzero(has)
+        taken[rows, first[rows]] = True
+        match_j[rows, i] = first[rows]
+
+    m = (match_j >= 0).sum(axis=1).astype(np.int64)
+    # transpositions: k-th matched byte of P (in P order) vs k-th matched
+    # byte of T (in T order); ragged-compare via cumsum scatter
+    W = max(min(la_max, lb_max), 1)
+    amask = match_j >= 0
+    matA = np.full((n, W), -1, dtype=np.int16)
+    ra, ca = np.nonzero(amask)
+    ka = np.cumsum(amask, axis=1) - 1
+    matA[ra, ka[ra, ca]] = A[ra, ca]
+    matB = np.full((n, W), -3, dtype=np.int16)
+    rb, cb = np.nonzero(taken)
+    kb = np.cumsum(taken, axis=1) - 1
+    matB[rb, kb[rb, cb]] = B[rb, cb]
+    valid = matA != -1
+    diffs = ((matA != matB) & valid).sum(axis=1).astype(np.int64)
+    t = diffs // 2
+
+    mf = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (
+            mf / alen.astype(np.float64)
+            + mf / blen.astype(np.float64)
+            + (mf - t.astype(np.float64)) / mf
+        ) / 3.0
+    sim = np.where((m == 0) | (alen == 0) | (blen == 0), 0.0, sim)
+    return sim
+
+
+def batch_jaro_winkler(l_strs, r_strs, prefix_weight: float = 0.1) -> np.ndarray:
+    """Jaro-Winkler, DuckDB/rapidfuzz-parity (see ``batch_jaro``).
+
+    Boost applies only when jaro > 0.7 (rapidfuzz's boost threshold):
+    ``sim + prefix * weight * (1 - sim)`` with the common-prefix byte count
+    capped at 4 — float op order pinned against DuckDB output.
+    """
+    sim = batch_jaro(l_strs, r_strs)
+    n = len(l_strs)
+    if n == 0:
+        return sim
+    A, alen = _encode_bytes(l_strs, 4, pad=-1)
+    B, blen = _encode_bytes(r_strs, 4, pad=-2)
+    eq = A[:, :4] == B[:, :4]
+    prefix = np.minimum(
+        np.cumprod(eq, axis=1).sum(axis=1),
+        np.minimum(np.minimum(alen, blen), 4),
+    ).astype(np.float64)
+    boosted = sim + prefix * prefix_weight * (1.0 - sim)
+    return np.where(sim > 0.7, boosted, sim)

@@ -6,7 +6,9 @@ tables and scored inside one Arrow-batched ``mapInPandas`` stage. The user
 similarity function comes in two flavors:
 
 * a measure name ("jaccard" | "cosine" | "dice" | "overlap" |
-  "overlap_coefficient" | "edit_distance") → fully vectorized numpy kernel;
+  "overlap_coefficient" | "edit_distance" | "jaro" | "jaro_winkler") →
+  fully vectorized numpy kernel (jaro/jaro_winkler/edit_distance are
+  string-based: the tokenizer is ignored for scoring);
 * a Python callable ``f(l_tokens_or_str, r_tokens_or_str) -> float`` applied
   per row inside the batch (the reference's arbitrary-UDF surface,
   apply_matcher.py:77 — inherently the slow path; prefer measure names).
@@ -22,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.sims import batch_levenshtein, batch_set_sim
+from ..functions.sims import batch_jaro, batch_jaro_winkler, batch_levenshtein, batch_set_sim
 from ..functions.tokenizers import Tokenizer
 from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_attr_type, validate_comp_op
 
@@ -150,6 +152,16 @@ def _make_score_batch(tok, simf):
             return batch_set_sim(simf, le, re_)
         if isinstance(simf, str) and simf == "edit_distance":
             return batch_levenshtein(list(l_vals), list(r_vals)).astype(float)
+        if isinstance(simf, str) and simf == "jaro":
+            return batch_jaro(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf == "jaro_winkler":
+            return batch_jaro_winkler(list(l_vals), list(r_vals))
+        if isinstance(simf, str):
+            raise ValueError(
+                f"unknown measure name {simf!r}; pass one of "
+                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler')} "
+                "or a Python callable"
+            )
         scores = np.empty(len(l_vals), dtype=np.float64)
         for i, (lv, rv) in enumerate(zip(l_vals, r_vals)):
             la = toks(lv) if tok else lv

@@ -99,3 +99,68 @@ def test_verify_pairs_matches_apply_matcher(spark, person_tables):
     assert set(f) == set(s)
     for k in f:
         assert f[k] == pytest.approx(s[k], abs=1e-12)
+
+
+def test_jaro_kernels_duckdb_parity():
+    """batch_jaro / batch_jaro_winkler are bit-exact vs DuckDB's
+    jaro_similarity / jaro_winkler_similarity (the oracle the driver runs)
+    over a seeded random grid incl. unicode, empties, and long strings."""
+    import random
+
+    import duckdb
+
+    from py_stringsimjoin_spark.functions.sims import batch_jaro, batch_jaro_winkler
+
+    rng = random.Random(7)
+    alpha = "abcde XY-é漢'"
+    pairs = [
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""), ("a", ""),
+        ("a", "a"), ("ab", "ba"), ("abcdef", "bcadef"), ("ééé", "ééx"),
+        ("DwAyNE", "DuANE"), ("abcdxxxx", "abcdyyyyzzzz"),
+        ("ab", "abcdefghijklmn"), ("x" * 60, "x" * 59 + "y"),
+    ]
+    for _ in range(800):
+        pairs.append((
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+        ))
+    ls = [p[0] for p in pairs]
+    rs = [p[1] for p in pairs]
+    j = batch_jaro(ls, rs)
+    jw = batch_jaro_winkler(ls, rs)
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(pairs):
+        dj = con.execute("select jaro_similarity(?,?)", [a, b]).fetchone()[0]
+        djw = con.execute(
+            "select jaro_winkler_similarity(?,?)", [a, b]
+        ).fetchone()[0]
+        assert j[i] == dj, (a, b, j[i], dj)
+        assert jw[i] == djw, (a, b, jw[i], djw)
+
+
+def test_apply_matcher_jaro_winkler(spark, person_tables):
+    A, B = person_tables
+    cand = _candset(A, B)
+    out = apply_matcher(
+        cand, "l_ID", "r_ID", A, B, "ID", "ID", "name", "name",
+        None, "jaro_winkler", 0.8,
+    )
+    got = {(r["l_ID"], r["r_ID"]): r["_sim_score"] for r in out.collect()}
+    assert got[("a1", "b2")] == 1.0  # Kevin Smith / Kevin Smith
+    assert ("a4", "b5") in got  # Basil Nash / Bazil Nash: one substitution
+    from py_stringsimjoin_spark.functions.sims import batch_jaro_winkler
+
+    assert got[("a4", "b5")] == batch_jaro_winkler(["Basil Nash"], ["Bazil Nash"])[0]
+
+
+def test_apply_matcher_unknown_measure_name(spark, person_tables):
+    A, B = person_tables
+    cand = _candset(A, B)
+    out = apply_matcher(
+        cand, "l_ID", "r_ID", A, B, "ID", "ID", "name", "name",
+        None, "jaroo", 0.8,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown measure name"):
+        out.collect()
