@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 47 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 49 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -732,6 +732,143 @@ SELECT c.l_id AS l_p_partkey, c.r_id AS r_p_partkey,
        jaro_winkler_similarity(la.name, rb.name) AS sim
 FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
 WHERE jaro_winkler_similarity(la.name, rb.name) >= 0.9
+"""
+
+
+def _fs_comparisons():
+    """Field comparisons for the Fellegi–Sunter driver queries (part table):
+    p_type edit-distance bands (exact / ≤4 / else), p_brand and p_size
+    exact — each carries its DuckDB CASE mirror for the oracle."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        exact_comparison,
+        levenshtein_comparison,
+    )
+
+    return [
+        levenshtein_comparison("type", "l_p_type", "r_p_type", thresholds=(0, 4)),
+        exact_comparison("brand", "l_p_brand", "r_p_brand"),
+        exact_comparison("size", "l_p_size", "r_p_size"),
+    ]
+
+
+def _fs_fixed_params():
+    """Expert-specified (non-EM) parameters for the oracled scoring query —
+    the weights become float literals injected into BOTH engines, so the
+    match weight is a bit-identical sum. EM fitting itself is covered in
+    pytest (tests/test_fellegi_sunter.py) — its output depends on the data,
+    which a static oracle string cannot."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import FSParams
+
+    return FSParams(
+        lam=0.05,
+        m={"type": [0.05, 0.15, 0.80], "brand": [0.3, 0.7], "size": [0.4, 0.6]},
+        u={"type": [0.85, 0.12, 0.03], "brand": [0.96, 0.04], "size": [0.96, 0.04]},
+    )
+
+
+def _fs_pairs(spark, sf_dir):
+    """Overlap-blocked part-name candset joined back to the FS attrs."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type", "p_brand", "p_size"
+    )
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part.select("p_partkey", "p_name"), part.select("p_partkey", "p_name"),
+        "p_partkey", "p_partkey", "p_name", "p_name",
+    ).where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    attrs = ["p_type", "p_brand", "p_size"]
+    l = part.select(F.col("p_partkey").alias("l_p_partkey"),
+                    *[F.col(a).alias(f"l_{a}") for a in attrs])
+    r = part.select(F.col("p_partkey").alias("r_p_partkey"),
+                    *[F.col(a).alias(f"r_{a}") for a in attrs])
+    return cand.join(l, "l_p_partkey").join(r, "r_p_partkey")
+
+
+def q_fs_patterns_part(spark, sf_dir):
+    """Fellegi–Sunter stage 1+2: agreement vectors (pure JVM level
+    expressions) + the ONE distributed hash aggregate whose ≤ ∏levels-row
+    output is everything EM ever reads (operators/fellegi_sunter.py)."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        agreement_vectors,
+        pattern_counts,
+    )
+
+    comps = _fs_comparisons()
+    agree = agreement_vectors(_fs_pairs(spark, sf_dir), comps)
+    return pattern_counts(agree, comps)
+
+
+def q_fs_score_part(spark, sf_dir):
+    """Fellegi–Sunter scoring with fixed (expert-specified) m/u/λ: the
+    match weight is a codegen'd sum of injected float literals — the same
+    literals the oracle sums, so hashes match bit-exactly."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        agreement_vectors,
+        score_pairs,
+    )
+
+    comps = _fs_comparisons()
+    agree = agreement_vectors(_fs_pairs(spark, sf_dir), comps)
+    out = score_pairs(agree, comps, _fs_fixed_params(), probability_col=None)
+    return out.select(
+        "l_p_partkey", "r_p_partkey",
+        *[c.col for c in comps], "match_weight",
+    )
+
+
+def _fs_sql_blocks() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name, p_type, p_brand, p_size, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+), pairs AS (
+  SELECT c.l_id AS l_p_partkey, c.r_id AS r_p_partkey,
+         la.p_type AS l_p_type, rb.p_type AS r_p_type,
+         la.p_brand AS l_p_brand, rb.p_brand AS r_p_brand,
+         la.p_size AS l_p_size, rb.p_size AS r_p_size
+  FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
+)"""
+
+
+def _fs_patterns_sql() -> str:
+    comps = _fs_comparisons()
+    levels = ", ".join(f"{c.duckdb_level} AS {c.col}" for c in comps)
+    return f"""{_fs_sql_blocks()}
+SELECT {levels}, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY ALL
+"""
+
+
+def _fs_score_sql() -> str:
+    comps = _fs_comparisons()
+    params = _fs_fixed_params()
+    levels = ", ".join(f"{c.duckdb_level} AS {c.col}" for c in comps)
+    # one CASE per comparison mapping level -> literal log2(m/u) weight;
+    # left-associative sum in comparison order + prior matches the Spark
+    # expression exactly (match_weight_column)
+    # '...'::DOUBLE (string cast) on every literal — DuckDB parses bare
+    # decimals as DECIMAL, and DECIMAL->DOUBLE is not the correctly-rounded
+    # string->double parse (1-ULP drift); string casts are
+    terms = []
+    for c in comps:
+        ws = params.partial_weights(c.name)
+        whens = " ".join(
+            f"WHEN {c.duckdb_level} = {lvl} THEN '{ws[lvl]!r}'::DOUBLE"
+            for lvl in range(1, c.levels)
+        )
+        terms.append(f"(CASE {whens} ELSE '{ws[0]!r}'::DOUBLE END)")
+    weight = " + ".join(terms) + f" + '{params.prior_weight!r}'::DOUBLE"
+    return f"""{_fs_sql_blocks()}
+SELECT l_p_partkey, r_p_partkey, {levels}, {weight} AS match_weight
+FROM pairs
 """
 
 
@@ -1645,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter_part": q_overlap_filter_part,
         "apply_matcher_part": q_apply_matcher_part,
         "jw_matcher_part": q_jw_matcher_part,
+        "fs_patterns_part": q_fs_patterns_part,
+        "fs_score_part": q_fs_score_part,
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -1702,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "overlap_filter_part": _overlap_filter_sql(),
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "jw_matcher_part": _jw_matcher_part_sql(),
+        "fs_patterns_part": _fs_patterns_sql(),
+        "fs_score_part": _fs_score_sql(),
         "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),
         "profile_part": _PROFILE_SQL,
