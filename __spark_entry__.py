@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 49 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 50 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -869,6 +869,33 @@ def _fs_score_sql() -> str:
     return f"""{_fs_sql_blocks()}
 SELECT l_p_partkey, r_p_partkey, {levels}, {weight} AS match_weight
 FROM pairs
+"""
+
+
+def q_soundex_part(spark, sf_dir):
+    """Phonetic blocking keys: the cross-engine soundex expression spec
+    (operators/phonetic.py — translate/regexp_replace only, identical
+    semantics in both engines) over the first token and the whole of
+    p_name."""
+    from py_stringsimjoin_spark.operators.phonetic import soundex_column
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    first_tok = F.element_at(F.split(F.col("p_name"), " "), 1)
+    return part.select(
+        "p_partkey",
+        soundex_column(first_tok).alias("sdx_first"),
+        soundex_column(F.col("p_name")).alias("sdx_full"),
+    )
+
+
+def _soundex_part_sql() -> str:
+    from py_stringsimjoin_spark.operators.phonetic import soundex_duckdb_sql
+
+    return f"""
+SELECT p_partkey,
+       {soundex_duckdb_sql("split_part(p_name, ' ', 1)")} AS sdx_first,
+       {soundex_duckdb_sql("p_name")} AS sdx_full
+FROM part
 """
 
 
@@ -1784,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_matcher_part": q_jw_matcher_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
+        "soundex_part": q_soundex_part,
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -1843,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "jw_matcher_part": _jw_matcher_part_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
+        "soundex_part": _soundex_part_sql(),
         "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),
         "profile_part": _PROFILE_SQL,

@@ -348,6 +348,28 @@ def score_pairs(
     return out
 
 
+def classify_pairs(
+    scored: DataFrame,
+    upper: float,
+    lower: float,
+    weight_col: str = "match_weight",
+    decision_col: str = "decision",
+) -> DataFrame:
+    """Fellegi–Sunter three-way decision rule (the model's original output):
+    weight ≥ ``upper`` → 'match', ≤ ``lower`` → 'nonmatch', in between →
+    'possible' (the clerical-review band). Pure expression — composes into
+    the scoring plan with no extra stage."""
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    w = F.col(weight_col)
+    return scored.withColumn(
+        decision_col,
+        F.when(w >= float(upper), F.lit("match"))
+        .when(w <= float(lower), F.lit("nonmatch"))
+        .otherwise(F.lit("possible")),
+    )
+
+
 def fellegi_sunter_link(
     pairs: DataFrame,
     comparisons: list[Comparison],

@@ -213,3 +213,24 @@ def test_match_weight_column_prior_toggle(spark):
     ).first()["w"]
     assert w_with == w_no + params.prior_weight  # prior at λ=0.5 is 0.0
     assert params.prior_weight == 0.0
+
+
+def test_classify_pairs_bands(spark):
+    from py_stringsimjoin_spark.operators.fellegi_sunter import classify_pairs
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 2.0), (3, -1.0), (4, -4.0), (5, 2.0 + 1e-12)],
+        "id int, match_weight double",
+    )
+    out = classify_pairs(df, upper=2.0, lower=-1.0)
+    got = {r["id"]: r["decision"] for r in out.collect()}
+    assert got == {
+        1: "match", 2: "match", 3: "nonmatch", 4: "nonmatch", 5: "match"
+    }
+    out2 = classify_pairs(df, upper=3.0, lower=-2.0)
+    got2 = {r["id"]: r["decision"] for r in out2.collect()}
+    assert got2 == {
+        1: "match", 2: "possible", 3: "possible", 4: "nonmatch", 5: "possible"
+    }
+    with pytest.raises(ValueError, match="upper"):
+        classify_pairs(df, upper=-1.0, lower=2.0)
