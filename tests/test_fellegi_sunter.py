@@ -234,3 +234,66 @@ def test_classify_pairs_bands(spark):
     }
     with pytest.raises(ValueError, match="upper"):
         classify_pairs(df, upper=-1.0, lower=2.0)
+
+
+def test_full_er_flow_blocking_fs_clustering_survivorship(spark):
+    """End-to-end ER: phonetic blocking → FS link → decision bands →
+    connected components → canonical record per cluster. Every stage is an
+    existing operator; this guards the composition."""
+    from py_stringsimjoin_spark.operators.canonical import canonicalize_clusters
+    from py_stringsimjoin_spark.operators.connected_components import (
+        connected_components,
+    )
+    from py_stringsimjoin_spark.operators.fellegi_sunter import classify_pairs
+    from py_stringsimjoin_spark.operators.phonetic import soundex_blocking_pairs
+
+    # three true entities, each with phonetically-alike variants
+    rows = [
+        (1, "Robert", "madison", "53703"),
+        (2, "Rupert", "madison", "53703"),   # same sound, same city+zip → dup
+        (3, "Ashcraft", "austin", "78701"),
+        (4, "Ashcroft", "austin", "78701"),  # dup
+        (5, "Tymczak", "boulder", "80301"),
+        (6, "Robert", "austin", "73301"),    # same sound as 1/2, all else off
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, city string, zip string")
+    pairs = soundex_blocking_pairs(df, df, "id", "id", "name", "name").where(
+        F.col("l_id") < F.col("r_id")
+    )
+    attrs = ["city", "zip"]
+    l = df.select(F.col("id").alias("l_id"), *[F.col(a).alias(f"l_{a}") for a in attrs])
+    r = df.select(F.col("id").alias("r_id"), *[F.col(a).alias(f"r_{a}") for a in attrs])
+    pairs = pairs.join(l, "l_id").join(r, "r_id")
+    comps = [
+        exact_comparison("city", "l_city", "r_city"),
+        exact_comparison("zip", "l_zip", "r_zip"),
+    ]
+    # fixed expert weights (too few pairs here for EM)
+    from py_stringsimjoin_spark.operators.fellegi_sunter import FSParams, score_pairs
+    from py_stringsimjoin_spark.operators.fellegi_sunter import agreement_vectors
+
+    params = FSParams(
+        lam=0.3,
+        m={"city": [0.05, 0.95], "zip": [0.05, 0.95]},
+        u={"city": [0.9, 0.1], "zip": [0.95, 0.05]},
+    )
+    scored = score_pairs(agreement_vectors(pairs, comps), comps, params)
+    decided = classify_pairs(scored, upper=2.0, lower=0.0)
+    matches = decided.where(F.col("decision") == "match")
+    got_pairs = {(r["l_id"], r["r_id"]) for r in matches.collect()}
+    assert got_pairs == {(1, 2), (3, 4)}  # (1,6)/(2,6) blocked but rejected
+
+    cc = connected_components(matches.select(
+        F.col("l_id").alias("src"), F.col("r_id").alias("dst"))
+    ).withColumnRenamed("node", "id")
+    canon = canonicalize_clusters(df, cc, "id", rank_attr="name")
+    by_comp = {r["component"]: r for r in canon.collect()}
+    # 2 merged clusters + 2 singletons (5 and 6) — singleton-complete output
+    assert len(by_comp) == 4
+    sizes = sorted(r["cluster_size"] for r in by_comp.values())
+    assert sizes == [1, 1, 2, 2]
+    # survivorship: longest name, ties broken by min id → 1 and 3
+    merged_canon = {
+        r["canonical_id"] for r in by_comp.values() if r["cluster_size"] == 2
+    }
+    assert merged_canon == {1, 3}

@@ -106,3 +106,49 @@ def test_topk_window_rank_stays_jvm(part):
     for node in _PY_NODES:
         assert node not in plan, f"{node} in top-k join plan"
     assert "Window" in plan
+
+
+def test_fs_agreement_and_counts_plan_is_python_free(spark, part):
+    """FS agreement vectors + pattern counts must stay entirely JVM-side
+    and the count aggregate must have a map-side partial phase."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        agreement_vectors,
+        exact_comparison,
+        levenshtein_comparison,
+        pattern_counts,
+    )
+
+    l = part.select(
+        F.col("p_partkey").alias("l_p_partkey"),
+        F.col("p_type").alias("l_p_type"),
+        F.col("p_brand").alias("l_p_brand"),
+    )
+    r = part.select(
+        F.col("p_partkey").alias("r_p_partkey"),
+        F.col("p_type").alias("r_p_type"),
+        F.col("p_brand").alias("r_p_brand"),
+    )
+    pairs = l.join(r, F.col("l_p_brand") == F.col("r_p_brand"))
+    comps = [
+        levenshtein_comparison("type", "l_p_type", "r_p_type", (0, 4)),
+        exact_comparison("brand", "l_p_brand", "r_p_brand"),
+    ]
+    pc = pattern_counts(agreement_vectors(pairs, comps), comps)
+    plan = _plan(pc)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in FS pattern-count plan"
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_soundex_blocking_plan_is_python_free(spark, part):
+    from py_stringsimjoin_spark.operators.phonetic import soundex_blocking_pairs
+
+    out = soundex_blocking_pairs(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        max_block_size=100,
+    )
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in soundex blocking plan"
+    # the block-size keep-list is explicitly broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
