@@ -279,7 +279,11 @@ def em_fit(
         lam = float(np.clip(cm.sum() / N, _EPS, 1.0 - _EPS))
         for i in range(K):
             for arr, cw in ((m, cm), (u, cu)):
+                # guard: a class can lose all posterior mass on degenerate
+                # inputs — keep its previous distribution instead of 0/0
                 tot = cw.sum()
+                if tot <= 0.0:
+                    continue
                 probs = np.asarray([
                     cw[G[:, i] == l].sum() / tot for l in range(comparisons[i].levels)
                 ])

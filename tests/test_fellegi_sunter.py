@@ -297,3 +297,15 @@ def test_full_er_flow_blocking_fs_clustering_survivorship(spark):
         r["canonical_id"] for r in by_comp.values() if r["cluster_size"] == 2
     }
     assert merged_canon == {1, 3}
+
+
+def test_em_degenerate_single_pattern(spark):
+    """A single observed pattern gives one class all the mass; EM must not
+    produce NaNs (the losing class keeps its previous distribution)."""
+    comps = [Comparison("a", 2, F.lit(0)), Comparison("b", 2, F.lit(0)),
+             Comparison("c", 2, F.lit(0))]
+    params = em_fit([((1, 1, 1), 100)], comps, lam_init=0.5, max_iter=50)
+    for name in ("a", "b", "c"):
+        assert all(np.isfinite(params.m[name]))
+        assert all(np.isfinite(params.u[name]))
+    assert np.isfinite(params.lam)
