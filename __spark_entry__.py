@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 50 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 51 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. Queries
@@ -869,6 +869,46 @@ def _fs_score_sql() -> str:
     return f"""{_fs_sql_blocks()}
 SELECT l_p_partkey, r_p_partkey, {levels}, {weight} AS match_weight
 FROM pairs
+"""
+
+
+def q_fs_tf_part(spark, sf_dir):
+    """Term-frequency adjustment (splink-style) on the brand comparison:
+    agreeing on a rare brand is stronger evidence. The oracled column is
+    the exact-IEEE ``tf_ratio`` (u_agree / value share); the log2-adjusted
+    weight rides on it and is pytest-verified
+    (operators/fellegi_sunter.py add_tf_adjustment)."""
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        add_tf_adjustment,
+        agreement_vectors,
+        score_pairs,
+        term_frequency_table,
+    )
+
+    comps = [c for c in _fs_comparisons() if c.name == "brand"]
+    params = _fs_fixed_params()
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    tf = term_frequency_table(part, "p_brand")
+    agree = agreement_vectors(_fs_pairs(spark, sf_dir), comps)
+    scored = score_pairs(agree, comps, params, probability_col=None)
+    out = add_tf_adjustment(scored, comps[0], params, tf, "l_p_brand")
+    return out.select("l_p_partkey", "r_p_partkey", "tf_ratio")
+
+
+def _fs_tf_sql() -> str:
+    comps = [c for c in _fs_comparisons() if c.name == "brand"]
+    u_agree = _fs_fixed_params().u["brand"][1]
+    lvl = comps[0].duckdb_level
+    return f"""{_fs_sql_blocks()}, tf AS (
+  SELECT p_brand AS v,
+         COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM part
+                             WHERE p_brand IS NOT NULL)::DOUBLE AS tf
+  FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand
+)
+SELECT p.l_p_partkey, p.r_p_partkey,
+       CASE WHEN {lvl} = 1 AND tf.tf IS NOT NULL
+            THEN '{u_agree!r}'::DOUBLE / tf.tf ELSE '1.0'::DOUBLE END AS tf_ratio
+FROM pairs p LEFT JOIN tf ON p.l_p_brand = tf.v
 """
 
 
@@ -1811,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_matcher_part": q_jw_matcher_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
+        "fs_tf_part": q_fs_tf_part,
         "soundex_part": q_soundex_part,
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -1871,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "jw_matcher_part": _jw_matcher_part_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
+        "fs_tf_part": _fs_tf_sql(),
         "soundex_part": _soundex_part_sql(),
         "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),

@@ -352,6 +352,66 @@ def score_pairs(
     return out
 
 
+def term_frequency_table(records: DataFrame, attr: str) -> DataFrame:
+    """(_tf_value, _tf) — each distinct value's share of non-null rows.
+
+    One hash aggregate over the RECORDS table (not the pairs), composed
+    lazily with a 1-row broadcast total — no driver job. ``_tf`` is a
+    single long/long IEEE division, so it is bit-identical across engines.
+    """
+    c = (
+        records.where(F.col(attr).isNotNull())
+        .groupBy(F.col(attr).alias("_tf_value"))
+        .agg(F.count(F.lit(1)).alias("_tf_cnt"))
+    )
+    tot = c.agg(F.sum("_tf_cnt").alias("_tf_total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "_tf_value",
+        (F.col("_tf_cnt").cast("double") / F.col("_tf_total").cast("double")).alias("_tf"),
+    )
+
+
+def add_tf_adjustment(
+    scored: DataFrame,
+    comparison: Comparison,
+    params: FSParams,
+    tf_table: DataFrame,
+    l_attr: str,
+    weight_col: str = "match_weight",
+    out_col: str = "tf_adjusted_weight",
+    ratio_col: str = "tf_ratio",
+) -> DataFrame:
+    """Term-frequency adjustment (splink's hallmark refinement) for an
+    exact comparison: agreeing on a RARE value is stronger evidence than
+    agreeing on a common one, so the average-u agreement weight is
+    corrected by ``log2(u_agree / tf(value))`` when the pair agrees.
+
+    ``tf_ratio`` (``u_agree / tf``, 1.0 for non-agreeing pairs) is exact
+    IEEE arithmetic — cross-engine hash-stable; ``tf_adjusted_weight``
+    adds ``log2(tf_ratio)`` to ``weight_col`` (log2 of data-dependent
+    values is libm-dependent, so it is pytest-verified, not oracle-hashed).
+
+    Scale shape: one hash join of the pairs against the value-frequency
+    table on the agreed value — broadcast when the attr's cardinality is
+    small, shuffle hash otherwise; no new pass over the records.
+    """
+    u_agree = float(params.u[comparison.name][comparison.levels - 1])
+    agree = F.col(comparison.col) == (comparison.levels - 1)
+    joined = scored.join(
+        tf_table,
+        F.col(l_attr) == F.col("_tf_value"),
+        "left",
+    ).drop("_tf_value")
+    ratio = F.when(
+        agree & F.col("_tf").isNotNull(), F.lit(u_agree) / F.col("_tf")
+    ).otherwise(F.lit(1.0))
+    return (
+        joined.withColumn(ratio_col, ratio)
+        .withColumn(out_col, F.col(weight_col) + F.log2(F.col(ratio_col)))
+        .drop("_tf")
+    )
+
+
 def classify_pairs(
     scored: DataFrame,
     upper: float,

@@ -309,3 +309,49 @@ def test_em_degenerate_single_pattern(spark):
         assert all(np.isfinite(params.m[name]))
         assert all(np.isfinite(params.u[name]))
     assert np.isfinite(params.lam)
+
+
+def test_tf_adjustment(spark):
+    """Rare-value agreement outranks common-value agreement; non-agreeing
+    pairs are untouched (ratio 1.0, log2(1)=0)."""
+    import math
+
+    from py_stringsimjoin_spark.operators.fellegi_sunter import (
+        FSParams,
+        add_tf_adjustment,
+        agreement_vectors,
+        score_pairs,
+        term_frequency_table,
+    )
+
+    # 8 smiths, 2 patels
+    recs = spark.createDataFrame(
+        [(i, "smith") for i in range(8)] + [(8, "patel"), (9, "patel")],
+        "id int, last string",
+    )
+    tf = term_frequency_table(recs, "last")
+    got_tf = {r["_tf_value"]: r["_tf"] for r in tf.collect()}
+    assert got_tf == {"smith": 0.8, "patel": 0.2}
+
+    comps = [exact_comparison("last", "l_last", "r_last")]
+    params = FSParams(lam=0.2, m={"last": [0.1, 0.9]}, u={"last": [0.6, 0.4]})
+    pairs = spark.createDataFrame(
+        [(0, 1, "smith", "smith"), (8, 9, "patel", "patel"),
+         (0, 8, "smith", "patel")],
+        "l_id int, r_id int, l_last string, r_last string",
+    )
+    scored = score_pairs(agreement_vectors(pairs, comps), comps, params)
+    adj = add_tf_adjustment(scored, comps[0], params, tf, "l_last")
+    got = {(r["l_id"], r["r_id"]): r for r in adj.collect()}
+    assert got[(0, 1)]["tf_ratio"] == 0.4 / 0.8
+    assert got[(8, 9)]["tf_ratio"] == 0.4 / 0.2
+    assert got[(0, 8)]["tf_ratio"] == 1.0
+    # rare agreement now outweighs common agreement
+    assert got[(8, 9)]["tf_adjusted_weight"] > got[(0, 1)]["tf_adjusted_weight"]
+    # non-agreeing pair keeps its base weight exactly
+    assert got[(0, 8)]["tf_adjusted_weight"] == got[(0, 8)]["match_weight"]
+    # adjustment is log2 of the ratio
+    w = got[(8, 9)]
+    assert w["tf_adjusted_weight"] == pytest.approx(
+        w["match_weight"] + math.log2(w["tf_ratio"]), rel=1e-12
+    )
