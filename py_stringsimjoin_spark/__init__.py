@@ -29,8 +29,22 @@ from .operators.filters import (
     SizeFilter,
     SuffixFilter,
 )
+from .operators.fellegi_sunter import (
+    add_tf_adjustment,
+    agreement_vectors,
+    classify_pairs,
+    em_fit,
+    exact_comparison,
+    fellegi_sunter_link,
+    jaccard_comparison,
+    levenshtein_comparison,
+    pattern_counts,
+    score_pairs,
+    term_frequency_table,
+)
 from .operators.matcher import apply_matcher
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
+from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
@@ -75,6 +89,19 @@ __all__ = [
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",
+    "agreement_vectors",
+    "pattern_counts",
+    "em_fit",
+    "score_pairs",
+    "classify_pairs",
+    "fellegi_sunter_link",
+    "term_frequency_table",
+    "add_tf_adjustment",
+    "exact_comparison",
+    "levenshtein_comparison",
+    "jaccard_comparison",
+    "soundex_column",
+    "soundex_blocking_pairs",
     "dataframe_column_to_str",
     "get_spark",
     "engine_cache_scope",
