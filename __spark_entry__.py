@@ -735,6 +735,58 @@ WHERE jaro_winkler_similarity(la.name, rb.name) >= 0.9
 """
 
 
+def q_me_matcher_part(spark, sf_dir):
+    """apply_matcher with the monge_elkan hybrid measure (mean over the left
+    token bag of the max inner jaro_winkler per token) over an
+    overlap-blocked candset — the py_stringmatching hybrid-measure family
+    the reference consumes through apply_matcher's arbitrary-function
+    surface (apply_matcher.py:77). Inner JW pins DuckDB/rapidfuzz
+    semantics; the left-bag sum is a sequential fold, so scores are
+    bit-identical cross-engine (functions/sims.batch_monge_elkan)."""
+    from py_stringsimjoin_spark.functions.tokenizers import WhitespaceTokenizer
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey",
+        "p_partkey", "p_name", "p_name", WhitespaceTokenizer(return_set=False),
+        "monge_elkan", 0.88,
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
+
+
+def _me_matcher_part_sql() -> str:
+    bag = WhitespaceTokenizer(return_set=False).duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {bag} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(list_distinct(toks)) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+), scored AS (
+  SELECT c.l_id, c.r_id,
+    CASE WHEN len(la.toks) = 0 AND len(rb.toks) = 0 THEN CAST('1.0' AS DOUBLE)
+         WHEN len(la.toks) = 0 OR len(rb.toks) = 0 THEN CAST('0.0' AS DOUBLE)
+         ELSE list_reduce(
+                list_transform(la.toks,
+                  x -> list_max(list_transform(rb.toks,
+                         y -> jaro_winkler_similarity(x, y)))),
+                (acc, x) -> acc + x) / len(la.toks)
+    END AS sim
+  FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.88
+"""
+
+
 def _fs_comparisons():
     """Field comparisons for the Fellegi–Sunter driver queries (part table):
     p_type edit-distance bands (exact / ≤4 / else), p_brand and p_size
@@ -1849,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter_part": q_overlap_filter_part,
         "apply_matcher_part": q_apply_matcher_part,
         "jw_matcher_part": q_jw_matcher_part,
+        "me_matcher_part": q_me_matcher_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -1910,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_filter_part": _overlap_filter_sql(),
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "jw_matcher_part": _jw_matcher_part_sql(),
+        "me_matcher_part": _me_matcher_part_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

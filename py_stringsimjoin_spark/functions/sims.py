@@ -250,3 +250,59 @@ def batch_jaro_winkler(l_strs, r_strs, prefix_weight: float = 0.1) -> np.ndarray
     ).astype(np.float64)
     boosted = sim + prefix * prefix_weight * (1.0 - sim)
     return np.where(sim > 0.7, boosted, sim)
+
+
+def batch_monge_elkan(l_tok_lists, r_tok_lists, inner: str = "jaro_winkler") -> np.ndarray:
+    """Monge-Elkan hybrid similarity for a batch of token-bag pairs.
+
+    ME(L, R) = (1/|L|) * sum_{a in L} max_{b in R} inner(a, b) — the
+    classic hybrid measure (py_stringmatching ``MongeElkan``; the reference
+    consumes such measures through apply_matcher's arbitrary-function
+    surface, /root/reference/py_stringsimjoin/matcher/apply_matcher.py:77).
+    Asymmetric by definition: the average runs over the LEFT bag.
+
+    * ``inner``: "jaro_winkler" (py_stringmatching's default secondary
+      measure) or "jaro" — both bit-parity vs DuckDB's
+      jaro_winkler_similarity / jaro_similarity (see ``batch_jaro``).
+    * Both bags empty -> 1.0; exactly one empty -> 0.0 (the engine-wide
+      empty convention, functions/sims.score_from_overlap).
+    * Bit-reproducible across engines: max is arithmetic-free, the sum is a
+      SEQUENTIAL fold in left-bag order (never pairwise/np.sum — numpy's
+      pairwise summation would drift ulps vs DuckDB's ``list_reduce``
+      fold), and the final divide is one correctly-rounded IEEE op.
+
+    Vectorized across the batch: all cross-pairs (a, b) of every row are
+    flattened into ONE ``batch_jaro[_winkler]`` call (flat numpy work, no
+    per-pair Python in the scan); the segment max / fold run over the few
+    tokens per row.
+    """
+    kern = {"jaro": batch_jaro, "jaro_winkler": batch_jaro_winkler}[inner]
+    n = len(l_tok_lists)
+    out = np.empty(n, dtype=np.float64)
+    flat_l: list = []
+    flat_r: list = []
+    spans = []  # (row, n_l_tokens, n_r_tokens) for rows needing the kernel
+    for i in range(n):
+        lt = l_tok_lists[i] or []
+        rt = r_tok_lists[i] or []
+        if not lt and not rt:
+            out[i] = 1.0
+        elif not lt or not rt:
+            out[i] = 0.0
+        else:
+            spans.append((i, len(lt), len(rt)))
+            for a in lt:
+                flat_l.extend([a] * len(rt))
+                flat_r.extend(rt)
+    if not spans:
+        return out
+    sims = kern(flat_l, flat_r)
+    pos = 0
+    for i, nl, nr in spans:
+        block = sims[pos : pos + nl * nr].reshape(nl, nr)
+        pos += nl * nr
+        acc = 0.0
+        for v in block.max(axis=1):  # sequential fold in left-bag order
+            acc += float(v)
+        out[i] = acc / nl
+    return out

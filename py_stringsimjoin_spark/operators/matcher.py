@@ -6,9 +6,13 @@ tables and scored inside one Arrow-batched ``mapInPandas`` stage. The user
 similarity function comes in two flavors:
 
 * a measure name ("jaccard" | "cosine" | "dice" | "overlap" |
-  "overlap_coefficient" | "edit_distance" | "jaro" | "jaro_winkler") →
+  "overlap_coefficient" | "edit_distance" | "jaro" | "jaro_winkler" |
+  "monge_elkan" | "monge_elkan_jaro") →
   fully vectorized numpy kernel (jaro/jaro_winkler/edit_distance are
-  string-based: the tokenizer is ignored for scoring);
+  string-based: the tokenizer is ignored for scoring; the monge_elkan
+  hybrids tokenize with the given tokenizer — pass a bag tokenizer
+  (``return_set=False``) for py_stringmatching-shaped behavior — and
+  average, over the LEFT bag, the max inner jaro_winkler/jaro per token);
 * a Python callable ``f(l_tokens_or_str, r_tokens_or_str) -> float`` applied
   per row inside the batch (the reference's arbitrary-UDF surface,
   apply_matcher.py:77 — inherently the slow path; prefer measure names).
@@ -24,7 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.sims import batch_jaro, batch_jaro_winkler, batch_levenshtein, batch_set_sim
+from ..functions.sims import (
+    batch_jaro,
+    batch_jaro_winkler,
+    batch_levenshtein,
+    batch_monge_elkan,
+    batch_set_sim,
+)
 from ..functions.tokenizers import Tokenizer
 from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_attr_type, validate_comp_op
 
@@ -156,10 +166,15 @@ def _make_score_batch(tok, simf):
             return batch_jaro(list(l_vals), list(r_vals))
         if isinstance(simf, str) and simf == "jaro_winkler":
             return batch_jaro_winkler(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf in ("monge_elkan", "monge_elkan_jaro"):
+            inner = "jaro" if simf == "monge_elkan_jaro" else "jaro_winkler"
+            return batch_monge_elkan(
+                [toks(v) for v in l_vals], [toks(v) for v in r_vals], inner=inner
+            )
         if isinstance(simf, str):
             raise ValueError(
                 f"unknown measure name {simf!r}; pass one of "
-                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler')} "
+                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler', 'monge_elkan', 'monge_elkan_jaro')} "
                 "or a Python callable"
             )
         scores = np.empty(len(l_vals), dtype=np.float64)

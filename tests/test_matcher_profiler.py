@@ -164,3 +164,65 @@ def test_apply_matcher_unknown_measure_name(spark, person_tables):
 
     with _pytest.raises(Exception, match="unknown measure name"):
         out.collect()
+
+
+def test_monge_elkan_kernel_duckdb_parity():
+    """batch_monge_elkan is bit-exact vs the DuckDB nested-lambda
+    formulation the driver oracle uses (list_reduce sequential fold over
+    per-left-token max inner jaro[_winkler]) on a seeded random token grid
+    incl. repeated tokens, unicode, and empty bags."""
+    import random
+
+    import duckdb
+
+    from py_stringsimjoin_spark.functions.sims import batch_monge_elkan
+
+    rng = random.Random(11)
+    words = ["paul", "johnson", "jônsen", "kevin", "smith", "smyth", "x", "漢字"]
+    bags = [[], ["paul"], ["paul", "paul", "jon"]]
+    for _ in range(120):
+        bags.append([rng.choice(words) for _ in range(rng.randint(1, 6))])
+    pairs = [(bags[rng.randrange(len(bags))], bags[rng.randrange(len(bags))])
+             for _ in range(300)]
+    ls = [p[0] for p in pairs]
+    rs = [p[1] for p in pairs]
+    con = duckdb.connect()
+    for inner, fn in (("jaro_winkler", "jaro_winkler_similarity"),
+                      ("jaro", "jaro_similarity")):
+        mine = batch_monge_elkan(ls, rs, inner=inner)
+        q = f"""
+        SELECT CASE WHEN len(?) = 0 AND len(?) = 0 THEN CAST('1.0' AS DOUBLE)
+                    WHEN len(?) = 0 OR len(?) = 0 THEN CAST('0.0' AS DOUBLE)
+               ELSE list_reduce(
+                      list_transform(?, x -> list_max(
+                        list_transform(?, y -> {fn}(x, y)))),
+                      (acc, x) -> acc + x) / len(?)
+               END"""
+        for i, (a, b) in enumerate(pairs):
+            d = con.execute(q, [a, b, a, b, a, b, a]).fetchone()[0]
+            assert mine[i] == d, (inner, a, b, mine[i], d)
+
+
+def test_apply_matcher_monge_elkan(spark, person_tables):
+    """monge_elkan measure through apply_matcher: exact bags score 1.0,
+    near-duplicate names survive a 0.85 threshold, and the score equals the
+    kernel applied to the whitespace bags (asymmetric: left-bag average)."""
+    from py_stringsimjoin_spark.functions.sims import batch_monge_elkan
+    from py_stringsimjoin_spark.functions.tokenizers import WhitespaceTokenizer
+
+    A, B = person_tables
+    cand = _candset(A, B)
+    out = apply_matcher(
+        cand, "l_ID", "r_ID", A, B, "ID", "ID", "name", "name",
+        WhitespaceTokenizer(return_set=False), "monge_elkan", 0.85,
+    )
+    got = {(r["l_ID"], r["r_ID"]): r["_sim_score"] for r in out.collect()}
+    assert got[("a1", "b2")] == 1.0  # identical names
+    assert ("a4", "b5") in got  # Basil Nash / Bazil Nash
+    assert got[("a4", "b5")] == batch_monge_elkan(
+        [["Basil", "Nash"]], [["Bazil", "Nash"]]
+    )[0]
+    # asymmetry: ME averages over the LEFT bag
+    me_lr = batch_monge_elkan([["kevin", "smith", "jr"]], [["kevin"]])[0]
+    me_rl = batch_monge_elkan([["kevin"]], [["kevin", "smith", "jr"]])[0]
+    assert me_lr != me_rl and me_rl == 1.0
