@@ -787,6 +787,126 @@ SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.
 """
 
 
+def q_golden_part(spark, sf_dir):
+    """golden_record attribute-level fusion: deterministic synthetic clusters
+    over part (p_partkey % 311, with every 7th part left unassigned to
+    exercise the singleton path), then per-cluster majority vote per
+    attribute with count-desc / value-asc tie-breaks
+    (operators/canonical.golden_record — the ER fusion step downstream of
+    clustering; the reference stops at match pairs)."""
+    from py_stringsimjoin_spark.operators.canonical import golden_record
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    clusters = part.select(
+        "p_partkey", (F.col("p_partkey") % 311).alias("component")
+    ).where(F.col("p_partkey") % 7 != 0)
+    return golden_record(
+        part, clusters, "p_partkey",
+        ["p_brand", "p_size", "p_type"], "component",
+    )
+
+
+def _golden_part_sql() -> str:
+    return """
+WITH assigned AS (
+  SELECT p.p_partkey, COALESCE(c.component, p.p_partkey) AS component,
+         p.p_brand, p.p_size, p.p_type
+  FROM part p LEFT JOIN (
+    SELECT p_partkey, p_partkey % 311 AS component
+    FROM part WHERE p_partkey % 7 <> 0
+  ) c ON p.p_partkey = c.p_partkey
+), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM assigned GROUP BY 1
+), melted AS (
+  SELECT component, 'b' AS attr, CAST(p_brand AS VARCHAR) AS val
+  FROM assigned WHERE p_brand IS NOT NULL
+  UNION ALL
+  SELECT component, 'c', CAST(p_size AS VARCHAR)
+  FROM assigned WHERE p_size IS NOT NULL
+  UNION ALL
+  SELECT component, 't', CAST(p_type AS VARCHAR)
+  FROM assigned WHERE p_type IS NOT NULL
+), counts AS (
+  SELECT component, attr, val, COUNT(*) AS cnt FROM melted GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component, attr ORDER BY cnt DESC, val ASC) AS rn
+  FROM counts
+), winners AS (
+  SELECT component, attr, val FROM ranked WHERE rn = 1
+)
+SELECT s.component, s.cluster_size,
+       max(CASE WHEN w.attr = 'b' THEN w.val END) AS p_brand,
+       CAST(max(CASE WHEN w.attr = 'c' THEN w.val END) AS BIGINT) AS p_size,
+       max(CASE WHEN w.attr = 't' THEN w.val END) AS p_type
+FROM sizes s LEFT JOIN winners w ON s.component = w.component
+GROUP BY 1, 2
+"""
+
+
+def q_combined_blocking_part(spark, sf_dir):
+    """OR-combined blocking rules with provenance: soundex(p_name) blocks ∪
+    token-overlap≥2 blocks over part, each pair tagged with the sorted rule
+    list that generated it (operators/blocking.combine_blockers — the
+    multi-rule recall composition production linkage uses; the reference
+    exposes single blockers only)."""
+    from py_stringsimjoin_spark.operators.blocking import combine_blockers
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.phonetic import soundex_blocking_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    lt = F.col("l_p_partkey") < F.col("r_p_partkey")
+    sdx = soundex_blocking_pairs(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    ).where(lt)
+    ov = OverlapFilter(_WS, 2).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    ).where(lt)
+    combined = combine_blockers(
+        {"soundex": sdx, "overlap": ov}, "l_p_partkey", "r_p_partkey"
+    )
+    return combined.select(
+        "l_p_partkey",
+        "r_p_partkey",
+        F.array_join("rules", ",").alias("rules"),
+        F.size("rules").alias("n_rules"),
+    )
+
+
+def _combined_blocking_part_sql() -> str:
+    from py_stringsimjoin_spark.operators.phonetic import soundex_duckdb_sql
+
+    toks = _WS.duckdb_sql("p_name")
+    sdx = soundex_duckdb_sql("p_name")
+    return f"""
+WITH sdx AS (
+  SELECT p_partkey AS id, {sdx} AS code FROM part WHERE p_name IS NOT NULL
+), sdx_pairs AS (
+  SELECT a.id AS l, b.id AS r
+  FROM sdx a JOIN sdx b ON a.code = b.code AND a.id < b.id
+  WHERE a.code IS NOT NULL AND a.code <> ''
+), base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), ov_pairs AS (
+  SELECT a.id AS l, b.id AS r
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), u AS (
+  SELECT l, r, 'soundex' AS rule FROM sdx_pairs
+  UNION ALL
+  SELECT l, r, 'overlap' AS rule FROM ov_pairs
+)
+SELECT l AS l_p_partkey, r AS r_p_partkey,
+       array_to_string(list_sort(list(DISTINCT rule)), ',') AS rules,
+       count(DISTINCT rule) AS n_rules
+FROM u GROUP BY 1, 2
+"""
+
+
 def _fs_comparisons():
     """Field comparisons for the Fellegi–Sunter driver queries (part table):
     p_type edit-distance bands (exact / ≤4 / else), p_brand and p_size
@@ -1902,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_matcher_part": q_apply_matcher_part,
         "jw_matcher_part": q_jw_matcher_part,
         "me_matcher_part": q_me_matcher_part,
+        "golden_part": q_golden_part,
+        "combined_blocking_part": q_combined_blocking_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -1964,6 +2086,8 @@ def oracle_sql() -> dict[str, str]:
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "jw_matcher_part": _jw_matcher_part_sql(),
         "me_matcher_part": _me_matcher_part_sql(),
+        "golden_part": _golden_part_sql(),
+        "combined_blocking_part": _combined_blocking_part_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

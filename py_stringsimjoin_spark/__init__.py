@@ -18,7 +18,8 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
-from .operators.canonical import canonicalize_clusters
+from .operators.blocking import blocking_rule_stats, combine_blockers
+from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components
 from .operators.evaluation import blocking_metrics, evaluate_blocking
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
@@ -82,6 +83,9 @@ __all__ = [
     "apply_matcher",
     "blocking_metrics",
     "canonicalize_clusters",
+    "golden_record",
+    "combine_blockers",
+    "blocking_rule_stats",
     "evaluate_blocking",
     "tfidf_cosine_join",
     "topk_edit_distance_join",

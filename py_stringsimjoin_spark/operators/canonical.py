@@ -89,3 +89,91 @@ def canonicalize_clusters(
         F.col("_sz").alias("cluster_size"),
         *[F.col(a) for a in keep_attrs],
     )
+
+
+def golden_record(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    fuse_attrs: list[str],
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Attribute-level survivorship: one FUSED row per cluster.
+
+    Where ``canonicalize_clusters`` keeps one whole source record,
+    ``golden_record`` builds a synthetic "golden" entity by fusing each
+    attribute independently: per cluster and attribute, the most frequent
+    non-null value wins (majority vote), ties broken by the smallest value
+    — a total order, so reruns and engines agree exactly. The reference
+    stops at match pairs; fusion is the standard ER step downstream of
+    clustering (it is what master-data systems publish).
+
+    Records without a cluster assignment are singletons (cluster id = own
+    id), so the output covers every input entity.
+
+    Output: ``(cluster_col, cluster_size, *fuse_attrs)``. Fused values are
+    computed over the STRING form of each attribute (a single melted pass;
+    the vote and tie-break compare strings) and cast back to the
+    attribute's original type on output.
+
+    Scale shape: cluster assignment is one hash join on ``id_col``; the
+    melt is a generator expression (no shuffle); the vote is ONE hash
+    aggregation keyed on (cluster, attr, value) + a window rank partitioned
+    by (cluster, attr); the pivot back to columns is a second aggregation
+    on the cluster id. Shuffle count is independent of the number of fused
+    attributes, and every key includes the cluster id — the data's natural
+    partitioning after clustering. No UDFs, nothing collected.
+    """
+    validate_attr(records, id_col, "records")
+    validate_attr(clusters, id_col, "clusters")
+    validate_attr(clusters, cluster_col, "clusters")
+    if not fuse_attrs:
+        raise AssertionError("fuse_attrs must be non-empty")
+    for a in fuse_attrs:
+        validate_attr(records, a, "records")
+
+    dtypes = dict(records.dtypes)
+    assigned = records.join(
+        clusters.select(id_col, cluster_col), id_col, "left"
+    ).withColumn(cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col)))
+
+    sizes = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+    melted = assigned.select(
+        cluster_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("_attr"),
+                        F.col(a).cast("string").alias("_val"),
+                    )
+                    for a in fuse_attrs
+                ]
+            )
+        ).alias("_kv"),
+    ).select(cluster_col, "_kv._attr", "_kv._val").where(F.col("_val").isNotNull())
+
+    counts = melted.groupBy(cluster_col, "_attr", "_val").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(cluster_col, "_attr").orderBy(
+        F.col("_cnt").desc(), F.col("_val").asc()
+    )
+    winners = counts.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+
+    fused = winners.groupBy(cluster_col).agg(
+        *[
+            F.max(F.when(F.col("_attr") == a, F.col("_val")))
+            .cast(dtypes[a])
+            .alias(a)
+            for a in fuse_attrs
+        ]
+    )
+    return sizes.join(fused, cluster_col, "left").select(
+        cluster_col, "cluster_size", *fuse_attrs
+    )

@@ -166,3 +166,51 @@ def test_canonicalize_validation(spark):
             rec, rec, "id", "id", "txt", "txt", WhitespaceTokenizer(),
             threshold=0.5, weighting="bm25",
         )
+
+
+def test_golden_record_fusion(spark):
+    """Attribute-level majority vote: modal non-null value per (cluster,
+    attr); count ties break to the smallest value; nulls never win; int
+    attrs come back as ints; singletons fuse to themselves."""
+    from py_stringsimjoin_spark.operators.canonical import golden_record
+
+    rec = spark.createDataFrame(
+        [
+            (1, "ACME", 10),
+            (2, "ACME", 20),
+            (3, "Acme Corp", 20),
+            (4, None, None),       # nulls don't vote
+            (5, "Zeta", 7),        # singleton (no cluster row)
+        ],
+        ["id", "brand", "size"],
+    )
+    clu = spark.createDataFrame([(1, 100), (2, 100), (3, 100), (4, 100)],
+                                ["id", "component"])
+    out = {r.component: r for r in golden_record(
+        rec, clu, "id", ["brand", "size"], "component").collect()}
+    assert out[100].cluster_size == 4
+    assert out[100].brand == "ACME"          # 2 votes vs 1
+    assert out[100].size == 20               # 2 votes vs 1
+    assert out[5].cluster_size == 1 and out[5].brand == "Zeta" and out[5].size == 7
+    assert isinstance(out[100].size, int)    # cast back to original type
+    assert len(out) == 2
+
+
+def test_golden_record_tie_breaks_to_smallest(spark):
+    from py_stringsimjoin_spark.operators.canonical import golden_record
+
+    rec = spark.createDataFrame(
+        [(1, "beta"), (2, "alpha"), (3, "beta"), (4, "alpha")], ["id", "v"]
+    )
+    clu = spark.createDataFrame([(i, 9) for i in (1, 2, 3, 4)], ["id", "component"])
+    out = golden_record(rec, clu, "id", ["v"], "component").collect()
+    assert len(out) == 1 and out[0].v == "alpha"  # 2-2 tie -> smallest value
+
+
+def test_golden_record_all_null_attr(spark):
+    from py_stringsimjoin_spark.operators.canonical import golden_record
+
+    rec = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    clu = spark.createDataFrame([(1, 5), (2, 5)], ["id", "component"])
+    out = golden_record(rec, clu, "id", ["v"], "component").collect()
+    assert len(out) == 1 and out[0].v is None and out[0].cluster_size == 2
