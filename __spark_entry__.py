@@ -907,6 +907,80 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_url_canon_docs(spark, sf_dir):
+    """Canonical-URL recrawl dedup over deterministic messy URLs: each doc
+    gets a synthetic URL for resource (doc_id % 97) in one of four recrawl
+    disguises chosen by doc_id % 4 — plain, uppercased host + :443 +
+    trailing slash, tracking params, userinfo + reordered query + fragment.
+    The first three collapse to one canonical key, the fourth keeps its
+    real query (functions/urls.normalize_url_expr +
+    operators/dedup.canonical_url_groups; pure JVM expressions, one
+    fixed-width-key aggregation)."""
+    from py_stringsimjoin_spark.operators.dedup import canonical_url_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 97).cast("string")
+    stem = F.concat(F.lit("ex"), base, F.lit(".example.com/p/"), base)
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), stem))
+        .when(v == 1, F.concat(F.lit("https://WWW.EX"), base,
+                               F.lit(".EXAMPLE.COM:443/p/"), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), stem,
+                               F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://user@"), stem,
+                            F.lit("?b=2&a=1#sec")))
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    out = canonical_url_groups(with_url, "doc_id", "url")
+    from py_stringsimjoin_spark.functions.urls import url_registrable_domain_expr
+
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "canonical_url",
+        url_registrable_domain_expr(F.col("canonical_url")).alias("domain"),
+        "group_id",
+        "group_size",
+    )
+
+
+def _url_canon_docs_sql() -> str:
+    from py_stringsimjoin_spark.functions.urls import (
+        normalize_url_sql,
+        url_registrable_domain_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         'ex' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+              || CAST(doc_id % 97 AS VARCHAR) AS stem,
+         doc_id % 4 AS v
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'https://www.' || stem
+           WHEN 1 THEN 'https://WWW.EX' || CAST(doc_id % 97 AS VARCHAR)
+                    || '.EXAMPLE.COM:443/p/' || CAST(doc_id % 97 AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://' || stem || '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://user@' || stem || '?b=2&a=1#sec'
+         END AS url
+  FROM base
+), canon AS (
+  SELECT doc_id, {normalize_url_sql('url')} AS canonical_url FROM raw
+), g AS (
+  SELECT canonical_url, min(doc_id) AS group_id, count(*) AS group_size
+  FROM canon GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_url,
+       {url_registrable_domain_sql('c.canonical_url')} AS domain,
+       g.group_id, g.group_size
+FROM canon c JOIN g USING (canonical_url)
+WHERE g.group_size > 1
+"""
+
+
 def _fs_comparisons():
     """Field comparisons for the Fellegi–Sunter driver queries (part table):
     p_type edit-distance bands (exact / ≤4 / else), p_brand and p_size
@@ -2024,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "me_matcher_part": q_me_matcher_part,
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
+        "url_canon_docs": q_url_canon_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2088,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "me_matcher_part": _me_matcher_part_sql(),
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
+        "url_canon_docs": _url_canon_docs_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

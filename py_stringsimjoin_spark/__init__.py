@@ -18,6 +18,13 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
+from .functions.urls import (
+    normalize_url,
+    normalize_url_expr,
+    url_host_expr,
+    url_registrable_domain_expr,
+)
+from .operators.dedup import canonical_url_groups
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components
@@ -106,6 +113,11 @@ __all__ = [
     "jaccard_comparison",
     "soundex_column",
     "soundex_blocking_pairs",
+    "normalize_url",
+    "normalize_url_expr",
+    "url_host_expr",
+    "url_registrable_domain_expr",
+    "canonical_url_groups",
     "dataframe_column_to_str",
     "get_spark",
     "engine_cache_scope",

@@ -363,3 +363,36 @@ def dedup_groups(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     return ids.join(comp, ids["id"] == comp["node"], "left").select(
         "id", F.coalesce("component", "id").alias("group_id")
     )
+
+
+def canonical_url_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-recrawl dedup: rows whose CANONICAL URL coincides.
+
+    Returns ``(id, canonical_url, group_id, group_size)`` for rows whose
+    ``functions.urls.normalize_url_expr`` form appears more than once;
+    ``group_id`` = min(id) over the group. The standard first pass over a
+    web crawl — the same page recrawled as http/https, with/without
+    ``www.``/tracking params/fragment, collapses here before any
+    similarity join runs (exact_duplicates catches identical BODIES; this
+    catches identical RESOURCES whose bodies may drift between crawls).
+
+    Scale shape: normalization is pure scalar expressions (no UDF, no
+    shuffle); the one aggregation groups on the 16-byte ``unhex(md5())``
+    of the canonical string so the shuffle key is fixed-width regardless
+    of URL length (same policy as the value-dedup expansion join,
+    set_sim_join.py).
+    """
+    from ..functions.urls import normalize_url_expr
+
+    h = df.select(
+        F.col(id_col).alias("id"),
+        normalize_url_expr(F.col(url_col)).alias("canonical_url"),
+    ).withColumn("_h", F.unhex(F.md5("canonical_url")))
+    g = h.groupBy("_h").agg(
+        F.min("id").alias("group_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(g, "_h")
+        .where(F.col("group_size") > 1)
+        .select("id", "canonical_url", "group_id", "group_size")
+    )
