@@ -1232,6 +1232,32 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_cc_incremental_part(spark, sf_dir):
+    """Incremental clustering: the jaccard match pairs are split
+    deterministically into a base batch (~80%) and a delta batch
+    ((l+r) % 5 == 0), base pairs are clustered with connected_components,
+    then the delta is folded in with update_components (contracted-graph
+    CC + broadcast remap — operators/connected_components.py). The oracle
+    is the FULL-graph recursive-CTE clustering: incremental update must be
+    indistinguishable from a complete re-cluster."""
+    from py_stringsimjoin_spark.operators.connected_components import (
+        connected_components,
+        update_components,
+    )
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    ).select("_l_key", "_r_key")
+    is_delta = (F.col("_l_key") + F.col("_r_key")) % 5 == 0
+    base = pairs.where(~is_delta)
+    delta = pairs.where(is_delta)
+    assign = connected_components(base, "_l_key", "_r_key")
+    return update_components(assign, delta, src_col="_l_key", dst_col="_r_key")
+
+
 def q_profile_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.profiler import profile_table_for_join
 
@@ -2105,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_part": q_soundex_part,
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
+        "cc_incremental_part": q_cc_incremental_part,
         "profile_part": q_profile_part,
         "overlap_part": q_overlap_part,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -2170,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_part": _soundex_part_sql(),
         "verify_pairs_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "connected_components_part": _connected_components_sql(),
+        "cc_incremental_part": _connected_components_sql(),
         "profile_part": _PROFILE_SQL,
         "overlap_part": _set_sim_part_sql(_O_SCORE, 2),
         "minhash_dedup_docs": _minhash_dedup_sql(),

@@ -27,7 +27,7 @@ from .functions.urls import (
 from .operators.dedup import canonical_url_groups
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
-from .operators.connected_components import connected_components
+from .operators.connected_components import connected_components, update_components
 from .operators.evaluation import blocking_metrics, evaluate_blocking
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
 from .operators.filters import (
@@ -100,6 +100,7 @@ __all__ = [
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",
+    "update_components",
     "agreement_vectors",
     "pattern_counts",
     "em_fit",

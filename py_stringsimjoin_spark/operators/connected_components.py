@@ -104,3 +104,81 @@ def connected_components(
         F.col("node"), F.col("node").alias("component")
     )
     return comp.unionByName(roots)
+
+
+def update_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Incrementally fold a DELTA of match edges into existing components.
+
+    ``assignments(node, component)`` is a previous ``connected_components``
+    output (component = min node id of the component); ``new_edges`` are
+    newly discovered match pairs (e.g. from ``join_delta_pairs`` after a
+    crawl increment). Returns the assignment table CC would produce over
+    (old edges ∪ new edges), covering every previously-assigned node plus
+    every endpoint of the delta — WITHOUT re-clustering the full graph.
+
+    Algorithm: contract each existing component to its id (ids are min node
+    ids, so min-of-mins stays the global min), run the large/small-star CC
+    on the CONTRACTED delta graph only — its size is bounded by the delta,
+    never by the corpus — then remap. The remap table is at most
+    2·|delta| rows, so the final assignment update is a broadcast join over
+    the (arbitrarily large) assignment table: the only full-table shuffle
+    anywhere is the hash join tagging delta endpoints with their current
+    component. At 10^12 nodes with a daily delta this is the difference
+    between minutes and a full multi-hour re-cluster.
+
+    Endpoints never seen before enter as their own contracted node (their
+    id is their component), so new-node/new-cluster cases need no special
+    path.
+    """
+    a = assignments.select(
+        F.col(node_col).alias("_n"), F.col(comp_col).alias("_c")
+    )
+    e = (
+        new_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # tag both endpoints with their current component (own id if unseen)
+    tagged = (
+        e.join(a.withColumnRenamed("_n", "src").withColumnRenamed("_c", "_cs"),
+               "src", "left")
+        .join(a.withColumnRenamed("_n", "dst").withColumnRenamed("_c", "_cd"),
+              "dst", "left")
+        .select(
+            F.coalesce("_cs", "src").alias("src"),
+            F.coalesce("_cd", "dst").alias("dst"),
+        )
+    )
+    contracted = tagged.where(F.col("src") != F.col("dst"))
+    # CC over the contracted graph: node ids here are component ids
+    sub = connected_components(contracted, "src", "dst")
+    remap = F.broadcast(
+        sub.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+    )
+    updated = (
+        assignments.join(
+            remap, assignments[comp_col] == remap["_old"], "left"
+        )
+        .select(
+            F.col(node_col).alias("node"),
+            F.coalesce("_new", comp_col).alias("component"),
+        )
+    )
+    fresh = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(a, F.col("node") == F.col("_n"), "left_anti")
+        .join(remap, F.col("node") == F.col("_old"), "left")
+        .select("node", F.coalesce("_new", "node").alias("component"))
+    )
+    return updated.unionByName(fresh)
