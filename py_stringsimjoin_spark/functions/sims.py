@@ -306,3 +306,161 @@ def batch_monge_elkan(l_tok_lists, r_tok_lists, inner: str = "jaro_winkler") -> 
             acc += float(v)
         out[i] = acc / nl
     return out
+
+
+_NEG = -1.0e30  # -inf stand-in: survives arithmetic without NaN
+
+
+def batch_needleman_wunsch(
+    l_strs, r_strs, gap_cost: float = 1.0,
+    match: float = 1.0, mismatch: float = 0.0,
+) -> np.ndarray:
+    """Global-alignment (Needleman–Wunsch) raw score for a batch of pairs.
+
+    Classic DP with linear gap penalty; character similarity is
+    ``match``/``mismatch`` on code-point equality (the identity sim_func
+    py_stringmatching defaults to). Scores are raw (can be negative);
+    borders are ``-i*gap_cost``. Vectorized across the batch like
+    ``batch_levenshtein``: the in-row max chain ``cur[j] =
+    max(t[j], cur[j-1]-g)`` is a running max of ``t[j]+j*g`` minus ``j*g``.
+    None -> treated as ''.
+    """
+    n = len(l_strs)
+    if n == 0:
+        return np.empty(0, np.float64)
+    g = float(gap_cost)
+    l_strs = ["" if s is None else s for s in l_strs]
+    r_strs = ["" if s is None else s for s in r_strs]
+    la = max((len(s) for s in l_strs), default=0)
+    lb = max((len(s) for s in r_strs), default=0)
+    A, alen = _encode_strings(l_strs, la)
+    B, blen = _encode_strings(r_strs, lb)
+    B[B == -1] = -2
+
+    jgrid = np.arange(1, lb + 1, dtype=np.float64)
+    prev = np.broadcast_to(
+        -g * np.arange(lb + 1, dtype=np.float64), (n, lb + 1)
+    ).copy()
+    out = np.empty(n, dtype=np.float64)
+    done = alen == 0
+    out[done] = -g * blen[done]
+    for i in range(1, la + 1):
+        sim = np.where(A[:, i - 1 : i] == B, match, mismatch)  # (n, lb)
+        t = np.maximum(prev[:, :-1] + sim, prev[:, 1:] - g)
+        w = np.concatenate(
+            [np.full((n, 1), -g * i), t + jgrid * g], axis=1
+        )
+        run = np.maximum.accumulate(w, axis=1)
+        cur = np.concatenate(
+            [np.full((n, 1), -g * i), run[:, 1:] - jgrid * g], axis=1
+        )
+        newly = alen == i
+        if newly.any():
+            out[newly] = cur[newly, blen[newly]]
+        prev = cur
+    return out
+
+
+def batch_smith_waterman(
+    l_strs, r_strs, gap_cost: float = 1.0,
+    match: float = 1.0, mismatch: float = 0.0,
+) -> np.ndarray:
+    """Local-alignment (Smith–Waterman) raw score for a batch of pairs.
+
+    Same DP as NW with a zero floor per cell; the score is the max over
+    the VALID region of each pair's matrix (padding columns/rows are
+    masked out — the batch is rectangular, the matrices are not).
+    """
+    n = len(l_strs)
+    if n == 0:
+        return np.empty(0, np.float64)
+    g = float(gap_cost)
+    l_strs = ["" if s is None else s for s in l_strs]
+    r_strs = ["" if s is None else s for s in r_strs]
+    la = max((len(s) for s in l_strs), default=0)
+    lb = max((len(s) for s in r_strs), default=0)
+    A, alen = _encode_strings(l_strs, la)
+    B, blen = _encode_strings(r_strs, lb)
+    B[B == -1] = -2
+
+    jgrid = np.arange(1, lb + 1, dtype=np.float64)
+    jfull = np.arange(lb + 1, dtype=np.int64)
+    colmask = jfull[None, :] <= blen[:, None]
+    prev = np.zeros((n, lb + 1), dtype=np.float64)
+    best = np.zeros(n, dtype=np.float64)
+    for i in range(1, la + 1):
+        sim = np.where(A[:, i - 1 : i] == B, match, mismatch)
+        t = np.maximum(prev[:, :-1] + sim, prev[:, 1:] - g)
+        u = np.maximum(t, 0.0)
+        w = np.concatenate([np.zeros((n, 1)), u + jgrid * g], axis=1)
+        run = np.maximum.accumulate(w, axis=1)
+        cur = np.concatenate(
+            [np.zeros((n, 1)), run[:, 1:] - jgrid * g], axis=1
+        )
+        cur = np.maximum(cur, 0.0)
+        active = alen >= i
+        rowmax = np.max(np.where(colmask, cur, 0.0), axis=1)
+        best = np.where(active, np.maximum(best, rowmax), best)
+        prev = cur
+    return best
+
+
+def batch_affine_gap(
+    l_strs, r_strs, gap_start: float = 1.0, gap_continuation: float = 0.5,
+    match: float = 1.0, mismatch: float = 0.0,
+) -> np.ndarray:
+    """Global alignment with affine gaps (Gotoh) for a batch of pairs.
+
+    Three-state DP: M (match/mismatch), X (gap in the right string,
+    vertical), Y (gap in the left string, horizontal); opening a gap costs
+    ``gap_start``, extending it ``gap_continuation``; direction switches
+    pass through M (standard Gotoh). Score = max(M, X, Y) at the full
+    prefix lengths. Y's in-row recurrence ``Y[j] = max(M[j-1]-gs,
+    Y[j-1]-gc)`` vectorizes with the running-max slope trick.
+    """
+    n = len(l_strs)
+    if n == 0:
+        return np.empty(0, np.float64)
+    gs, gc = float(gap_start), float(gap_continuation)
+    l_strs = ["" if s is None else s for s in l_strs]
+    r_strs = ["" if s is None else s for s in r_strs]
+    la = max((len(s) for s in l_strs), default=0)
+    lb = max((len(s) for s in r_strs), default=0)
+    A, alen = _encode_strings(l_strs, la)
+    B, blen = _encode_strings(r_strs, lb)
+    B[B == -1] = -2
+
+    jgrid = np.arange(1, lb + 1, dtype=np.float64)
+    # row 0: M=[0,-inf...], X=-inf, Y[j>=1]=-gs-(j-1)*gc
+    M = np.full((n, lb + 1), _NEG)
+    M[:, 0] = 0.0
+    X = np.full((n, lb + 1), _NEG)
+    Y = np.full((n, lb + 1), _NEG)
+    if lb:
+        Y[:, 1:] = -gs - (jgrid - 1.0) * gc
+
+    def _final(Mr, Xr, Yr, rows):
+        sc = np.maximum(np.maximum(Mr, Xr), Yr)
+        return sc[rows, blen[rows]]
+
+    out = np.empty(n, dtype=np.float64)
+    done = alen == 0
+    if done.any():
+        out[done] = _final(M, X, Y, np.flatnonzero(done))
+    for i in range(1, la + 1):
+        sim = np.where(A[:, i - 1 : i] == B, match, mismatch)
+        Mi = np.full((n, lb + 1), _NEG)
+        Mi[:, 1:] = sim + np.maximum(np.maximum(M, X), Y)[:, :-1]
+        Xi = np.maximum(M - gs, X - gc)
+        w = np.concatenate(
+            [np.full((n, 1), _NEG), Mi[:, :-1] - gs + jgrid * gc], axis=1
+        )
+        run = np.maximum.accumulate(w, axis=1)
+        Yi = np.full((n, lb + 1), _NEG)
+        if lb:
+            Yi[:, 1:] = run[:, 1:] - jgrid * gc
+        newly = alen == i
+        if newly.any():
+            out[newly] = _final(Mi, Xi, Yi, np.flatnonzero(newly))
+        M, X, Y = Mi, Xi, Yi
+    return out

@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.sims import (
+    batch_affine_gap,
     batch_jaro,
     batch_jaro_winkler,
     batch_levenshtein,
     batch_monge_elkan,
+    batch_needleman_wunsch,
     batch_set_sim,
+    batch_smith_waterman,
 )
 from ..functions.tokenizers import Tokenizer
 from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_attr_type, validate_comp_op
@@ -166,6 +169,12 @@ def _make_score_batch(tok, simf):
             return batch_jaro(list(l_vals), list(r_vals))
         if isinstance(simf, str) and simf == "jaro_winkler":
             return batch_jaro_winkler(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf == "needleman_wunsch":
+            return batch_needleman_wunsch(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf == "smith_waterman":
+            return batch_smith_waterman(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf == "affine_gap":
+            return batch_affine_gap(list(l_vals), list(r_vals))
         if isinstance(simf, str) and simf in ("monge_elkan", "monge_elkan_jaro"):
             inner = "jaro" if simf == "monge_elkan_jaro" else "jaro_winkler"
             return batch_monge_elkan(
@@ -174,7 +183,7 @@ def _make_score_batch(tok, simf):
         if isinstance(simf, str):
             raise ValueError(
                 f"unknown measure name {simf!r}; pass one of "
-                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler', 'monge_elkan', 'monge_elkan_jaro')} "
+                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler', 'monge_elkan', 'monge_elkan_jaro', 'needleman_wunsch', 'smith_waterman', 'affine_gap')} "
                 "or a Python callable"
             )
         scores = np.empty(len(l_vals), dtype=np.float64)

@@ -62,6 +62,30 @@ def _read_cpu():
     return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
 
+def _wait_for_quiet_box(max_wait_s: int = 900) -> None:
+    """Block until the 1-min load average says no OTHER heavy job is running
+    in this VM. The steal%% gate sees only HYPERVISOR contention; a parallel
+    pytest/bench run inside the same VM is invisible to it and silently
+    corrupts the hi-parallelism timings (measured: 155s vs ~100s clean).
+    Polls /proc/loadavg before each attempt; proceeds when load1 < 25%% of
+    the vCPUs or after max_wait_s (logged either way)."""
+    import time
+
+    ncpu = os.cpu_count() or 32
+    waited = 0
+    while waited < max_wait_s:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < 0.25 * ncpu:
+            return
+        print(f"[scaling] box busy (load1={load1:.1f}/{ncpu}); waiting...",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+        waited += 30
+    print(f"[scaling] proceeding despite load after {max_wait_s}s wait",
+          file=sys.stderr, flush=True)
+
+
 def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     env.setdefault("SPARK_GRAFT_BENCH_QUERIES", SCALING_QUERIES)
@@ -98,6 +122,7 @@ def run_level(cpus: int, sf_dir: str, attempts: int) -> dict:
         clean = sum(_is_clean(r) for r in runs)
         if clean >= attempts or len(runs) >= attempts + EXTRA_ATTEMPTS:
             break
+        _wait_for_quiet_box()
         r = run(cpus, sf_dir)
         runs.append(r)
         print(f"[scaling] local[{cpus}] attempt {len(runs)} "
@@ -178,6 +203,7 @@ def run_control(cpus: int, attempts: int = 1) -> tuple[list, list]:
         sum(clean) < attempts
         and len(vals) + failures < attempts + EXTRA_ATTEMPTS
     ):
+        _wait_for_quiet_box()
         s0, t0 = _read_cpu()
         out = subprocess.run(
             [sys.executable, "-c", _CONTROL_SRC.format(repo=REPO), str(cpus)],
