@@ -230,6 +230,116 @@ class LinkagePipeline:
         )
         return st.write(clusters, fp)
 
+    def increment(self, new_pages: DataFrame) -> DataFrame:
+        """Fold a crawl increment into the linked state (delta linkage).
+
+        Equivalent to re-running the FULL pipeline over (old ∪ new) pages —
+        the incremental-vs-full equivalence is asserted in
+        tests/test_pipeline_increment.py — but the work is delta-shaped:
+
+        * extract only the new pages (urls already present are recrawls and
+          keep their first version — the corpus is append-only);
+        * candidate generation is the TWO-TABLE prefix-filter join
+          new-vs-(old ∪ new): the corpus is scanned, never self-joined;
+          old-old pairs were found by the original run and cannot change;
+        * scoring verifies only the delta candidates;
+        * clustering folds the delta match edges into the existing
+          assignment with ``update_components`` (contracted-graph CC sized
+          by the delta + broadcast remap) — no full re-cluster.
+
+        Stage dirs are rewritten via write-to-``__next`` + atomic rename
+        (the new 01_extract/04_clusters are derived FROM the old ones; an
+        in-place overwrite would destroy its own input mid-plan). Each
+        increment bumps an ``increment`` counter in the manifests, so a
+        crashed increment re-runs from its own beginning while the base
+        stages stay resumable as before.
+        """
+        import shutil
+
+        from ..operators.connected_components import update_components
+        from ..operators.matcher import verify_pairs
+
+        st_ext = Stage(self.workdir, "01_extract")
+        st_clu = Stage(self.workdir, "04_clusters")
+        n_inc = int(st_clu.manifest().get("increment", 0)) + 1
+        old_docs = st_ext.read(self.spark)
+        new_docs = new_pages.select(
+            "url",
+            extract_text_col(F.col("html")).alias("text"),
+            "lang",
+        ).join(old_docs.select("url"), "url", "left_anti")
+        all_docs = old_docs.unionByName(new_docs)
+
+        with engine_cache_scope():
+            cand = set_sim_join_pairs(
+                self.measure,
+                new_docs,
+                all_docs,
+                "url",
+                "url",
+                "text",
+                "text",
+                self.tokenizer,
+                self.threshold,
+                comp_op=">=",
+                allow_empty=False,
+                verify=False,
+            )
+            # two-table join emits new-new pairs in both orders and the
+            # self pair; canonicalize to l<r once
+            edges = (
+                cand.select(
+                    F.least("_l_key", "_r_key").alias("l_url"),
+                    F.greatest("_l_key", "_r_key").alias("r_url"),
+                )
+                .where(F.col("l_url") != F.col("r_url"))
+                .distinct()
+            )
+            scored = verify_pairs(
+                edges, "l_url", "r_url", all_docs, all_docs,
+                "url", "url", "text", "text",
+                self.tokenizer, self.measure, self.threshold, comp_op=">=",
+            )
+            assign = st_clu.read(self.spark).select(
+                F.col("url").alias("node"), F.col("cluster_id").alias("component")
+            )
+            updated = update_components(
+                assign, scored, src_col="l_url", dst_col="r_url"
+            )
+            clusters = (
+                all_docs.select("url")
+                .join(updated, all_docs["url"] == updated["node"], "left")
+                .select(
+                    "url",
+                    F.coalesce(F.col("component"), F.col("url")).alias("cluster_id"),
+                )
+            )
+
+            # derived-from-input rewrites: materialize BOTH __next stages
+            # first (each plan still reads the old dirs), then swap — an
+            # in-place overwrite would destroy its own input mid-plan
+            staged = []
+            for st, df, extra in (
+                (st_ext, all_docs, None),
+                (st_clu, clusters, {"increment": n_inc}),
+            ):
+                nxt = Stage(self.workdir, os.path.basename(st.dir) + "__next")
+                fp = _fingerprint(
+                    {**self.params, "stage": os.path.basename(st.dir),
+                     "increment": n_inc}
+                )
+                m = nxt.write(df, fp)
+                if extra:
+                    m.update(extra)
+                staged.append((st, nxt, m))
+        for st, nxt, m in staged:
+            shutil.rmtree(st.dir)
+            os.rename(nxt.dir, st.dir)
+            with open(st.manifest_path, "w") as f:
+                json.dump(m, f, indent=2)
+            os.remove(nxt.manifest_path)
+        return st_clu.read(self.spark)
+
     def run(self, pages: DataFrame) -> DataFrame:
         self.extract(pages)
         self.blocking()

@@ -152,3 +152,37 @@ def test_soundex_blocking_plan_is_python_free(spark, part):
         assert node not in plan, f"{node} in soundex blocking plan"
     # the block-size keep-list is explicitly broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_canonical_url_groups_plan_is_python_free_and_pruned(spark, part):
+    from py_stringsimjoin_spark import canonical_url_groups
+
+    df = spark.read.parquet(PART).select(
+        "p_partkey", F.concat(F.lit("https://ex.com/"), "p_name").alias("url")
+    )
+    out = canonical_url_groups(df, "p_partkey", "url")
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in canonical_url_groups plan"
+    # scan must prune to the two columns the operator touches
+    fmt = _plan(out, "formatted")
+    assert "p_retailprice" not in fmt
+
+
+def test_update_components_remap_is_broadcast(spark):
+    from py_stringsimjoin_spark import update_components
+
+    assign = spark.range(100).select(
+        F.col("id").alias("node"), (F.col("id") % 10).alias("component")
+    )
+    delta = spark.range(5).select(
+        F.col("id").alias("src"), (F.col("id") + 50).alias("dst")
+    )
+    out = update_components(assign, delta)
+    plan = _plan(out)
+    for node in _PY_NODES:
+        assert node not in plan, f"{node} in update_components plan"
+    # the assignment-table update must join against the remap via broadcast
+    # (the remap is delta-bounded; a sort-merge join here would shuffle the
+    # full assignment table)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
