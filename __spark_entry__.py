@@ -787,6 +787,78 @@ SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.
 """
 
 
+def q_soft_tfidf_part(spark, sf_dir):
+    """Soft TF-IDF scoring (Cohen–Ravikumar–Fienberg) over token-overlap
+    candidates: corpus inverse-df token weights (inv_df — IEEE-exact
+    cross-engine), jaro-winkler approximate token matching above 0.9, L2
+    per-side normalization; every fold sequential in sorted-token order so
+    Spark's Arrow kernel and DuckDB's list_reduce agree bitwise
+    (operators/weighted.soft_tfidf_score_pairs)."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.weighted import soft_tfidf_score_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    ).where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = soft_tfidf_score_pairs(
+        cand, "l_p_partkey", "r_p_partkey", part, part,
+        "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, threshold=0.5, inner_threshold=0.9, weighting="inv_df",
+    )
+    return out.select(
+        "l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim")
+    )
+
+
+def _soft_tfidf_part_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, list_sort(list_distinct({toks})) AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), w AS (
+  -- df over the union of both (identical) sides: each row counts twice
+  SELECT tok, 1 / CAST(2 * count(*) AS DOUBLE) AS wt FROM t GROUP BY tok
+), tw AS (
+  SELECT t.id, t.tok, w.wt FROM t JOIN w USING (tok)
+), norms AS (
+  SELECT id, sqrt(list_reduce(list(wt * wt ORDER BY tok), (a, b) -> a + b)) AS nrm
+  FROM tw GROUP BY id
+), cand AS (
+  SELECT DISTINCT a.id AS l, b.id AS r
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+), crossed AS (
+  SELECT c.l, c.r, x.tok AS xt, x.wt AS xw, y.tok AS yt, y.wt AS yw,
+         jaro_winkler_similarity(x.tok, y.tok) AS s
+  FROM cand c JOIN tw x ON x.id = c.l JOIN tw y ON y.id = c.r
+), b1 AS (
+  SELECT l, r, xt, any_value(xw) AS xw, max(s) AS m
+  FROM crossed GROUP BY 1, 2, 3
+), b2 AS (
+  SELECT c.l, c.r, c.xt, max(c.yt) AS ypick
+  FROM crossed c JOIN b1 ON c.l = b1.l AND c.r = b1.r AND c.xt = b1.xt
+  WHERE c.s = b1.m GROUP BY 1, 2, 3
+), contrib AS (
+  SELECT b1.l, b1.r, b1.xt,
+         ((b1.xw / nl.nrm) * (yw.wt / nr.nrm)) * b1.m AS v
+  FROM b1
+  JOIN b2 ON b2.l = b1.l AND b2.r = b1.r AND b2.xt = b1.xt
+  JOIN tw yw ON yw.id = b1.r AND yw.tok = b2.ypick
+  JOIN norms nl ON nl.id = b1.l
+  JOIN norms nr ON nr.id = b1.r
+  WHERE b1.m > '0.9'::DOUBLE
+), score AS (
+  SELECT l, r, list_reduce(list(v ORDER BY xt), (a, b) -> a + b) AS sim
+  FROM contrib GROUP BY 1, 2
+)
+SELECT l AS l_p_partkey, r AS r_p_partkey, sim
+FROM score WHERE sim >= '0.5'::DOUBLE
+"""
+
+
 def q_golden_part(spark, sf_dir):
     """golden_record attribute-level fusion: deterministic synthetic clusters
     over part (p_partkey % 311, with every 7th part left unassigned to
@@ -2122,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_matcher_part": q_apply_matcher_part,
         "jw_matcher_part": q_jw_matcher_part,
         "me_matcher_part": q_me_matcher_part,
+        "soft_tfidf_part": q_soft_tfidf_part,
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
         "url_canon_docs": q_url_canon_docs,
@@ -2188,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "jw_matcher_part": _jw_matcher_part_sql(),
         "me_matcher_part": _me_matcher_part_sql(),
+        "soft_tfidf_part": _soft_tfidf_part_sql(),
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
         "url_canon_docs": _url_canon_docs_sql(),

@@ -57,7 +57,7 @@ from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
 from .operators.topk_join import topk_edit_distance_join, topk_sim_join
-from .operators.weighted import tfidf_cosine_join
+from .operators.weighted import soft_tfidf_score_pairs, tfidf_cosine_join
 from .plans.cache import engine_cache_scope, release_engine_caches
 from .session import get_spark
 from .sources.datasets import load_books_dataset, load_person_dataset
@@ -95,6 +95,7 @@ __all__ = [
     "blocking_rule_stats",
     "evaluate_blocking",
     "tfidf_cosine_join",
+    "soft_tfidf_score_pairs",
     "topk_edit_distance_join",
     "topk_sim_join",
     "PreparedSetSimCorpus",

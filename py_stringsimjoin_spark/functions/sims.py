@@ -464,3 +464,75 @@ def batch_affine_gap(
             out[newly] = _final(Mi, Xi, Yi, np.flatnonzero(newly))
         M, X, Y = Mi, Xi, Yi
     return out
+
+
+def batch_soft_tfidf(
+    l_toks, l_ws, r_toks, r_ws,
+    inner_threshold: float = 0.9, inner: str = "jaro_winkler",
+) -> np.ndarray:
+    """Soft TF-IDF (Cohen–Ravikumar–Fienberg) for a batch of pairs.
+
+    score(L, R) = Σ_{x ∈ L, m(x) > θ}  (w(x)/‖L‖) · (w(ŷ)/‖R‖) · m(x)
+
+    where m(x) = max_{y∈R} inner(x, y), ŷ its argmax, and ‖·‖ the L2 norm
+    of the side's token weights. Caller supplies per-row token arrays with
+    ALIGNED weight arrays, tokens SORTED ascending — every fold here (the
+    norms' Σw², the score Σ) runs sequentially in that order, and the
+    argmax tie-break is the code-point-largest y, so the result is
+    bit-identical to the driver oracle's SQL formulation (list_reduce
+    folds over ``ORDER BY tok`` lists + ``max(y) WHERE s = max(s)``).
+
+    Empty conventions follow the engine: both sides empty -> 1.0, one
+    empty -> 0.0. The inner kernel runs once over the flattened cross
+    pairs of the whole batch (same shape as ``batch_monge_elkan``).
+    """
+    import math
+
+    kern = {"jaro": batch_jaro, "jaro_winkler": batch_jaro_winkler}[inner]
+    n = len(l_toks)
+    out = np.empty(n, dtype=np.float64)
+    flat_l: list = []
+    flat_r: list = []
+    spans = []
+    for i in range(n):
+        lt = l_toks[i] if l_toks[i] is not None else []
+        rt = r_toks[i] if r_toks[i] is not None else []
+        if len(lt) == 0 and len(rt) == 0:
+            out[i] = 1.0
+        elif len(lt) == 0 or len(rt) == 0:
+            out[i] = 0.0
+        else:
+            spans.append((i, len(lt), len(rt)))
+            for a in lt:
+                flat_l.extend([a] * len(rt))
+                flat_r.extend(rt)
+    if not spans:
+        return out
+    sims = kern(flat_l, flat_r)
+    pos = 0
+    for i, nl, nr in spans:
+        block = sims[pos : pos + nl * nr].reshape(nl, nr)
+        pos += nl * nr
+        lt, lw = l_toks[i], l_ws[i]
+        rt, rw = r_toks[i], r_ws[i]
+        nrm_l = 0.0
+        for w in lw:
+            nrm_l = nrm_l + w * w
+        nrm_l = math.sqrt(nrm_l)
+        nrm_r = 0.0
+        for w in rw:
+            nrm_r = nrm_r + w * w
+        nrm_r = math.sqrt(nrm_r)
+        acc = 0.0
+        for k in range(nl):
+            row = block[k]
+            m = row.max()
+            if m > inner_threshold:
+                # tie-break: code-point-largest matching token
+                best_j = -1
+                for j in range(nr):
+                    if row[j] == m and (best_j < 0 or rt[j] > rt[best_j]):
+                        best_j = j
+                acc = acc + ((lw[k] / nrm_l) * (rw[best_j] / nrm_r)) * float(m)
+        out[i] = acc
+    return out

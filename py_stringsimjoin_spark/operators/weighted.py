@@ -243,3 +243,137 @@ def tfidf_cosine_join(
         .join(r_map.withColumnRenamed("_uk", "_ruk"), "_ruk")
         .select("l_key", "r_key", out_sim_col)
     )
+
+
+def soft_tfidf_score_pairs(
+    candset: DataFrame,
+    candset_l_key_attr: str,
+    candset_r_key_attr: str,
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_match_attr: str,
+    r_match_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    inner_threshold: float = 0.9,
+    inner: str = "jaro_winkler",
+    weighting: str = "idf",
+    comp_op: str = ">=",
+) -> DataFrame:
+    """Soft TF-IDF scorer (Cohen–Ravikumar–Fienberg 2003) over a candset.
+
+    The classic hybrid ER measure: token weights come from corpus rarity
+    (TF-IDF with set-semantics tf), token MATCHING is approximate — a left
+    token contributes when its best jaro(-winkler) partner on the right
+    clears ``inner_threshold``, weighted by both tokens' normalized
+    weights and the inner similarity (see ``functions.sims.
+    batch_soft_tfidf`` for the exact formula and fold orders). Catches
+    "jon smith" vs "john smyth" where exact-token TF-IDF scores 0.
+
+    ``weighting`` follows ``tfidf_cosine_join``: ``"idf"`` (smoothed
+    log-idf, production) or ``"inv_df"`` (1/df — every arithmetic step is
+    a correctly-rounded IEEE op, the cross-engine-exact oracle rule).
+    Document frequencies are computed over the union of both inputs'
+    non-null rows (a self-join counts rows twice — uniform across engines,
+    and score-invariant: weights enter only normalized per side).
+
+    Scale shape: one df aggregation; per-side weight-array assembly is
+    explode → vocabulary join → collect sorted per key (shuffles keyed on
+    the row key); the scorer itself is one Arrow-batched pass over the
+    candset — the inner max-matching is unavoidable Python (Spark has no
+    jaro builtin), kept off every join path: this operator only SCORES
+    already-blocked pairs, exactly like apply_matcher.
+    """
+    import numpy as np
+
+    from ..plans.validation import COMP_OP_NUMPY, validate_comp_op
+    from ..functions.sims import batch_soft_tfidf
+
+    validate_comp_op(comp_op, (">=", ">", "<=", "<", "=", "!="))
+    if weighting not in ("idf", "inv_df"):
+        raise AssertionError(f"unknown weighting {weighting!r}")
+    validate_attr(candset, candset_l_key_attr, "candset")
+    validate_attr(candset, candset_r_key_attr, "candset")
+    validate_attr(ltable, l_key_attr, "left")
+    validate_attr(rtable, r_key_attr, "right")
+    validate_attr(ltable, l_match_attr, "left")
+    validate_attr(rtable, r_match_attr, "right")
+
+    toks_expr = F.array_sort(F.array_distinct(tokenizer.spark_col(F.col("_val"))))
+    l_rows = _rows_df(ltable, l_key_attr, l_match_attr, "l").select(
+        F.col("l_key").alias("_k"), toks_expr.alias("_toks")
+    )
+    r_rows = _rows_df(rtable, r_key_attr, r_match_attr, "r").select(
+        F.col("r_key").alias("_k"), toks_expr.alias("_toks")
+    )
+    l_rows = l_rows.persist().transform(_tc)
+    r_rows = r_rows.persist().transform(_tc)
+
+    all_toks = l_rows.select(F.explode("_toks").alias("_tok")).unionAll(
+        r_rows.select(F.explode("_toks").alias("_tok"))
+    )
+    df_tab = all_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if weighting == "idf":
+        n_df = (
+            l_rows.select(F.count(F.lit(1)).alias("_n"))
+            .unionAll(r_rows.select(F.count(F.lit(1)).alias("_n")))
+            .agg(F.sum("_n").cast("double").alias("_N"))
+        )
+        df_tab = df_tab.crossJoin(F.broadcast(n_df))
+        w_expr = F.log(
+            (F.col("_N") + F.lit(1.0)) / (F.col("_df").cast("double") + F.lit(1.0))
+        ) + F.lit(1.0)
+    else:
+        w_expr = F.lit(1.0) / F.col("_df").cast("double")
+    weights = df_tab.select("_tok", w_expr.alias("_w"))
+
+    def side_arrays(rows: DataFrame, side: str) -> DataFrame:
+        ex = rows.select("_k", F.explode("_toks").alias("_tok")).join(
+            weights, "_tok"
+        )
+        arr = ex.groupBy("_k").agg(
+            F.sort_array(F.collect_list(F.struct("_tok", "_w"))).alias("_tw")
+        )
+        return arr.select(
+            F.col("_k").alias(f"__{side}k"),
+            F.transform("_tw", lambda s: s["_tok"]).alias(f"__{side}t"),
+            F.transform("_tw", lambda s: s["_w"]).alias(f"__{side}w"),
+        )
+
+    joined = candset.join(
+        side_arrays(l_rows, "l"),
+        candset[candset_l_key_attr] == F.col("__lk"),
+        "left",
+    ).join(
+        side_arrays(r_rows, "r"),
+        candset[candset_r_key_attr] == F.col("__rk"),
+        "left",
+    )
+
+    from pyspark.sql import types as T
+
+    cand_cols = candset.columns
+    out_schema = T.StructType(
+        list(candset.schema.fields) + [T.StructField("_sim_score", T.DoubleType())]
+    )
+    cmp = COMP_OP_NUMPY[comp_op]
+    thr = float(threshold)
+    ithr = float(inner_threshold)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lt = [None if t is None else list(t) for t in pdf["__lt"]]
+            lw = [None if t is None else list(t) for t in pdf["__lw"]]
+            rt = [None if t is None else list(t) for t in pdf["__rt"]]
+            rw = [None if t is None else list(t) for t in pdf["__rw"]]
+            scores = batch_soft_tfidf(lt, lw, rt, rw, ithr, inner)
+            keep = cmp(scores, thr)
+            out = pdf.loc[keep, cand_cols].copy()
+            out["_sim_score"] = scores[np.asarray(keep)]
+            yield out
+
+    return joined.mapInPandas(fn, out_schema)
