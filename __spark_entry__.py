@@ -787,6 +787,32 @@ SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.
 """
 
 
+def q_band_join_events(spark, sf_dir):
+    """Numeric band blocking: event pairs whose values differ by ≤ 0.01,
+    via the bucketed range-join plan (floor(v/eps) buckets, left side
+    replicated into the 3 adjacent buckets, equi-join + inline |Δ| verify
+    — operators/band_join.py; the oracle is DuckDB's native inequality
+    join over the same predicate)."""
+    from py_stringsimjoin_spark.operators.band_join import band_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    return band_join(
+        ev, ev, "event_id", "event_id", "value", "value", 0.01,
+        self_join_dedup=True,
+    )
+
+
+_BAND_JOIN_EVENTS_SQL = """
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+       CAST(a.value AS DOUBLE) AS l_value, CAST(b.value AS DOUBLE) AS r_value,
+       abs(CAST(a.value AS DOUBLE) - CAST(b.value AS DOUBLE)) AS abs_diff
+FROM events a JOIN events b
+  ON abs(CAST(a.value AS DOUBLE) - CAST(b.value AS DOUBLE)) <= '0.01'::DOUBLE
+ AND a.event_id < b.event_id
+WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+"""
+
+
 def q_soft_tfidf_part(spark, sf_dir):
     """Soft TF-IDF scoring (Cohen–Ravikumar–Fienberg) over token-overlap
     candidates: corpus inverse-df token weights (inv_df — IEEE-exact
@@ -2195,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_matcher_part": q_jw_matcher_part,
         "me_matcher_part": q_me_matcher_part,
         "soft_tfidf_part": q_soft_tfidf_part,
+        "band_join_events": q_band_join_events,
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
         "url_canon_docs": q_url_canon_docs,
@@ -2262,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         "jw_matcher_part": _jw_matcher_part_sql(),
         "me_matcher_part": _me_matcher_part_sql(),
         "soft_tfidf_part": _soft_tfidf_part_sql(),
+        "band_join_events": _BAND_JOIN_EVENTS_SQL,
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
         "url_canon_docs": _url_canon_docs_sql(),

@@ -25,6 +25,7 @@ from .functions.urls import (
     url_registrable_domain_expr,
 )
 from .operators.dedup import canonical_url_groups
+from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
@@ -92,6 +93,7 @@ __all__ = [
     "canonicalize_clusters",
     "golden_record",
     "combine_blockers",
+    "band_join",
     "blocking_rule_stats",
     "evaluate_blocking",
     "tfidf_cosine_join",
