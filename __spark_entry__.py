@@ -787,6 +787,45 @@ SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.
 """
 
 
+def q_review_sample_part(spark, sf_dir):
+    """Stratified clerical-review sampling: jaccard-scored pairs (≥0.3)
+    split into bands at 0.4/0.6/0.8, 25 pairs per band in a deterministic
+    md5 pseudo-random order (operators/evaluation.sample_pairs_for_review
+    — the labeling workflow downstream of the Fellegi–Sunter 'possible'
+    band; WindowGroupLimit keeps it top-n per partition, no full sort)."""
+    from py_stringsimjoin_spark.operators.evaluation import (
+        sample_pairs_for_review,
+    )
+
+    scored = _set_sim_part("jaccard", 0.3)(spark, sf_dir)
+    return sample_pairs_for_review(
+        scored, "l_p_partkey", "r_p_partkey", "sim", [0.4, 0.6, 0.8], 25
+    )
+
+
+def _review_sample_part_sql() -> str:
+    inner = _set_sim_part_sql(_J_SCORE, 0.3)
+    return f"""
+WITH scored AS ({inner}),
+banded AS (
+  SELECT *,
+         (CASE WHEN sim >= '0.4'::DOUBLE THEN 1 ELSE 0 END
+        + CASE WHEN sim >= '0.6'::DOUBLE THEN 1 ELSE 0 END
+        + CASE WHEN sim >= '0.8'::DOUBLE THEN 1 ELSE 0 END) AS band
+  FROM scored
+), ranked AS (
+  SELECT band, l_p_partkey, r_p_partkey, sim,
+         row_number() OVER (
+           PARTITION BY band
+           ORDER BY md5(CAST(l_p_partkey AS VARCHAR) || '|'
+                        || CAST(r_p_partkey AS VARCHAR)),
+                    l_p_partkey, r_p_partkey) AS _rn
+  FROM banded
+)
+SELECT band, l_p_partkey, r_p_partkey, sim, _rn FROM ranked WHERE _rn <= 25
+"""
+
+
 def q_band_join_events(spark, sf_dir):
     """Numeric band blocking: event pairs whose values differ by ≤ 0.01,
     via the bucketed range-join plan (floor(v/eps) buckets, left side
@@ -2222,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "me_matcher_part": q_me_matcher_part,
         "soft_tfidf_part": q_soft_tfidf_part,
         "band_join_events": q_band_join_events,
+        "review_sample_part": q_review_sample_part,
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
         "url_canon_docs": q_url_canon_docs,
@@ -2290,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "me_matcher_part": _me_matcher_part_sql(),
         "soft_tfidf_part": _soft_tfidf_part_sql(),
         "band_join_events": _BAND_JOIN_EVENTS_SQL,
+        "review_sample_part": _review_sample_part_sql(),
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
         "url_canon_docs": _url_canon_docs_sql(),

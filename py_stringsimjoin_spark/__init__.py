@@ -29,7 +29,11 @@ from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
-from .operators.evaluation import blocking_metrics, evaluate_blocking
+from .operators.evaluation import (
+    blocking_metrics,
+    evaluate_blocking,
+    sample_pairs_for_review,
+)
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
 from .operators.filters import (
     OverlapFilter,
@@ -96,6 +100,7 @@ __all__ = [
     "band_join",
     "blocking_rule_stats",
     "evaluate_blocking",
+    "sample_pairs_for_review",
     "tfidf_cosine_join",
     "soft_tfidf_score_pairs",
     "topk_edit_distance_join",

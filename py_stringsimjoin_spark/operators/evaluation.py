@@ -244,3 +244,48 @@ def bcubed_metrics(
         ).alias("bcubed_f1"),
         F.col("_n").alias("n_records"),
     )
+
+
+def sample_pairs_for_review(
+    pairs: DataFrame,
+    l_key: str,
+    r_key: str,
+    score_col: str,
+    band_edges: list[float],
+    n_per_band: int,
+) -> DataFrame:
+    """Deterministic stratified sample of scored pairs for clerical review.
+
+    The step after probabilistic scoring (Fellegi–Sunter's 'possible'
+    decision band, or any score distribution): a human labels a fixed
+    number of pairs per score band to calibrate thresholds / train a
+    matcher. ``band_edges`` (ascending) split the score range into
+    ``len(edges)+1`` bands (``band`` = number of edges ≤ score); within
+    each band the sample is the first ``n_per_band`` pairs ordered by
+    ``md5(l || '|' || r)`` — a deterministic pseudo-random order every
+    engine reproduces bit-for-bit (no rand(), no partition-order
+    dependence), so the labeled set is stable across reruns and engines.
+
+    Output: ``(band, l_key, r_key, score_col, _rn)``.
+
+    Scale shape: one window per band partition; the ``_rn <= n`` filter
+    triggers Spark's WindowGroupLimit so each partition keeps only a
+    top-n heap — no full sort of billion-pair bands.
+    """
+    if list(band_edges) != sorted(band_edges):
+        raise AssertionError("band_edges must be ascending")
+    from pyspark.sql import Window
+
+    score = F.col(score_col)
+    band = sum(
+        (score >= F.lit(float(e))).cast("int") for e in band_edges
+    ).alias("band")
+    okey = F.md5(
+        F.concat_ws("|", F.col(l_key).cast("string"), F.col(r_key).cast("string"))
+    )
+    w = Window.partitionBy("band").orderBy(okey, F.col(l_key), F.col(r_key))
+    return (
+        pairs.select(band, l_key, r_key, score_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(n_per_band))
+    )
