@@ -31,7 +31,7 @@ from ..functions.tokenizers import WhitespaceTokenizer
 from ..operators.connected_components import connected_components
 from .cache import engine_cache_scope
 from ..operators.set_sim_join import set_sim_join_pairs
-from ..sources.pages import extract_text_col
+from ..sources.pages import extract_text_col, extract_title_col
 
 
 def _fingerprint(params: dict) -> str:
@@ -122,6 +122,7 @@ class LinkagePipeline:
         extracted = pages.select(
             "url",
             extract_text_col(F.col("html")).alias("text"),
+            extract_title_col(F.col("html")).alias("title"),
             "lang",
         )
         # per-row invariant: extracted text must be byte-identical to the
@@ -159,8 +160,8 @@ class LinkagePipeline:
                 docs,
                 "url",
                 "url",
-                "text",
-                "text",
+                self.join_attr,
+                self.join_attr,
                 self.tokenizer,
                 self.threshold,
                 comp_op=">=",
@@ -193,8 +194,8 @@ class LinkagePipeline:
             docs,
             "url",
             "url",
-            "text",
-            "text",
+            self.join_attr,
+            self.join_attr,
             self.tokenizer,
             self.measure,
             self.threshold,
@@ -266,6 +267,7 @@ class LinkagePipeline:
         new_docs = new_pages.select(
             "url",
             extract_text_col(F.col("html")).alias("text"),
+            extract_title_col(F.col("html")).alias("title"),
             "lang",
         ).join(old_docs.select("url"), "url", "left_anti")
         all_docs = old_docs.unionByName(new_docs)
@@ -277,8 +279,8 @@ class LinkagePipeline:
                 all_docs,
                 "url",
                 "url",
-                "text",
-                "text",
+                self.join_attr,
+                self.join_attr,
                 self.tokenizer,
                 self.threshold,
                 comp_op=">=",
@@ -297,7 +299,7 @@ class LinkagePipeline:
             )
             scored = verify_pairs(
                 edges, "l_url", "r_url", all_docs, all_docs,
-                "url", "url", "text", "text",
+                "url", "url", self.join_attr, self.join_attr,
                 self.tokenizer, self.measure, self.threshold, comp_op=">=",
             )
             assign = st_clu.read(self.spark).select(

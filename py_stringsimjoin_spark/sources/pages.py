@@ -75,6 +75,21 @@ def extract_text(html: bytes) -> str | None:
     return title + "\n" + body
 
 
+def extract_title(html: bytes) -> str | None:
+    """Title-only extraction (the north star blocks on titles/urls/text)."""
+    if html is None:
+        return None
+    t = _TITLE_RE.search(html)
+    return t.group(1).decode("utf-8") if t else ""
+
+
+def extract_title_col(html_col) -> "F.Column":
+    """JVM-side equivalent of ``extract_title``."""
+    return F.regexp_extract(
+        F.decode(html_col, "UTF-8"), r"<title>([\s\S]*?)</title>", 1
+    )
+
+
 def extract_text_col(html_col) -> "F.Column":
     """JVM-side equivalent of ``extract_text`` (regexp on decoded bytes)."""
     s = F.decode(html_col, "UTF-8")

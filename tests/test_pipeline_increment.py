@@ -57,3 +57,26 @@ def test_second_increment_and_recrawl_dedup(spark, corpus, tmp_path_factory):
     )
     assert got == want
     assert pipe.metrics()["04_clusters"]["increment"] == 2
+
+
+def test_pipeline_title_blocking(spark, corpus, tmp_path_factory):
+    """join_attr='title' runs end to end: blocking/scoring/clustering on
+    the extracted <title> (the north star blocks on titles/urls/text)."""
+    from py_stringsimjoin_spark.sources.pages import extract_title
+
+    pages = corpus.drop("cluster_id")
+    wd = str(tmp_path_factory.mktemp("pipe_title"))
+    pipe = LinkagePipeline(spark, wd, threshold=0.6, join_attr="title")
+    clusters = pipe.run(pages)
+    assert clusters.count() == pages.count()
+    # extract stage emits the title column, byte-equal to the pure fn
+    ext = spark.read.parquet(f"{wd}/01_extract")
+    assert "title" in ext.columns
+    row = ext.orderBy("url").first()
+    html = pages.where(F.col("url") == row.url).first().html
+    assert extract_title(bytes(html)) == row.title
+    # title-blocked clustering still groups the seeded near-dups
+    n_nontrivial = (
+        clusters.groupBy("cluster_id").count().where(F.col("count") > 1).count()
+    )
+    assert n_nontrivial > 0
