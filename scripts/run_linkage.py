@@ -3,7 +3,11 @@
 Usage (local sandbox):
     python scripts/run_linkage.py --pages /path/pages_parquet --workdir /tmp/wd \
         --threshold 0.6 [--stage all|extract|blocking|scoring|clustering] \
-        [--partitions 256] [--synthetic-pages 20000]
+        [--join-attr text|title] [--partitions 256] [--synthetic-pages 20000]
+
+    # fold a crawl increment into an existing workdir (delta linkage):
+    python scripts/run_linkage.py --workdir /tmp/wd --stage increment \
+        --pages /path/new_pages_parquet
 
 On a cluster the same file ships via:
     spark-submit --py-files py_stringsimjoin_spark.zip scripts/run_linkage.py ...
@@ -32,7 +36,9 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--measure", default="jaccard")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "extract", "blocking", "scoring", "clustering"])
+                    choices=["all", "extract", "blocking", "scoring",
+                             "clustering", "increment"])
+    ap.add_argument("--join-attr", default="text", choices=["text", "title"])
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -43,8 +49,15 @@ def main(argv=None):
     spark = get_spark(master=args.master, app_name="linkage_pipeline")
     pipe = LinkagePipeline(
         spark, args.workdir, threshold=args.threshold, measure=args.measure,
-        num_partitions=args.partitions,
+        join_attr=args.join_attr, num_partitions=args.partitions,
     )
+
+    if args.stage == "increment":
+        if not args.pages:
+            ap.error("--pages required for increment")
+        pipe.increment(spark.read.parquet(args.pages))
+        print(json.dumps(pipe.metrics(), indent=2))
+        return 0
 
     if args.stage in ("all", "extract"):
         if args.synthetic_pages:
