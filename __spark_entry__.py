@@ -2,12 +2,12 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 51 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 59 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
-operations (same operand order), so value hashes match exactly. Queries
-whose semantics are not SQL-expressible (LSH top-k, SimHash banding) omit
-the oracle → driver records rows-only checks.
+operations (same operand order), so value hashes match exactly. As of round 4 every
+query — including LSH top-k and SimHash banding, whose band hashes are
+reproduced in SQL — carries an oracle; none are rows-only.
 """
 
 from __future__ import annotations
