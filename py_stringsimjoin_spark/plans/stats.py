@@ -34,6 +34,44 @@ from pyspark.sql import functions as F
 DEFAULT_SAMPLE_ROWS = 100_000
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def util_shuffle_scope(spark):
+    """Run a PLAN-TIME utility job (vocab probe, sampled stats, hot-token
+    sample) with a reduced ``spark.sql.shuffle.partitions``.
+
+    The kernels size their shuffles by WORKLOAD (e.g. the bench pins 256
+    for the row-level joins); utility jobs aggregate vocabulary- or
+    sample-sized data and don't need kernel-sized reduce fan-out —
+    cached-plan materializations in particular never AQE-coalesce
+    (canChangeCachedPlanOutputPartitioning defaults false).
+    ``spark.py_stringsimjoin.utilShufflePartitions`` (default
+    ``max(32, shuffle_partitions // 8)``) keeps them wide enough for real
+    corpora (the default scales with the session's own sizing) while
+    avoiding near-empty task waves locally.
+
+    Caveat (documented, same policy as engine_cache_scope): the conf is
+    session-global for the duration of the eager job — a concurrent
+    thread PLANNING a query in the same session may pick it up. Join
+    EXECUTION is unaffected (the kernels' exchanges read the conf at their
+    own action time, outside any scope).
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    util = spark.conf.get("spark.py_stringsimjoin.utilShufflePartitions", "")
+    n = int(util) if util else max(32, int(old) // 8)
+    if n >= int(old):
+        yield
+        return
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _sample_rows_conf(df: DataFrame) -> int:
     return int(
         df.sparkSession.conf.get(
@@ -74,7 +112,8 @@ def sample_plan_stats(
         aggs.append(F.avg("_sz").alias("s"))
         if prefix_col_fn is not None:
             aggs.append(F.avg(prefix_col_fn(F.col("_sz"))).alias("p"))
-    rows = u.groupBy("_side").agg(*aggs).collect()
+    with util_shuffle_scope(u.sparkSession):
+        rows = u.groupBy("_side").agg(*aggs).collect()
     n = sum(r["n"] for r in rows)
     out = {"n": n, "nd": sum(r["nd"] for r in rows)}
     if tokenizer is not None:

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its default (false) DELIBERATELY: letting AQE coalesce
+        # cached plans by byte size collapses the ranked-corpus persist
+        # (tiny bytes, huge downstream per-row compute) to one partition
+        # and serializes the join map side — measured 4.8s -> 42.8s on the
+        # x2 kernel. Tiny utility caches are instead materialized under
+        # plans/stats.util_shuffle_scope.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # larger Arrow batches amortize per-batch numpy/factorize overhead in
         # the verify UDFs (~25% on verify-heavy joins, measured in BENCH.md)
