@@ -277,8 +277,11 @@ def sample_pairs_for_review(
     from pyspark.sql import Window
 
     score = F.col(score_col)
+    # coalesce each comparison: a NULL score lands in band 0 (matching the
+    # SQL CASE form every oracle uses) instead of a NULL band
     band = sum(
-        (score >= F.lit(float(e))).cast("int") for e in band_edges
+        F.coalesce((score >= F.lit(float(e))).cast("int"), F.lit(0))
+        for e in band_edges
     ).alias("band")
     okey = F.md5(
         F.concat_ws("|", F.col(l_key).cast("string"), F.col(r_key).cast("string"))
