@@ -22,7 +22,11 @@ Canonicalization spec (deterministic; all three engines agree exactly):
 2. A value with no ``scheme://`` prefix is returned trimmed but otherwise
    untouched (it is not a hierarchical URL; guessing a scheme would merge
    distinct keys).
-3. scheme and host are lowercased; the path/query are NOT (case is
+3. scheme and host are ASCII-lowercased — ``translate(A-Z, a-z)``, never
+   locale/Unicode ``lower()``: DNS case-insensitivity is ASCII-only
+   (RFC 4343; IDN hosts travel as punycode-ASCII), and Unicode special
+   casing diverges across engines (DuckDB lowers ``İ`` to ``i``,
+   Python/Java to ``i̇``). The path/query are NOT touched (case is
    significant there per RFC 3986).
 4. userinfo (``user:pass@``) is dropped; a leading ``www.`` is dropped;
    default ports (``:80`` for http, ``:443`` for https) are dropped, other
@@ -75,9 +79,14 @@ _SUFFIX_RE = (
 )
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_PY_LOWER = str.maketrans(_UPPER, _LOWER)
+
+
 # ---------------------------------------------------------------- Spark form
 def _hostport_expr(s: Column) -> Column:
-    hp = F.lower(F.regexp_extract(s, _HOSTPORT_RE, 1))
+    hp = F.translate(F.regexp_extract(s, _HOSTPORT_RE, 1), _UPPER, _LOWER)
     return F.regexp_replace(hp, r"^[^@]*@", "")
 
 
@@ -101,7 +110,7 @@ def url_registrable_domain_expr(col: Column) -> Column:
 def normalize_url_expr(col: Column) -> Column:
     """Canonical URL per the module spec — pure JVM expressions."""
     s = F.trim(col)
-    scheme = F.lower(F.regexp_extract(s, _SCHEME_RE, 1))
+    scheme = F.translate(F.regexp_extract(s, _SCHEME_RE, 1), _UPPER, _LOWER)
     hp = _hostport_expr(s)
     host = F.regexp_replace(
         F.regexp_replace(hp, r":[0-9]*$", ""), r"^www\.", ""
@@ -134,13 +143,15 @@ def normalize_url(s: str | None) -> str | None:
     """Single-string reference implementation (same spec, same output)."""
     if s is None:
         return None
-    s = s.strip()
+    s = s.strip(" ")  # space-only: Spark/DuckDB trim() strips 0x20, not \t
     m = re.match(_SCHEME_RE, s)
     if not m:
         return s
-    scheme = m.group(1).lower()
+    scheme = m.group(1).translate(_PY_LOWER)
     mhp = re.match(_HOSTPORT_RE, s)
-    hp = re.sub(r"^[^@]*@", "", (mhp.group(1) if mhp else "").lower())
+    hp = re.sub(
+        r"^[^@]*@", "", (mhp.group(1) if mhp else "").translate(_PY_LOWER)
+    )
     host = re.sub(r"^www\.", "", re.sub(r":[0-9]*$", "", hp))
     mport = re.search(r":([0-9]+)$", hp)
     port = mport.group(1) if mport else ""
@@ -163,8 +174,10 @@ def normalize_url(s: str | None) -> str | None:
 def url_host(s: str | None) -> str | None:
     if s is None:
         return None
-    mhp = re.match(_HOSTPORT_RE, s.strip())
-    hp = re.sub(r"^[^@]*@", "", (mhp.group(1) if mhp else "").lower())
+    mhp = re.match(_HOSTPORT_RE, s.strip(" "))
+    hp = re.sub(
+        r"^[^@]*@", "", (mhp.group(1) if mhp else "").translate(_PY_LOWER)
+    )
     return re.sub(r"^www\.", "", re.sub(r":[0-9]*$", "", hp))
 
 
@@ -179,8 +192,8 @@ def url_registrable_domain(s: str | None) -> str | None:
 # --------------------------------------------------------------- DuckDB form
 def _sql_hostport(expr: str) -> str:
     return (
-        f"regexp_replace(lower(regexp_extract({expr}, "
-        f"'{_HOSTPORT_RE}', 1)), '^[^@]*@', '')"
+        f"regexp_replace(translate(regexp_extract({expr}, "
+        f"'{_HOSTPORT_RE}', 1), '{_UPPER}', '{_LOWER}'), '^[^@]*@', '')"
     )
 
 
@@ -207,7 +220,10 @@ def normalize_url_sql(expr: str) -> str:
     string literals pass backslashes through to RE2 verbatim.
     """
     s = f"trim({expr})"
-    scheme = f"lower(regexp_extract({s}, '{_SCHEME_RE}', 1))"
+    scheme = (
+        f"translate(regexp_extract({s}, '{_SCHEME_RE}', 1), "
+        f"'{_UPPER}', '{_LOWER}')"
+    )
     hp = _sql_hostport(s)
     host = (
         f"regexp_replace(regexp_replace({hp}, ':[0-9]*$', ''), "
