@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 59 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 61 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -784,6 +784,83 @@ WITH base AS (
   FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
 )
 SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.88
+"""
+
+
+def q_missing_pairs_part(spark, sf_dir):
+    """allow_missing pair generation (reference utils/missing_value_handler):
+    p_name is deterministically nulled for every 97th part; output is every
+    (null-attr left × all right) ∪ (non-null left × null-attr right) with a
+    NULL score (operators/missing_pairs.py)."""
+    from py_stringsimjoin_spark.operators.missing_pairs import missing_pairs
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+    )
+    return missing_pairs(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    ).select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+_MISSING_PAIRS_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_name END AS p_name
+  FROM part
+)
+SELECT a.p_partkey AS l_p_partkey, b.p_partkey AS r_p_partkey,
+       CAST(NULL AS DOUBLE) AS sim
+FROM t a CROSS JOIN t b WHERE a.p_name IS NULL
+UNION ALL
+SELECT a.p_partkey, b.p_partkey, CAST(NULL AS DOUBLE)
+FROM t a CROSS JOIN t b WHERE a.p_name IS NOT NULL AND b.p_name IS NULL
+"""
+
+
+def q_filter_candset_part(spark, sf_dir):
+    """candset re-filtering (reference filter/filter.py candset mode): a
+    synthetic candset of (p, p+7) key pairs is re-filtered by
+    OverlapFilter(ws, 2) — pairs survive iff the names share ≥2 tokens;
+    the candset's own columns pass through untouched
+    (operators/filters._BaseFilter.filter_candset, semi-join plan)."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a, b = part.alias("a"), part.alias("b")
+    cand = a.join(
+        b, F.col("b.p_partkey") == F.col("a.p_partkey") + 7
+    ).select(
+        F.col("a.p_partkey").alias("l_id"), F.col("b.p_partkey").alias("r_id")
+    )
+    return OverlapFilter(_WS, 2).filter_candset(
+        cand, "l_id", "r_id", part, part,
+        "p_partkey", "p_partkey", "p_name", "p_name",
+    )
+
+
+def _filter_candset_part_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH cand AS (
+  SELECT a.p_partkey AS l_id, b.p_partkey AS r_id
+  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 7
+), base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), ov AS (
+  SELECT x.id AS l_id, y.id AS r_id
+  FROM t x JOIN t y ON x.tok = y.tok
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.l_id, c.r_id FROM cand c JOIN ov USING (l_id, r_id)
 """
 
 
@@ -2262,6 +2339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf_part": q_soft_tfidf_part,
         "band_join_events": q_band_join_events,
         "review_sample_part": q_review_sample_part,
+        "missing_pairs_part": q_missing_pairs_part,
+        "filter_candset_part": q_filter_candset_part,
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
         "url_canon_docs": q_url_canon_docs,
@@ -2331,6 +2410,8 @@ def oracle_sql() -> dict[str, str]:
         "soft_tfidf_part": _soft_tfidf_part_sql(),
         "band_join_events": _BAND_JOIN_EVENTS_SQL,
         "review_sample_part": _review_sample_part_sql(),
+        "missing_pairs_part": _MISSING_PAIRS_SQL,
+        "filter_candset_part": _filter_candset_part_sql(),
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
         "url_canon_docs": _url_canon_docs_sql(),
