@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 61 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 62 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -926,6 +926,36 @@ FROM events a JOIN events b
   ON abs(CAST(a.value AS DOUBLE) - CAST(b.value AS DOUBLE)) <= '0.01'::DOUBLE
  AND a.event_id < b.event_id
 WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+"""
+
+
+def q_temporal_band_events(spark, sf_dir):
+    """Temporal proximity blocking: event pairs within 60 seconds of each
+    other, via the same bucketed range-join kernel over epoch seconds
+    (operators/band_join.py; timestamps floor to whole seconds in both
+    engines — Spark unix_timestamp ≡ DuckDB floor(date_part('epoch')))."""
+    from py_stringsimjoin_spark.operators.band_join import band_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("epoch_s")
+    )
+    return band_join(
+        ev, ev, "event_id", "event_id", "epoch_s", "epoch_s", 60.0,
+        self_join_dedup=True,
+    )
+
+
+_TEMPORAL_BAND_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_id, floor(date_part('epoch', ts)) AS epoch_s
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+       a.epoch_s AS l_epoch_s, b.epoch_s AS r_epoch_s,
+       abs(a.epoch_s - b.epoch_s) AS abs_diff
+FROM e a JOIN e b
+  ON abs(a.epoch_s - b.epoch_s) <= '60.0'::DOUBLE
+ AND a.event_id < b.event_id
 """
 
 
@@ -2338,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "me_matcher_part": q_me_matcher_part,
         "soft_tfidf_part": q_soft_tfidf_part,
         "band_join_events": q_band_join_events,
+        "temporal_band_events": q_temporal_band_events,
         "review_sample_part": q_review_sample_part,
         "missing_pairs_part": q_missing_pairs_part,
         "filter_candset_part": q_filter_candset_part,
@@ -2409,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "me_matcher_part": _me_matcher_part_sql(),
         "soft_tfidf_part": _soft_tfidf_part_sql(),
         "band_join_events": _BAND_JOIN_EVENTS_SQL,
+        "temporal_band_events": _TEMPORAL_BAND_EVENTS_SQL,
         "review_sample_part": _review_sample_part_sql(),
         "missing_pairs_part": _MISSING_PAIRS_SQL,
         "filter_candset_part": _filter_candset_part_sql(),
