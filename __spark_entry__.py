@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 62 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 64 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -784,6 +784,83 @@ WITH base AS (
   FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id
 )
 SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, sim FROM scored WHERE sim >= 0.88
+"""
+
+
+def q_tversky_matcher_part(spark, sf_dir):
+    """apply_matcher with the parameterized asymmetric Tversky index
+    (py_stringmatching ``TverskyIndex`` through the reference's measure
+    surface, apply_matcher.py:77). α=0.75/β=0.25 — deliberately NOT the
+    Dice-degenerate default, so the asymmetric weighting is what's oracled
+    (functions/sims.batch_tversky)."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey",
+        "p_partkey", "p_name", "p_name", _WS, "tversky_index", 0.5,
+        measure_args={"alpha": 0.75, "beta": 0.25},
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("sim"))
+
+
+# α/β are exactly representable doubles and the operand order mirrors
+# batch_tversky: o / (o + α(ls-o) + β(rs-o)) — IEEE-identical in DuckDB
+_TV_SCORE = (
+    "ov::DOUBLE / (ov::DOUBLE + 0.75 * (ls - ov)::DOUBLE"
+    " + 0.25 * (rs - ov)::DOUBLE)"
+)
+
+
+def q_bag_matcher_part(spark, sf_dir):
+    """apply_matcher with the character-multiset bag distance
+    (py_stringmatching ``BagDistance``; the classic cheap lower bound on
+    edit distance). Raw integer distance, thresholded with ``<=`` exactly
+    like the edit_distance measure (functions/sims.batch_bag_distance —
+    vectorized count-matrix kernel, bit-parity vs the replace-trick SQL)."""
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = OverlapFilter(_WS, 1).filter_tables(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name"
+    )
+    cand = cand.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", part, part, "p_partkey",
+        "p_partkey", "p_name", "p_name", None, "bag_distance", 4.0,
+        comp_op="<=",
+    )
+    return out.select("l_p_partkey", "r_p_partkey", F.col("_sim_score").alias("dist"))
+
+
+def _bag_matcher_part_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS name, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), t AS (
+  SELECT id, unnest(toks) AS tok FROM base
+), cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+), scored AS (
+  SELECT c.l_id, c.r_id,
+    greatest(len(la.name) - common, len(rb.name) - common)::DOUBLE AS dist
+  FROM cand c JOIN base la ON la.id = c.l_id JOIN base rb ON rb.id = c.r_id,
+  LATERAL (SELECT coalesce(list_sum(list_transform(
+             list_distinct(string_split(la.name || rb.name, '')),
+             ch -> least(len(la.name) - len(replace(la.name, ch, '')),
+                         len(rb.name) - len(replace(rb.name, ch, ''))))), 0)
+           AS common)
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, dist FROM scored WHERE dist <= 4
 """
 
 
@@ -2366,6 +2443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_matcher_part": q_apply_matcher_part,
         "jw_matcher_part": q_jw_matcher_part,
         "me_matcher_part": q_me_matcher_part,
+        "tversky_matcher_part": q_tversky_matcher_part,
+        "bag_matcher_part": q_bag_matcher_part,
         "soft_tfidf_part": q_soft_tfidf_part,
         "band_join_events": q_band_join_events,
         "temporal_band_events": q_temporal_band_events,
@@ -2438,6 +2517,8 @@ def oracle_sql() -> dict[str, str]:
         "apply_matcher_part": _set_sim_part_sql(_J_SCORE, 0.6),
         "jw_matcher_part": _jw_matcher_part_sql(),
         "me_matcher_part": _me_matcher_part_sql(),
+        "tversky_matcher_part": _set_sim_part_sql(_TV_SCORE, 0.5),
+        "bag_matcher_part": _bag_matcher_part_sql(),
         "soft_tfidf_part": _soft_tfidf_part_sql(),
         "band_join_events": _BAND_JOIN_EVENTS_SQL,
         "temporal_band_events": _TEMPORAL_BAND_EVENTS_SQL,

@@ -536,3 +536,122 @@ def batch_soft_tfidf(
                 acc = acc + ((lw[k] / nrm_l) * (rw[best_j] / nrm_r)) * float(m)
         out[i] = acc
     return out
+
+def batch_tversky(l_arrays, r_arrays, alpha: float = 0.5, beta: float = 0.5) -> np.ndarray:
+    """Tversky index for a batch of token-set pairs (py_stringmatching
+    ``TverskyIndex``; reference consumes it through apply_matcher's
+    arbitrary-function surface, apply_matcher.py:77).
+
+    T(A, B) = |A∩B| / (|A∩B| + α|A\\B| + β|B\\A|). α=β=0.5 degenerates to
+    Dice, α=β=1 to Jaccard; the parameterized asymmetric form is the reason
+    to ship it. Empty conventions follow the engine-wide rule
+    (both empty → 1.0, exactly one empty → 0.0).
+    """
+    overlap, l_size, r_size = batch_overlap(l_arrays, r_arrays)
+    o = overlap.astype(np.float64)
+    ls = l_size.astype(np.float64)
+    rs = r_size.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = o / (o + alpha * (ls - o) + beta * (rs - o))
+    s = np.where((l_size == 0) | (r_size == 0), 0.0, s)
+    s = np.where((l_size == 0) & (r_size == 0), 1.0, s)
+    return s
+
+
+def batch_bag_distance(l_strs, r_strs) -> np.ndarray:
+    """Multiset (bag) distance per string pair: max(|A\\B|, |B\\A|) over
+    character multisets (py_stringmatching ``BagDistance``; a cheap lower
+    bound on edit distance — Bartolini/Ciaccia/Patella's bag filter).
+
+    Returns the raw integer distance as float64 (same contract as the
+    ``edit_distance`` measure: callers threshold with ``<=``).
+
+    Vectorized: one pass builds a (row, char) count matrix for each side
+    over the batch-local alphabet via ``np.add.at``; the common multiset
+    size is ``min(counts_l, counts_r).sum(axis=1)``.
+    """
+    n = len(l_strs)
+    lens_l = np.fromiter((len(s or "") for s in l_strs), np.int64, n)
+    lens_r = np.fromiter((len(s or "") for s in r_strs), np.int64, n)
+    concat = "".join(s or "" for s in l_strs) + "".join(s or "" for s in r_strs)
+    if not concat:
+        return np.zeros(n, dtype=np.float64)
+    codes = np.frombuffer(concat.encode("utf-32-le"), dtype=np.uint32)
+    alphabet, compact = np.unique(codes, return_inverse=True)
+    v = len(alphabet)
+    total_l = int(lens_l.sum())
+    rows = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), lens_l),
+        np.repeat(np.arange(n, dtype=np.int64), lens_r),
+    ])
+    cl = np.zeros((n, v), dtype=np.int64)
+    cr = np.zeros((n, v), dtype=np.int64)
+    np.add.at(cl, (rows[:total_l], compact[:total_l]), 1)
+    np.add.at(cr, (rows[total_l:], compact[total_l:]), 1)
+    common = np.minimum(cl, cr).sum(axis=1)
+    return np.maximum(lens_l - common, lens_r - common).astype(np.float64)
+
+
+def batch_generalized_jaccard(
+    l_tok_lists, r_tok_lists, inner: str = "jaro", threshold: float = 0.5
+) -> np.ndarray:
+    """Generalized Jaccard hybrid similarity for a batch of token-set pairs
+    (py_stringmatching ``GeneralizedJaccard``: inner sim_func default jaro,
+    threshold 0.5; reference surface apply_matcher.py:77).
+
+    Token pairs with inner(a,b) ≥ threshold are greedily matched in
+    descending score order, each token used at most once; with M the
+    matched set, GJ = Σ_{(a,b)∈M} inner(a,b) / (|L| + |R| - |M|).
+    Both sides empty → 1.0, exactly one empty → 0.0.
+
+    Vectorized like ``batch_monge_elkan``: every row's cross-pairs flatten
+    into ONE jaro/jaro_winkler kernel call; only the greedy matching (a few
+    tokens per row) runs in Python, with a sequential sum fold so the score
+    is bit-reproducible against an independent scalar implementation.
+    """
+    kern = {"jaro": batch_jaro, "jaro_winkler": batch_jaro_winkler}[inner]
+    n = len(l_tok_lists)
+    out = np.empty(n, dtype=np.float64)
+    flat_l: list = []
+    flat_r: list = []
+    spans = []
+    for i in range(n):
+        lt = l_tok_lists[i] or []
+        rt = r_tok_lists[i] or []
+        if not lt and not rt:
+            out[i] = 1.0
+        elif not lt or not rt:
+            out[i] = 0.0
+        else:
+            spans.append((i, len(lt), len(rt)))
+            for a in lt:
+                flat_l.extend([a] * len(rt))
+                flat_r.extend(rt)
+    if not spans:
+        return out
+    sims = kern(flat_l, flat_r)
+    pos = 0
+    for i, nl, nr in spans:
+        block = sims[pos : pos + nl * nr].reshape(nl, nr)
+        pos += nl * nr
+        cand = np.argwhere(block >= threshold)
+        # descending by score with ties in row-major (left-token) insertion
+        # order — py_stringmatching's stable `sorted(..., reverse=True)`;
+        # reversing an ascending stable sort would flip tie order and change
+        # which token pair a tied score greedily claims
+        order = np.argsort(
+            -block[cand[:, 0], cand[:, 1]], kind="stable"
+        ) if len(cand) else []
+        used_l = np.zeros(nl, dtype=bool)
+        used_r = np.zeros(nr, dtype=bool)
+        acc = 0.0
+        matched = 0
+        for j in order:
+            a, b = cand[j]
+            if not used_l[a] and not used_r[b]:
+                used_l[a] = True
+                used_r[b] = True
+                acc += float(block[a, b])
+                matched += 1
+        out[i] = acc / float(nl + nr - matched)
+    return out

@@ -6,7 +6,8 @@ tables and scored inside one Arrow-batched ``mapInPandas`` stage. The user
 similarity function comes in two flavors:
 
 * a measure name ("jaccard" | "cosine" | "dice" | "overlap" |
-  "overlap_coefficient" | "edit_distance" | "jaro" | "jaro_winkler" |
+  "overlap_coefficient" | "tversky_index" | "generalized_jaccard" |
+  "bag_distance" | "edit_distance" | "jaro" | "jaro_winkler" |
   "monge_elkan" | "monge_elkan_jaro") →
   fully vectorized numpy kernel (jaro/jaro_winkler/edit_distance are
   string-based: the tokenizer is ignored for scoring; the monge_elkan
@@ -30,6 +31,8 @@ from pyspark.sql import types as T
 
 from ..functions.sims import (
     batch_affine_gap,
+    batch_bag_distance,
+    batch_generalized_jaccard,
     batch_jaro,
     batch_jaro_winkler,
     batch_levenshtein,
@@ -37,6 +40,7 @@ from ..functions.sims import (
     batch_needleman_wunsch,
     batch_set_sim,
     batch_smith_waterman,
+    batch_tversky,
 )
 from ..functions.tokenizers import Tokenizer
 from ..plans.validation import COMP_OP_NUMPY, validate_attr, validate_attr_type, validate_comp_op
@@ -58,6 +62,7 @@ def verify_pairs(
     measure: str,
     threshold: float,
     comp_op: str = ">=",
+    measure_args: dict | None = None,
 ) -> DataFrame:
     """Fast candidate-pair verifier: the pipeline's scoring stage.
 
@@ -112,6 +117,10 @@ def verify_pairs(
         score = ov
     elif measure == "overlap_coefficient":
         score = ov / F.least(ls, rs)
+    elif measure == "tversky_index":
+        alpha = float((measure_args or {}).get("alpha", 0.5))
+        beta = float((measure_args or {}).get("beta", 0.5))
+        score = ov / (ov + F.lit(alpha) * (ls - ov) + F.lit(beta) * (rs - ov))
     else:
         raise ValueError(f"unknown measure {measure!r}")
     if measure != "overlap":
@@ -127,7 +136,7 @@ def verify_pairs(
     )
 
 
-def _make_score_batch(tok, simf):
+def _make_score_batch(tok, simf, measure_args=None):
     """Batch scorer (list[str], list[str]) -> np.ndarray of scores.
 
     Module-level factory (serialized into the Arrow UDF, and directly unit
@@ -148,7 +157,7 @@ def _make_score_batch(tok, simf):
                 tok_cache[v] = t
             return t
 
-        if isinstance(simf, str) and simf in _MEASURES:
+        if isinstance(simf, str) and simf in _MEASURES + ("tversky_index",):
             # tokenize → int-encode via shared vocab → vectorized set-sim
             l_toks = [toks(v) for v in l_vals]
             r_toks = [toks(v) for v in r_vals]
@@ -162,9 +171,26 @@ def _make_score_batch(tok, simf):
 
             le = [enc(t) for t in l_toks]
             re_ = [enc(t) for t in r_toks]
+            if simf == "tversky_index":
+                ma = measure_args or {}
+                return batch_tversky(
+                    le, re_,
+                    alpha=float(ma.get("alpha", 0.5)),
+                    beta=float(ma.get("beta", 0.5)),
+                )
             return batch_set_sim(simf, le, re_)
         if isinstance(simf, str) and simf == "edit_distance":
             return batch_levenshtein(list(l_vals), list(r_vals)).astype(float)
+        if isinstance(simf, str) and simf == "bag_distance":
+            return batch_bag_distance(list(l_vals), list(r_vals))
+        if isinstance(simf, str) and simf == "generalized_jaccard":
+            ma = measure_args or {}
+            return batch_generalized_jaccard(
+                [toks(v) for v in l_vals],
+                [toks(v) for v in r_vals],
+                inner=ma.get("inner", "jaro"),
+                threshold=float(ma.get("threshold", 0.5)),
+            )
         if isinstance(simf, str) and simf == "jaro":
             return batch_jaro(list(l_vals), list(r_vals))
         if isinstance(simf, str) and simf == "jaro_winkler":
@@ -183,7 +209,7 @@ def _make_score_batch(tok, simf):
         if isinstance(simf, str):
             raise ValueError(
                 f"unknown measure name {simf!r}; pass one of "
-                f"{_MEASURES + ('edit_distance', 'jaro', 'jaro_winkler', 'monge_elkan', 'monge_elkan_jaro', 'needleman_wunsch', 'smith_waterman', 'affine_gap')} "
+                f"{_MEASURES + ('tversky_index', 'generalized_jaccard', 'bag_distance', 'edit_distance', 'jaro', 'jaro_winkler', 'monge_elkan', 'monge_elkan_jaro', 'needleman_wunsch', 'smith_waterman', 'affine_gap')} "
                 "or a Python callable"
             )
         scores = np.empty(len(l_vals), dtype=np.float64)
@@ -212,6 +238,7 @@ def apply_matcher(
     comp_op: str = ">=",
     allow_missing: bool = False,
     out_sim_score: bool = True,
+    measure_args: dict | None = None,
 ) -> DataFrame:
     validate_attr(candset, candset_l_key_attr, "candset")
     validate_attr(candset, candset_r_key_attr, "candset")
@@ -239,7 +266,7 @@ def apply_matcher(
     )
     cand_cols = candset.columns
     cmp = COMP_OP_NUMPY[comp_op]
-    score_batch = _make_score_batch(tokenizer, sim_function)
+    score_batch = _make_score_batch(tokenizer, sim_function, measure_args)
 
     def fn(batches):
         for pdf in batches:
