@@ -218,3 +218,29 @@ def test_apply_matcher_new_measures(spark, person_tables):
     assert gjm[("a1", "b2")] == pytest.approx(1.0)
     assert ("a4", "b5") in gjm  # Basil Nash / Bazil Nash: high but < 1
     assert 0.8 <= gjm[("a4", "b5")] < 1.0
+
+
+def test_verify_pairs_tversky_jvm_path(spark, person_tables):
+    """verify_pairs' pure-JVM tversky expression must agree exactly with the
+    Arrow-side batch_tversky kernel over the same candset."""
+    from py_stringsimjoin_spark.functions.tokenizers import WhitespaceTokenizer
+    from py_stringsimjoin_spark.operators.filters import OverlapFilter
+    from py_stringsimjoin_spark.operators.matcher import apply_matcher, verify_pairs
+
+    a, b = person_tables
+    ws = WhitespaceTokenizer(return_set=True)
+    cand = OverlapFilter(ws, 1).filter_tables(a, b, "ID", "ID", "name", "name")
+    args = {"alpha": 0.75, "beta": 0.25}
+    jvm = verify_pairs(
+        cand, "l_ID", "r_ID", a, b, "ID", "ID", "name", "name",
+        ws, "tversky_index", 0.4, measure_args=args,
+    ).select("l_ID", "r_ID", "_sim_score").collect()
+    arrow = apply_matcher(
+        cand, "l_ID", "r_ID", a, b, "ID", "ID", "name", "name",
+        ws, "tversky_index", 0.4, measure_args=args,
+    ).select("l_ID", "r_ID", "_sim_score").collect()
+    jd = {(r[0], r[1]): r[2] for r in jvm}
+    ad = {(r[0], r[1]): r[2] for r in arrow}
+    assert jd.keys() == ad.keys() and len(jd) > 0
+    for k in jd:
+        assert jd[k] == ad[k], k
