@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 64 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 66 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2410,6 +2410,99 @@ UNION ALL
 """
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style per-document repetition signals (operators/textclean.py):
+    dup-line and dup-bigram fractions plus the top-bigram occupancy — the
+    'boilerplate / degenerate page' quality rules of a webtext pipeline."""
+    from py_stringsimjoin_spark.operators.textclean import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, "doc_id", "text", ngram_n=2)
+
+
+_REPETITION_DOCS_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\n'), x -> trim(x) <> '') AS lines,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), ng AS (
+  SELECT doc_id, text, lines,
+    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(ws)),
+                             i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+    END AS ngrams
+  FROM base
+), flat AS (
+  SELECT doc_id, unnest(ngrams) AS g FROM ng
+), tops AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS tf
+  FROM (SELECT doc_id, g, count(*) AS c FROM flat GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT n.doc_id,
+  CASE WHEN n.text IS NULL THEN NULL ELSE len(lines)::BIGINT END AS n_lines,
+  CASE WHEN n.text IS NULL THEN NULL ELSE len(ngrams)::BIGINT END AS n_ngrams,
+  CASE WHEN n.text IS NULL THEN NULL
+       WHEN len(lines) > 0 THEN round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN n.text IS NULL THEN NULL
+       WHEN coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) > 0
+       THEN round((coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+                   - coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0))::DOUBLE
+                  / coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0), 6)
+       ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN n.text IS NULL THEN NULL
+       WHEN len(ngrams) > 0 THEN round((len(ngrams) - len(list_distinct(ngrams)))::DOUBLE / len(ngrams), 6)
+       ELSE 0.0 END AS dup_ngram_frac,
+  CASE WHEN n.text IS NULL THEN NULL ELSE round(coalesce(t.tf, 0.0), 6) END AS top_ngram_frac
+FROM ng n LEFT JOIN tops t USING (doc_id)
+"""
+
+
+def q_span_dedup_docs(spark, sf_dir):
+    """C4-style corpus-level removal of repeated 5-word spans
+    (operators/textclean.py dedup_spans, keep='first'): any exact span seen
+    more than once across the corpus survives only at its first
+    (doc_id, position) occurrence; documents are rebuilt from retained
+    spans. The synthetic corpus's planted near-duplicates share spans, so
+    this removes real mass (n_removed > 0 at every sf)."""
+    from py_stringsimjoin_spark.operators.textclean import dedup_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_spans(docs, "doc_id", "text", span_words=5, keep="first")
+
+
+_SPAN_DEDUP_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, ((i - 1) // 5)::INT AS pos,
+         array_to_string(list_slice(ws, i, i + 4), ' ') AS seg
+  FROM d, unnest(range(1, len(ws) + 1, 5)) AS t(i)
+  WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id, pos, seg,
+    count(*) OVER (PARTITION BY md5(seg)) AS cnt,
+    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+  FROM s
+), a AS (
+  SELECT doc_id,
+    count(*)::BIGINT AS n_segments,
+    sum(CASE WHEN cnt = 1 OR rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+    string_agg(CASE WHEN cnt = 1 OR rn = 1 THEN seg END, ' ' ORDER BY pos) AS clean
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.clean, '') END AS clean_text,
+  coalesce(a.n_segments, 0)::BIGINT AS n_segments,
+  coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM d LEFT JOIN a USING (doc_id)
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2454,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_part": q_golden_part,
         "combined_blocking_part": q_combined_blocking_part,
         "url_canon_docs": q_url_canon_docs,
+        "repetition_docs": q_repetition_docs,
+        "span_dedup_docs": q_span_dedup_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2528,6 +2623,8 @@ def oracle_sql() -> dict[str, str]:
         "golden_part": _golden_part_sql(),
         "combined_blocking_part": _combined_blocking_part_sql(),
         "url_canon_docs": _url_canon_docs_sql(),
+        "repetition_docs": _REPETITION_DOCS_SQL,
+        "span_dedup_docs": _SPAN_DEDUP_DOCS_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

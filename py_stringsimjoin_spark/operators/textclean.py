@@ -1,0 +1,293 @@
+"""Corpus-hygiene operators for web-text training pipelines.
+
+Two standard cleaning stages that sit next to the dedup suite
+(``operators/dedup.py``) in an LLM data pipeline — the reference engine has
+no corpus-cleaning surface at all (SURVEY.md §2.5); these are
+beyond-reference pipeline components in the same style as textstats:
+
+* ``repetition_stats`` — per-document repetition signals in the style of the
+  Gopher quality rules: duplicate-line fraction, duplicate-line character
+  fraction, duplicate word-n-gram fraction, and the fraction of n-gram
+  occurrences taken by the single most frequent n-gram. Everything except
+  the top-n-gram mode is a pure per-row JVM array expression (no shuffle);
+  the mode needs one (doc, ngram)-keyed aggregate, which partial
+  (map-side) aggregation keeps skew-safe at corpus scale.
+* ``dedup_spans`` / ``dedup_lines`` — corpus-level removal of repeated text
+  segments (C4 removes repeated three-sentence spans; RefinedWeb removes
+  repeated lines). A segment is either a non-overlapping ``span_words``-word
+  window (``dedup_spans`` — the right unit when the text has no line
+  structure) or a physical line (``dedup_lines``). Every segment hashes to
+  md5; one global GROUP BY md5 with partial aggregation counts occurrences
+  and finds the first occurrence (min (doc_id, pos) — deterministic);
+  segments rejoin to their counts and each document is rebuilt from its
+  retained segments in position order. ``keep="first"`` keeps one copy of
+  each repeated segment (C4 semantics); ``keep="unique"`` drops all copies
+  (strict RefinedWeb line rule).
+
+Scale shape: the only wide operations are one hash aggregate and one
+equi-join keyed on the segment hash, plus the per-document rebuild
+aggregate. A pathologically hot segment (the same boilerplate line on
+billions of pages) collapses map-side in the count aggregate; the rejoin
+sees the hot key once per occurrence, which AQE's skew-join split handles.
+Nothing is collected to the driver. md5 keying bounds shuffle-key width at
+32 bytes regardless of segment length (collision odds at 10^12 segments:
+~10^-15 — documented, accepted).
+
+Both operators are exactly reproducible in ANSI SQL (driver oracles
+``repetition_stats_docs`` / ``span_dedup_docs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizers import _escape_regex_char
+
+
+def _nonempty_split(col, pattern: str):
+    return F.filter(F.split(col, pattern), lambda x: F.trim(x) != "")
+
+
+def _words(col):
+    return _nonempty_split(F.trim(col), r"\s+")
+
+
+def _sum_lengths(arr):
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _ngrams(words, n: int):
+    """Word n-gram shingles (stride 1), [] when there are fewer than n
+    words — same windowing as functions.tokenizers.ShingleTokenizer."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(words) < n, empty).otherwise(shingles)
+
+
+def _safe_frac(num, den):
+    zero = F.lit(0.0)
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(zero), 6
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality rules).
+
+    Returns (id, n_lines, n_ngrams, dup_line_frac, dup_line_char_frac,
+    dup_ngram_frac, top_ngram_frac):
+
+    * ``dup_line_frac``      — 1 − distinct/total over non-blank lines;
+    * ``dup_line_char_frac`` — 1 − chars(distinct lines)/chars(all lines),
+      i.e. the character mass sitting in repeated copies of a line;
+    * ``dup_ngram_frac``     — 1 − distinct/total over word n-grams;
+    * ``top_ngram_frac``     — occurrences of the most frequent n-gram /
+      total n-gram occurrences (the "one phrase dominates the page" signal).
+
+    All fractions are 0.0 for documents without lines/n-grams and NULL for
+    NULL text. The first three are pure per-row array expressions (no
+    shuffle); ``top_ngram_frac`` is one (id, ngram) hash aggregate with
+    map-side partial aggregation, then a per-id max — both skew-safe.
+    """
+    if ngram_n < 1:
+        raise ValueError("ngram_n must be >= 1")
+    t = F.col(text_col)
+    delim_pat = "".join(_escape_regex_char(c) for c in line_delim)
+    lines = _nonempty_split(t, delim_pat)
+    dlines = F.array_distinct(lines)
+    words = _words(t)
+    ngrams = _ngrams(words, ngram_n)
+    dngrams = F.array_distinct(ngrams)
+
+    def _nn(expr, typ):  # NULL text -> NULL stat, not 0
+        return F.when(t.isNull(), F.lit(None).cast(typ)).otherwise(expr)
+
+    base = docs.select(
+        F.col(id_col),
+        _nn(F.size(lines).cast("long"), "long").alias("n_lines"),
+        _nn(F.size(ngrams).cast("long"), "long").alias("n_ngrams"),
+        _nn(
+            _safe_frac(F.size(lines) - F.size(dlines), F.size(lines)), "double"
+        ).alias("dup_line_frac"),
+        _nn(
+            _safe_frac(
+                _sum_lengths(lines) - _sum_lengths(dlines), _sum_lengths(lines)
+            ),
+            "double",
+        ).alias("dup_line_char_frac"),
+        _nn(
+            _safe_frac(F.size(ngrams) - F.size(dngrams), F.size(ngrams)), "double"
+        ).alias("dup_ngram_frac"),
+        t.isNull().alias("_txt_null"),
+    )
+
+    top = (
+        docs.select(F.col(id_col), F.explode(ngrams).alias("_ng"))
+        .groupBy(id_col, "_ng")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_cnt").alias("_mx"),
+            F.sum("_cnt").alias("_tot"),
+        )
+        .select(
+            F.col(id_col),
+            _safe_frac(F.col("_mx"), F.col("_tot")).alias("top_ngram_frac"),
+        )
+    )
+
+    return base.join(top, on=id_col, how="left").select(
+        F.col(id_col),
+        "n_lines",
+        "n_ngrams",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_ngram_frac",
+        F.when(F.col("_txt_null"), F.lit(None).cast("double"))
+        .otherwise(F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)))
+        .alias("top_ngram_frac"),
+    )
+
+
+def _dedup_segments(
+    docs: DataFrame,
+    segments: DataFrame,
+    id_col: str,
+    text_col: str,
+    joiner: str,
+    keep: str,
+    force_col: str | None = None,
+) -> DataFrame:
+    """Shared core of dedup_spans/dedup_lines: ``segments`` is
+    (id, _pos, _seg) with _pos unique per id; rebuilds each document from
+    the retained segments joined by ``joiner``. Rows where ``force_col`` is
+    true (blank lines in dedup_lines) bypass dedup entirely: they never
+    enter the occurrence count and are always retained."""
+    if keep not in ("first", "unique"):
+        raise ValueError("keep must be 'first' or 'unique'")
+    seg = segments.withColumn("_h", F.md5(F.col("_seg")))
+    participating = seg if force_col is None else seg.where(~F.col(force_col))
+    # one partial-aggregated pass: occurrence count + deterministic first
+    # occurrence per distinct segment (min over (id, pos) structs orders
+    # lexicographically). Partial agg collapses hot segments map-side.
+    summary = participating.groupBy("_h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    # left join: forced rows may carry hashes absent from the summary
+    marked = seg.join(summary, on="_h", how="left")
+    kept = F.col("_cnt") == 1
+    if keep == "first":
+        kept = kept | (
+            (F.col("_first.i") == F.col(id_col)) & (F.col("_first.p") == F.col("_pos"))
+        )
+    if force_col is not None:
+        kept = F.col(force_col) | kept
+    in_dedup = F.lit(True) if force_col is None else ~F.col(force_col)
+    agg = marked.groupBy(id_col).agg(
+        F.sum(F.when(in_dedup, 1).otherwise(0)).cast("long").alias("n_segments"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                # collect_list drops the NULLs the when() leaves for removed
+                # segments; array_sort on (pos, seg) structs restores order
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("_pos"), F.col("_seg")))
+                    )
+                ),
+                lambda s: s["_seg"],
+            ),
+            joiner,
+        ).alias("_clean"),
+    )
+    t = F.col(text_col)
+    return docs.select(id_col, text_col).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+        .alias("clean_text"),
+        F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias("n_segments"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    keep: str = "first",
+) -> DataFrame:
+    """Corpus-level removal of repeated ``span_words``-word spans (C4-style).
+
+    Documents are segmented into NON-overlapping word windows (the last
+    window may be shorter); any window whose exact text occurs more than
+    once in the corpus is dropped from every document except (with
+    ``keep="first"``) the occurrence with the smallest (id, position).
+    Returns (id, clean_text, n_segments, n_removed); ``clean_text`` is the
+    retained spans rejoined by single spaces — whitespace inside the text is
+    normalized by construction, which is what every downstream tokenizer in
+    this engine does anyway. NULL text stays NULL; wordless text becomes ''.
+    """
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+    t = F.col(text_col)
+    words = _words(t)
+    n = F.size(words)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(span_words))
+    ).otherwise(F.array().cast("array<int>"))
+    segments = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.array_join(F.slice(words, i, span_words), " ")
+            )
+        ).alias("_pos", "_seg"),
+    )
+    return _dedup_segments(docs, segments, id_col, text_col, " ", keep)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "first",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact line dedup (RefinedWeb-style).
+
+    Splits each document on ``line_delim``, drops every line whose exact
+    text occurs more than once in the corpus (``keep="unique"``) or keeps
+    only the first occurrence (``keep="first"``, default). Blank /
+    whitespace-only lines are structural, not content — they are always
+    retained. Returns (id, clean_text, n_segments, n_removed) where
+    n_segments counts only the non-blank lines that took part in dedup.
+    """
+    t = F.col(text_col)
+    delim_pat = "".join(_escape_regex_char(c) for c in line_delim)
+    segments = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, delim_pat)).alias("_pos", "_seg"),
+    ).withColumn("_blank", F.trim(F.col("_seg")) == "")
+    return _dedup_segments(
+        docs, segments, id_col, text_col, line_delim, keep, force_col="_blank"
+    )
+
+
+__all__ = ["repetition_stats", "dedup_spans", "dedup_lines"]

@@ -186,3 +186,25 @@ def test_update_components_remap_is_broadcast(spark):
     # (the remap is delta-bounded; a sort-merge join here would shuffle the
     # full assignment table)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_textclean_plans_are_python_free(spark):
+    from py_stringsimjoin_spark.operators.textclean import (
+        dedup_spans,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for out in (
+        repetition_stats(docs, ngram_n=2),
+        dedup_spans(docs, span_words=5),
+    ):
+        plan = _plan(out)
+        for node in _PY_NODES:
+            assert node not in plan, f"{node} in textclean plan"
+    # the dedup count aggregate must partially aggregate map-side (hot
+    # boilerplate segments collapse before the shuffle)
+    plan = _plan(dedup_spans(docs, span_words=5))
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -1,0 +1,150 @@
+"""Corpus-hygiene operators (operators/textclean.py): hand-computed cases,
+brute-force mirrors on randomized corpora, and null/blank edge cases.
+
+The reference has no corpus-cleaning surface; these are beyond-reference
+pipeline components, so parity is against an independent in-test Python
+implementation (plus the driver's DuckDB oracles for the two queries).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from py_stringsimjoin_spark.operators.textclean import (
+    dedup_lines,
+    dedup_spans,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b c\na b a b c\nx y z\n\nx y z"),
+        (2, "hello world"),
+        (3, ""),
+        (4, None),
+        (5, "p q r s t u v w"),
+        (6, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_repetition_stats_hand_computed(docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs, ngram_n=2).collect()
+    }
+    d1 = out[1]
+    # non-blank lines: [ababc, ababc, xyz, xyz] -> 4 total, 2 distinct
+    assert d1["n_lines"] == 4 and d1["dup_line_frac"] == 0.5
+    assert d1["dup_line_char_frac"] == 0.5  # 28 chars total, 14 distinct
+    # 16 words -> 15 bigrams, 8 distinct, mode "a b" x4
+    assert d1["n_ngrams"] == 15
+    assert d1["dup_ngram_frac"] == pytest.approx(round(7 / 15, 6))
+    assert d1["top_ngram_frac"] == pytest.approx(round(4 / 15, 6))
+    assert out[2]["top_ngram_frac"] == 1.0 and out[2]["dup_line_frac"] == 0.0
+    # empty / whitespace-only text: zero counts, zero fracs
+    for i in (3, 6):
+        assert out[i]["n_lines"] == 0 and out[i]["top_ngram_frac"] == 0.0
+    # NULL text: all stats NULL
+    assert all(v is None for k, v in out[4].items() if k != "doc_id")
+
+
+def test_dedup_lines_keep_first(docs):
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(docs).collect()}
+    # duplicate lines removed corpus-wide, first occurrence and blank kept
+    assert out[1]["clean_text"] == "a b a b c\nx y z\n"
+    assert out[1]["n_segments"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "hello world" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_segments"] == 0
+    assert out[4]["clean_text"] is None
+    assert out[6]["clean_text"] == "   "  # blank-only line survives
+
+
+def test_dedup_lines_cross_doc_and_unique(spark):
+    rows = [(1, "keep me\nshared line"), (2, "shared line\nother")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    first = {r["doc_id"]: r["clean_text"] for r in dedup_lines(df).collect()}
+    assert first == {1: "keep me\nshared line", 2: "other"}
+    uniq = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines(df, keep="unique").collect()
+    }
+    assert uniq == {1: "keep me", 2: "other"}
+
+
+def _brute_spans(rows, span, keep):
+    segs = []  # (doc, pos, seg)
+    for doc, text in rows:
+        if text is None:
+            continue
+        ws = text.split()
+        for pos, i in enumerate(range(0, len(ws), span)):
+            segs.append((doc, pos, " ".join(ws[i : i + span])))
+    cnt = Counter(s for _, _, s in segs)
+    first = {}
+    for doc, pos, s in sorted(segs):
+        first.setdefault(s, (doc, pos))
+    out = {}
+    for doc, text in rows:
+        if text is None:
+            out[doc] = (None, 0, 0)
+            continue
+        mine = [(p, s) for d, p, s in segs if d == doc]
+        kept = [
+            s
+            for p, s in mine
+            if cnt[s] == 1 or (keep == "first" and first[s] == (doc, p))
+        ]
+        out[doc] = (" ".join(kept), len(mine), len(mine) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("keep", ["first", "unique"])
+def test_dedup_spans_brute_force(spark, keep):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    shared = " ".join(rng.choice(vocab) for _ in range(6))
+    rows = []
+    for doc in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        text = " ".join(words)
+        if rng.random() < 0.5:
+            text = (text + " " + shared).strip()
+        rows.append((doc, text if text else ""))
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_removed"])
+        for r in dedup_spans(df, span_words=3, keep=keep).collect()
+    }
+    want = _brute_spans(rows, 3, keep)
+    assert got == want
+
+
+def test_dedup_spans_self_repetition_collapses(spark):
+    # a doc made of one span repeated collapses to a single copy
+    df = spark.createDataFrame(
+        [(1, "spam ham eggs spam ham eggs spam ham eggs")],
+        "doc_id int, text string",
+    )
+    (r,) = dedup_spans(df, span_words=3, keep="first").collect()
+    assert r["clean_text"] == "spam ham eggs"
+    assert (r["n_segments"], r["n_removed"]) == (3, 2)
+
+
+def test_dedup_spans_trailing_partial_span(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "d e")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_spans(df, span_words=3, keep="first").collect()
+    }
+    # doc 1's trailing short span "d e" == doc 2's only span; (1,1) < (2,0)
+    assert out[1]["clean_text"] == "a b c d e" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
