@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 66 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 67 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2503,6 +2503,63 @@ FROM d LEFT JOIN a USING (doc_id)
 """
 
 
+def q_quality_filter_docs(spark, sf_dir):
+    """Gopher-style keep/drop gate with per-rule attribution
+    (operators/textclean.py gopher_quality_filter). Thresholds are tuned so
+    several rules fire on the synthetic corpus (word counts 10-99, mean
+    word length 3.7-5.3)."""
+    from py_stringsimjoin_spark.operators.textclean import gopher_quality_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_filter(
+        docs,
+        "doc_id",
+        "text",
+        min_words=30,
+        max_words=90,
+        min_mean_word_len=3.9,
+        max_mean_word_len=5.1,
+        max_dup_line_frac=0.3,
+        max_dup_line_char_frac=0.3,
+        max_dup_ngram_frac=0.08,
+        max_top_ngram_frac=0.09,
+        ngram_n=2,
+    )
+
+
+_QUALITY_FILTER_DOCS_SQL = f"""
+WITH rep AS ({_REPETITION_DOCS_SQL}),
+w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), b AS (
+  SELECT doc_id, text IS NULL AS tn,
+    CASE WHEN text IS NULL THEN NULL ELSE len(ws)::BIGINT END AS n_words,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN len(ws) > 0 THEN coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0)::DOUBLE / len(ws)::DOUBLE
+         ELSE 0.0 END AS mw
+  FROM w
+), r AS (
+  SELECT b.doc_id, n_words, mw,
+    CASE WHEN tn THEN 'null_text'
+         WHEN n_words < 30 THEN 'too_few_words'
+         WHEN n_words > 90 THEN 'too_many_words'
+         WHEN mw < 3.9 THEN 'mean_word_len_low'
+         WHEN mw > 5.1 THEN 'mean_word_len_high'
+         WHEN dup_line_frac > 0.3 THEN 'dup_line_frac'
+         WHEN dup_line_char_frac > 0.3 THEN 'dup_line_char_frac'
+         WHEN dup_ngram_frac > 0.08 THEN 'dup_ngram_frac'
+         WHEN top_ngram_frac > 0.09 THEN 'top_ngram_frac'
+    END AS reason
+  FROM b JOIN rep USING (doc_id)
+)
+SELECT doc_id, n_words, round(mw, 6) AS mean_word_len,
+       reason IS NULL AS keep, reason
+FROM r
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2549,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_docs": q_url_canon_docs,
         "repetition_docs": q_repetition_docs,
         "span_dedup_docs": q_span_dedup_docs,
+        "quality_filter_docs": q_quality_filter_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2625,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_docs": _url_canon_docs_sql(),
         "repetition_docs": _REPETITION_DOCS_SQL,
         "span_dedup_docs": _SPAN_DEDUP_DOCS_SQL,
+        "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

@@ -290,4 +290,81 @@ def dedup_lines(
     )
 
 
-__all__ = ["repetition_stats", "dedup_spans", "dedup_lines"]
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.3,
+    max_dup_ngram_frac: float = 0.3,
+    max_top_ngram_frac: float = 0.2,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate: composes the repetition signals
+    with word-count / word-length rules into one keep/drop decision.
+
+    Returns (id, n_words, mean_word_len, keep, reason) where ``reason`` is
+    the FIRST failed rule in a fixed order (null_text, too_few_words,
+    too_many_words, mean_word_len_low, mean_word_len_high, dup_line_frac,
+    dup_line_char_frac, dup_ngram_frac, top_ngram_frac) and NULL when the
+    document passes — per-rule attribution is what makes a corpus filter
+    debuggable at scale (you audit WHY mass disappeared, per rule).
+
+    Thresholds default to the published Gopher rules' shape; tune per
+    corpus. Cost: the repetition-stats aggregate (one skew-safe shuffle);
+    the word rules are per-row expressions. ``keep == reason IS NULL``.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.when(t.isNull(), F.lit(None).cast("long")).otherwise(
+        F.size(words).cast("long")
+    )
+    mean_wl = F.when(t.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(
+            F.size(words) > 0,
+            _sum_lengths(words).cast("double") / F.size(words).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("_mean_wl"),
+        t.isNull().alias("_txt_null"),
+    )
+    stats = repetition_stats(docs, id_col, text_col, ngram_n=ngram_n)
+    j = base.join(stats, on=id_col)
+    reason = (
+        F.when(F.col("_txt_null"), F.lit("null_text"))
+        .when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(F.col("_mean_wl") < min_mean_word_len, F.lit("mean_word_len_low"))
+        .when(F.col("_mean_wl") > max_mean_word_len, F.lit("mean_word_len_high"))
+        .when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("dup_line_frac"))
+        .when(
+            F.col("dup_line_char_frac") > max_dup_line_char_frac,
+            F.lit("dup_line_char_frac"),
+        )
+        .when(F.col("dup_ngram_frac") > max_dup_ngram_frac, F.lit("dup_ngram_frac"))
+        .when(F.col("top_ngram_frac") > max_top_ngram_frac, F.lit("top_ngram_frac"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        F.round(F.col("_mean_wl"), 6).alias("mean_word_len"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+__all__ = [
+    "repetition_stats",
+    "dedup_spans",
+    "dedup_lines",
+    "gopher_quality_filter",
+]

@@ -148,3 +148,47 @@ def test_dedup_spans_trailing_partial_span(spark):
     # doc 1's trailing short span "d e" == doc 2's only span; (1,1) < (2,0)
     assert out[1]["clean_text"] == "a b c d e" and out[1]["n_removed"] == 0
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
+
+
+def test_gopher_quality_filter_rules(spark):
+    from py_stringsimjoin_spark.operators.textclean import gopher_quality_filter
+
+    rows = [
+        (1, "one two three four five six seven eight"),        # passes
+        (2, "tiny"),                                           # too_few_words
+        (3, " ".join(f"w{i}" for i in range(30))),             # too_many_words
+        (4, "a b c d e f"),                                    # mean_word_len_low
+        (5, "elephantine wordiness extravaganza bonanza"),     # mean_word_len_high
+        (6, "dup line\ndup line\ndup line\nxx yy zz"),         # dup_line_frac
+        (9, "dup line\ndup line\nx\ny\nz\nq\nr"),              # dup_line_char_frac
+        (7, "ha ha ha ha ha ha"),                              # top/dup ngram
+        (8, None),                                             # null_text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_filter(
+            df,
+            min_words=4,
+            max_words=20,
+            min_mean_word_len=1.5,
+            max_mean_word_len=8.0,
+            max_dup_line_frac=0.25,
+            max_dup_ngram_frac=0.5,
+            max_top_ngram_frac=0.6,
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["reason"] is None
+    assert out[2]["reason"] == "too_few_words"
+    assert out[3]["reason"] == "too_many_words"
+    assert out[4]["reason"] == "mean_word_len_low"
+    assert out[4]["mean_word_len"] == 1.0
+    assert out[5]["reason"] == "mean_word_len_high"
+    # doc 6: 4 lines / 2 distinct -> dup_line_frac 0.5 > 0.25
+    assert out[6]["reason"] == "dup_line_frac"
+    # doc 9: dup_line_frac 1/7 passes but 8/21 of chars sit in dup lines
+    assert out[9]["reason"] == "dup_line_char_frac"
+    # "ha ha..." : 5 bigrams all identical -> dup 0.8 > 0.5 fires before top
+    assert out[7]["reason"] == "dup_ngram_frac"
+    assert out[8]["reason"] == "null_text" and out[8]["n_words"] is None
+    assert all((r["reason"] is None) == r["keep"] for r in out.values())
