@@ -2560,6 +2560,69 @@ FROM r
 """
 
 
+def q_pii_docs(spark, sf_dir):
+    """PII scrub pass (operators/pii.py + functions/pii.py triple form).
+
+    The synthetic corpus carries no PII, so the query deterministically
+    appends a contact line per document — an email, a +1 phone and an IPv4
+    derived from doc_id, identically in Spark and the DuckDB oracle — then
+    counts and redacts it. NULL text stays NULL end to end."""
+    from py_stringsimjoin_spark.operators.pii import pii_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            d.cast("string"),
+            F.lit("@crawl-"),
+            (d % 7).cast("string"),
+            F.lit(".example.org or +1 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 37) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 3) % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_stats(enriched, "doc_id", "text")
+
+
+def _pii_docs_sql() -> str:
+    from py_stringsimjoin_spark.functions.pii import (
+        PII_CLASSES,
+        pii_count_sql,
+        redact_pii_sql,
+    )
+
+    enrich = (
+        "text || ' contact doc' || doc_id::VARCHAR || '@crawl-' || "
+        "(doc_id % 7)::VARCHAR || '.example.org or +1 555-' || "
+        "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+        "lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0') || ' from 10.' || "
+        "(doc_id % 256)::VARCHAR || '.' || ((doc_id * 3) % 256)::VARCHAR || "
+        "'.' || ((doc_id * 7) % 256)::VARCHAR"
+    )
+    counts = ",\n  ".join(
+        f"{pii_count_sql('t', name)} AS n_{name}" for name, _, _ in PII_CLASSES
+    )
+    total = " + ".join(pii_count_sql("t", name) for name, _, _ in PII_CLASSES)
+    return f"""
+WITH e AS (SELECT doc_id, {enrich} AS t FROM documents)
+SELECT doc_id,
+  {counts},
+  ({total}) > 0 AS has_pii,
+  {redact_pii_sql('t')} AS redacted_text
+FROM e
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2607,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "span_dedup_docs": q_span_dedup_docs,
         "quality_filter_docs": q_quality_filter_docs,
+        "pii_docs": q_pii_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2684,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _REPETITION_DOCS_SQL,
         "span_dedup_docs": _SPAN_DEDUP_DOCS_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
+        "pii_docs": _pii_docs_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

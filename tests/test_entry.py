@@ -19,6 +19,7 @@ FAST_ORACLE_QUERIES = [
     "profile_part",
     "ann_topk_embeddings",
     "exact_dups_docs",
+    "pii_docs",
 ]
 
 
