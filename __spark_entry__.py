@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 67 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 70 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2623,6 +2623,85 @@ FROM e
 """
 
 
+def q_metablock_wep_part(spark, sf_dir):
+    """Meta-blocking with JS edge weights + weight-edge pruning
+    (operators/metablocking.py): token blocks on p_name, block-set Jaccard
+    per co-occurring pair, keep edges with weight >= 0.6 — the
+    co-occurrence-structure prune that runs BEFORE any string measure.
+    No block-size cap here: the synthetic part names draw from a flat
+    ~92-color vocabulary whose blocks are all the same size, so an
+    absolute cap either purges nothing or everything and its row set
+    would flip with sf; purging is exercised in tests/test_metablocking."""
+    from py_stringsimjoin_spark.operators.metablocking import metablock_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return metablock_pairs(
+        part, "p_partkey", "p_name", _WS, weight="js", prune="wep", threshold=0.6
+    )
+
+
+def q_metablock_cnp_part(spark, sf_dir):
+    """Meta-blocking with CBS weights + cardinality-node pruning: every
+    record keeps its top-2 neighbours by common-block count (partner key
+    ascending breaks ties deterministically); an edge survives if either
+    endpoint keeps it."""
+    from py_stringsimjoin_spark.operators.metablocking import metablock_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return metablock_pairs(
+        part, "p_partkey", "p_name", _WS, weight="cbs", prune="cnp", k=2
+    )
+
+
+def _metablock_base_sql(max_block_size: int | None = None) -> str:
+    tok = _WS.duckdb_sql("p_name")
+    cap = f" AND count(*) <= {max_block_size}" if max_block_size else ""
+    return f"""
+tok AS (
+  SELECT p_partkey AS id, unnest(list_distinct({tok})) AS b
+  FROM part WHERE p_name IS NOT NULL
+),
+bsz AS (SELECT b FROM tok GROUP BY b HAVING count(*) >= 2{cap}),
+pb AS (SELECT t.id, t.b FROM tok t JOIN bsz USING (b)),
+deg AS (SELECT id, count(*) AS nb FROM pb GROUP BY id),
+e AS (
+  SELECT a.id AS li, c.id AS ri, count(*) AS cbs
+  FROM pb a JOIN pb c ON a.b = c.b AND a.id < c.id
+  GROUP BY a.id, c.id
+)"""
+
+
+_METABLOCK_WEP_SQL = f"""
+WITH {_metablock_base_sql()},
+w AS (
+  SELECT li, ri, cbs,
+         cbs::DOUBLE / (dl.nb + dr.nb - cbs)::DOUBLE AS weight
+  FROM e JOIN deg dl ON e.li = dl.id JOIN deg dr ON e.ri = dr.id
+)
+SELECT li AS l_p_partkey, ri AS r_p_partkey, cbs AS common_blocks, weight
+FROM w WHERE weight >= 0.6
+"""
+
+
+_METABLOCK_CNP_SQL = f"""
+WITH {_metablock_base_sql()},
+w AS (SELECT li, ri, cbs, cbs::DOUBLE AS weight FROM e),
+d2 AS (
+  SELECT li, ri, weight, li AS node, ri AS other FROM w
+  UNION ALL
+  SELECT li, ri, weight, ri AS node, li AS other FROM w
+),
+rk AS (
+  SELECT li, ri,
+         row_number() OVER (PARTITION BY node ORDER BY weight DESC, other ASC) AS rn
+  FROM d2
+),
+kp AS (SELECT DISTINCT li, ri FROM rk WHERE rn <= 2)
+SELECT w.li AS l_p_partkey, w.ri AS r_p_partkey, cbs AS common_blocks, weight
+FROM w JOIN kp ON w.li = kp.li AND w.ri = kp.ri
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2671,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": q_span_dedup_docs,
         "quality_filter_docs": q_quality_filter_docs,
         "pii_docs": q_pii_docs,
+        "metablock_wep_part": q_metablock_wep_part,
+        "metablock_cnp_part": q_metablock_cnp_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2749,6 +2830,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": _SPAN_DEDUP_DOCS_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
         "pii_docs": _pii_docs_sql(),
+        "metablock_wep_part": _METABLOCK_WEP_SQL,
+        "metablock_cnp_part": _METABLOCK_CNP_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),
