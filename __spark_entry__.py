@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 70 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 71 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2702,6 +2702,72 @@ FROM w JOIN kp ON w.li = kp.li AND w.ri = kp.ri
 """
 
 
+def q_pr_curve_part(spark, sf_dir):
+    """Threshold-sweep PR curve (operators/evaluation.py pr_curve): score
+    part-name pairs with 3-gram jaccard >= 0.3 (q-gram sets give a rich
+    spread of distinct rational sims where the 2-token whitespace names
+    collapse to {1/3, 1}), take sim >= 0.66 as the labeled truth, and
+    report predicted/tp/precision/recall/f1 at every distinct score — the
+    threshold-tuning table of a linkage deployment."""
+    from py_stringsimjoin_spark.operators.evaluation import pr_curve
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _QG3, 0.3, allow_empty=False, self_join_dedup=True,
+    )
+    scored = pairs.select(
+        F.col("_l_key").alias("l_id"),
+        F.col("_r_key").alias("r_id"),
+        F.col("_sim_score").alias("sim"),
+    )
+    gold = scored.where(F.col("sim") >= 0.66).select("l_id", "r_id")
+    return pr_curve(scored, "l_id", "r_id", "sim", gold, "l_id", "r_id")
+
+
+_PR_CURVE_PART_SQL = f"""
+WITH base AS (
+  SELECT p_partkey AS id, {{toks}} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), s AS (
+  SELECT l_id, r_id, {_J_SCORE} AS sim FROM pairs WHERE {_J_SCORE} >= 0.3
+), g AS (
+  SELECT l_id, r_id FROM s WHERE sim >= 0.66
+), f AS (
+  SELECT s.sim,
+         (CASE WHEN g.l_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS tr
+  FROM s LEFT JOIN g ON s.l_id = g.l_id AND s.r_id = g.r_id
+), ps AS (
+  SELECT sim AS threshold, count(*)::BIGINT AS n, sum(tr)::BIGINT AS nt
+  FROM f GROUP BY sim
+), c AS (
+  SELECT threshold,
+         (sum(n) OVER (ORDER BY threshold DESC))::BIGINT AS predicted,
+         (sum(nt) OVER (ORDER BY threshold DESC))::BIGINT AS tp
+  FROM ps
+), tot AS (SELECT count(*)::BIGINT AS total FROM g),
+pr AS (
+  SELECT threshold, predicted, tp,
+         tp::DOUBLE / predicted::DOUBLE AS precision,
+         CASE WHEN total > 0 THEN tp::DOUBLE / total::DOUBLE END AS recall
+  FROM c, tot
+)
+SELECT threshold, predicted, tp, precision, recall,
+       CASE WHEN (precision + recall) > 0
+            THEN 2.0 * precision * recall / (precision + recall) END AS f1
+FROM pr
+""".replace("{toks}", _QG3.duckdb_sql("p_name"))
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2752,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_docs": q_pii_docs,
         "metablock_wep_part": q_metablock_wep_part,
         "metablock_cnp_part": q_metablock_cnp_part,
+        "pr_curve_part": q_pr_curve_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2832,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_docs": _pii_docs_sql(),
         "metablock_wep_part": _METABLOCK_WEP_SQL,
         "metablock_cnp_part": _METABLOCK_CNP_SQL,
+        "pr_curve_part": _PR_CURVE_PART_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

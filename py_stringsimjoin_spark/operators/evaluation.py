@@ -292,3 +292,91 @@ def sample_pairs_for_review(
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= int(n_per_band))
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    l_key: str,
+    r_key: str,
+    score_attr: str,
+    labeled: DataFrame,
+    label_l: str,
+    label_r: str,
+    symmetric: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 at every candidate threshold, in one pass.
+
+    For each distinct score value ``s`` (optionally quantized to
+    ``round_to`` decimals), treats ``score >= s`` as the positive
+    prediction and reports the confusion counts against ``labeled`` (the
+    ground-truth matching pairs). This is the threshold-tuning table every
+    linkage deployment reads before fixing its match cutoff — the
+    reference engine has no evaluation surface at all (its tests assert
+    exact result sets).
+
+    Output: ``(threshold, predicted, tp, precision, recall, f1)`` — one
+    row per distinct score, thresholds descending in cumulative semantics
+    (each row counts ALL pairs at-or-above it). ``f1`` is NULL where
+    precision + recall is 0; ``recall`` is NULL when ``labeled`` is empty.
+
+    Scale shape: duplicate pairs collapse via one pair-keyed max-score
+    aggregation; truth membership is one hash join; then everything
+    reduces to ONE row per distinct score before the cumulative window
+    runs — so the unpartitioned window (a single task by construction)
+    only ever sees #distinct-scores rows. With continuous scores at
+    10^12-pair scale, pass ``round_to`` to bound that cardinality (1e4
+    rows at ``round_to=4``); set-overlap measures are already quantized
+    by their rational form.
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_attr).cast("double")
+    if round_to is not None:
+        sc = F.round(sc, int(round_to))
+    # canon with the score column carried through (per-pair max score)
+    a, b = F.col(l_key), F.col(r_key)
+    if symmetric:
+        key_cols = [F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")]
+    else:
+        key_cols = [a.alias("_a"), b.alias("_b")]
+    dedup = (
+        scored.select(*key_cols, sc.alias("_s"))
+        .groupBy("_a", "_b")
+        .agg(F.max("_s").alias("_s"))
+    )
+    truth = _canon(labeled, label_l, label_r, symmetric)
+    flagged = dedup.join(
+        truth.withColumn("_t", F.lit(1)), ["_a", "_b"], "left"
+    ).select("_s", F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("_t"))
+    per_score = flagged.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_t").alias("_nt")
+    )
+    w = Window.orderBy(F.col("_s").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        F.col("_s").alias("threshold"),
+        F.sum("_n").over(w).alias("predicted"),
+        F.sum("_nt").over(w).alias("tp"),
+    )
+    total = truth.agg(F.count(F.lit(1)).alias("_total"))
+    p = F.col("tp").cast("double") / F.col("predicted").cast("double")
+    r = F.when(
+        F.col("_total") > 0,
+        F.col("tp").cast("double") / F.col("_total").cast("double"),
+    )
+    out = cum.crossJoin(F.broadcast(total)).select(
+        "threshold",
+        "predicted",
+        "tp",
+        p.alias("precision"),
+        r.alias("recall"),
+    )
+    pc, rc = F.col("precision"), F.col("recall")
+    return out.select(
+        "*",
+        F.when(
+            (pc + rc) > 0, F.lit(2.0) * pc * rc / (pc + rc)
+        ).alias("f1"),
+    )

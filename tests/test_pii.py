@@ -154,3 +154,40 @@ def test_pii_stats_operator(spark):
     plan = pii_stats(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_streams(spark, tmp_path):
+    """The scrub pass is a stateless projection, so the SAME operator runs
+    under Structured Streaming unchanged — the deployment shape for
+    scrubbing documents as they are crawled."""
+    import os
+
+    from py_stringsimjoin_spark.operators.pii import pii_stats
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "mail a@b.com now"),
+            (2, "call (555) 123-4567"),
+            (3, "nothing here"),
+        ],
+        "doc_id int, text string",
+    ).write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema("doc_id int, text string").parquet(src)
+    out = pii_stats(stream, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.sql("select * from pii_sink").collect()}
+    finally:
+        q.stop()
+    assert rows[1].redacted_text == "mail <EMAIL> now" and rows[1].has_pii
+    assert rows[2].n_phone == 1
+    assert rows[3].has_pii is False
