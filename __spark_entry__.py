@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 71 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 72 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2768,6 +2768,71 @@ FROM pr
 """.replace("{toks}", _QG3.duckdb_sql("p_name"))
 
 
+def q_boilerplate_docs(spark, sf_dir):
+    """Site-level boilerplate line removal (operators/textclean.py
+    remove_boilerplate_lines). The synthetic docs are single-line, so the
+    query deterministically appends per-source footer lines (identical in
+    the DuckDB oracle): two site-wide boilerplate lines (stripped — they
+    appear on every page of the source), a blank structural line (kept),
+    and a per-doc ref line (kept — one distinct page)."""
+    from py_stringsimjoin_spark.operators.textclean import remove_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    nl = F.lit("\n")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"), nl,
+            F.lit("follow "), F.col("source"), F.lit(" weekly digest"), nl,
+            F.lit(""), nl,
+            F.lit("subscribe at "), F.col("source"), F.lit(" dot example"), nl,
+            F.lit("ref code "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(
+        enriched, "doc_id", "text", "source", min_pages=10
+    )
+
+
+_BOILERPLATE_DOCS_SQL = """
+WITH e AS (
+  SELECT doc_id, source,
+    text || chr(10) || 'follow ' || source || ' weekly digest' || chr(10)
+         || '' || chr(10) || 'subscribe at ' || source || ' dot example'
+         || chr(10) || 'ref code ' || doc_id::VARCHAR AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id, source, t, string_split(t, chr(10)) AS lines FROM e
+), seg AS (
+  SELECT doc_id, source, i AS pos, lines[i] AS ln,
+         trim(lines[i]) = '' AS blank
+  FROM sp, unnest(range(1, len(lines) + 1)) AS r(i)
+), boiler AS (
+  SELECT source, md5(ln) AS h
+  FROM seg WHERE NOT blank
+  GROUP BY source, md5(ln)
+  HAVING count(DISTINCT doc_id) >= 10
+), m AS (
+  SELECT s.doc_id, s.source, s.pos, s.ln, s.blank,
+         (s.blank OR b.h IS NULL) AS kept
+  FROM seg s LEFT JOIN boiler b
+    ON s.source = b.source AND md5(s.ln) = b.h
+), a AS (
+  SELECT doc_id,
+    sum(CASE WHEN blank THEN 0 ELSE 1 END)::BIGINT AS n_lines,
+    sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+    string_agg(CASE WHEN kept THEN ln END, chr(10) ORDER BY pos) AS clean
+  FROM m GROUP BY doc_id
+)
+SELECT e.doc_id, e.source,
+  CASE WHEN e.t IS NULL THEN NULL ELSE coalesce(a.clean, '') END AS clean_text,
+  coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+  coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM e LEFT JOIN a USING (doc_id)
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2819,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablock_wep_part": q_metablock_wep_part,
         "metablock_cnp_part": q_metablock_cnp_part,
         "pr_curve_part": q_pr_curve_part,
+        "boilerplate_docs": q_boilerplate_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2900,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         "metablock_wep_part": _METABLOCK_WEP_SQL,
         "metablock_cnp_part": _METABLOCK_CNP_SQL,
         "pr_curve_part": _PR_CURVE_PART_SQL,
+        "boilerplate_docs": _BOILERPLATE_DOCS_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

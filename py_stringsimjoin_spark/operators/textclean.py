@@ -368,3 +368,83 @@ __all__ = [
     "dedup_lines",
     "gopher_quality_filter",
 ]
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_pages: int = 5,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Site-level boilerplate removal (CCNet / trafilatura-style).
+
+    A line that appears on at least ``min_pages`` DISTINCT pages of the
+    same ``group_col`` (site / host / crawl source) is navigation, footer
+    or legal boilerplate, not content — ALL its occurrences in that group
+    are removed (unlike :func:`dedup_lines`, which keeps a first
+    occurrence: a "subscribe to our newsletter" line has no canonical
+    page). Blank / whitespace-only lines are structural and always
+    retained; documents with a NULL group never match any boilerplate set
+    (equality join semantics) and pass through unchanged.
+
+    Returns ``(id_col, group_col, clean_text, n_lines, n_removed)`` with
+    ``n_lines`` counting only the non-blank lines that took part in
+    detection; NULL text stays NULL.
+
+    Scale shape: one posexplode, one distinct on (group, line-hash, page)
+    — the shuffle key is the 32-hex line hash, so hot boilerplate lines
+    partial-aggregate map-side — one (group, hash)-keyed count, and one
+    join back on (group, hash). The boilerplate table is usually tiny
+    (the HAVING prunes everything organic), so AQE broadcasts the join
+    side; nothing is collected. Grouping by site bounds the count key
+    space no matter how big the crawl.
+    """
+    t = F.col(text_col)
+    delim_pat = "".join(_escape_regex_char(c) for c in line_delim)
+    seg = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(t, delim_pat)).alias("_pos", "_seg"),
+    ).withColumn("_blank", F.trim(F.col("_seg")) == "").withColumn(
+        "_h", F.md5(F.col("_seg"))
+    )
+    pages = (
+        seg.where(~F.col("_blank"))
+        .select(group_col, "_h", id_col)
+        .distinct()
+        .groupBy(group_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_pages"))
+    )
+    boiler = pages.where(F.col("_pages") >= int(min_pages)).select(
+        F.col(group_col), F.col("_h"), F.lit(True).alias("_bp")
+    )
+    marked = seg.join(boiler, [group_col, "_h"], "left")
+    kept = F.col("_blank") | F.col("_bp").isNull()
+    agg = marked.groupBy(id_col).agg(
+        F.sum(F.when(~F.col("_blank"), 1).otherwise(0)).cast("long").alias("n_lines"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("_pos"), F.col("_seg")))
+                    )
+                ),
+                lambda s: s["_seg"],
+            ),
+            line_delim,
+        ).alias("_clean"),
+    )
+    return docs.select(id_col, group_col, text_col).join(
+        agg, on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+        .alias("clean_text"),
+        F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+    )

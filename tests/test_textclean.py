@@ -192,3 +192,77 @@ def test_gopher_quality_filter_rules(spark):
     assert out[7]["reason"] == "dup_ngram_frac"
     assert out[8]["reason"] == "null_text" and out[8]["n_words"] is None
     assert all((r["reason"] is None) == r["keep"] for r in out.values())
+
+
+class TestBoilerplateLines:
+    def _run(self, spark, rows, min_pages=2):
+        from py_stringsimjoin_spark.operators.textclean import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+        out = remove_boilerplate_lines(
+            df, "doc_id", "text", "source", min_pages=min_pages
+        )
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_site_footer_stripped_unique_survives(self, spark):
+        rows = [
+            (1, "s1", "real content one\nfooter line"),
+            (2, "s1", "different words here\nfooter line"),
+            (3, "s1", "third page body\nfooter line\nref code 3"),
+            # same footer text on ANOTHER site with only one page: kept
+            (4, "s2", "other site page\nfooter line"),
+        ]
+        got = self._run(spark, rows, min_pages=2)
+        assert got[1].clean_text == "real content one"
+        assert got[2].clean_text == "different words here"
+        assert got[3].clean_text == "third page body\nref code 3"
+        assert got[3].n_removed == 1 and got[3].n_lines == 3
+        assert got[4].clean_text == rows[3][2]  # s2 untouched
+        assert got[4].n_removed == 0
+
+    def test_all_occurrences_removed_not_first_kept(self, spark):
+        rows = [
+            (1, "s", "keep\nnav"),
+            (2, "s", "nav\nkeep two"),
+        ]
+        got = self._run(spark, rows, min_pages=2)
+        # 'nav' removed from BOTH pages (no canonical first occurrence)
+        assert got[1].clean_text == "keep"
+        assert got[2].clean_text == "keep two"
+
+    def test_within_page_repeats_count_once(self, spark):
+        # the same line twice on ONE page is one distinct page — below the
+        # 2-page bar, so it stays
+        rows = [(1, "s", "dup\nbody\ndup"), (2, "s", "other")]
+        got = self._run(spark, rows, min_pages=2)
+        assert got[1].clean_text == "dup\nbody\ndup"
+        assert got[1].n_removed == 0
+
+    def test_blank_null_and_null_group(self, spark):
+        rows = [
+            (1, "s", "a\n\nfooter"),
+            (2, "s", "b\n\nfooter"),
+            (3, "s", None),
+            (4, None, "footer\nfooter"),
+        ]
+        got = self._run(spark, rows, min_pages=2)
+        # blank line is structural — survives; footer goes
+        assert got[1].clean_text == "a\n"
+        assert got[2].clean_text == "b\n"
+        assert got[3].clean_text is None and got[3].n_lines == 0
+        # NULL group never matches a boilerplate set
+        assert got[4].clean_text == "footer\nfooter"
+
+    def test_plan_python_free(self, spark):
+        from py_stringsimjoin_spark.operators.textclean import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "s", "a\nb")], "doc_id int, source string, text string"
+        )
+        out = remove_boilerplate_lines(df, "doc_id", "text", "source")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
