@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 72 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 73 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2833,6 +2833,66 @@ FROM e LEFT JOIN a USING (doc_id)
 """
 
 
+def q_featurize_part(spark, sf_dir):
+    """Multi-measure ML feature table (operators/matcher.py
+    featurize_pairs): one Arrow pass computes whitespace-jaccard, edit
+    distance and jaro-winkler per candidate pair — the Magellan-style
+    feature-vector bridge from blocking to a learned matcher."""
+    from py_stringsimjoin_spark.operators.matcher import featurize_pairs
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    ).select(F.col("_l_key").alias("l_id"), F.col("_r_key").alias("r_id"))
+    return featurize_pairs(
+        cand, "l_id", "r_id", part, part, "p_partkey", "p_partkey",
+        {
+            "name_jacc": {
+                "l_attr": "p_name", "r_attr": "p_name",
+                "tokenizer": _WS, "measure": "jaccard",
+            },
+            "name_edit": {
+                "l_attr": "p_name", "r_attr": "p_name", "measure": "edit_distance",
+            },
+            "name_jw": {
+                "l_attr": "p_name", "r_attr": "p_name", "measure": "jaro_winkler",
+            },
+        },
+    )
+
+
+def _featurize_part_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS name, {toks} AS toks
+  FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT l_id, r_id FROM pairs WHERE {_J_SCORE} >= 0.5
+)
+SELECT c.l_id, c.r_id,
+  len(list_intersect(la.toks, rb.toks))::DOUBLE
+    / (len(la.toks) + len(rb.toks) - len(list_intersect(la.toks, rb.toks)))::DOUBLE
+    AS name_jacc,
+  levenshtein(la.name, rb.name)::DOUBLE AS name_edit,
+  jaro_winkler_similarity(la.name, rb.name) AS name_jw
+FROM cand c
+JOIN base la ON la.id = c.l_id
+JOIN base rb ON rb.id = c.r_id
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2885,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablock_cnp_part": q_metablock_cnp_part,
         "pr_curve_part": q_pr_curve_part,
         "boilerplate_docs": q_boilerplate_docs,
+        "featurize_part": q_featurize_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -2967,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "metablock_cnp_part": _METABLOCK_CNP_SQL,
         "pr_curve_part": _PR_CURVE_PART_SQL,
         "boilerplate_docs": _BOILERPLATE_DOCS_SQL,
+        "featurize_part": _featurize_part_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),
