@@ -36,8 +36,21 @@ def profile_table_for_join(table: DataFrame, profile_attrs: list[str] | None = N
         else:
             comment = ""
         recs.append((a, int(uniq), int(miss), int(n), comment))
+    # pandas → Arrow → JVM LocalTableScan: a plain list createDataFrame
+    # becomes a pickled Python RDD in spark.default.parallelism slices and
+    # every scan of the profile pays a Python-worker wave (same fix as
+    # operators/token_ordering.py)
+    import pandas as pd
+
     spark = table.sparkSession
-    return spark.createDataFrame(
+    pdf = pd.DataFrame(
         recs,
-        "attribute string, unique_values long, missing_values long, total_rows long, comments string",
+        columns=[
+            "attribute", "unique_values", "missing_values", "total_rows", "comments"
+        ],
+    )
+    return spark.createDataFrame(
+        pdf,
+        schema="attribute string, unique_values long, missing_values long, "
+        "total_rows long, comments string",
     )
