@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 73 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 74 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2893,6 +2893,52 @@ JOIN base rb ON rb.id = c.r_id
 """
 
 
+def q_metablock_cc_part(spark, sf_dir):
+    """Clean-clean (R≠S) meta-blocking: even-keyed vs odd-keyed parts,
+    block-set Jaccard weights over cross-collection token blocks, WEP at
+    0.5 — the two-collection linkage shape of
+    operators/metablocking.py:metablock_pairs_two_tables."""
+    from py_stringsimjoin_spark.operators.metablocking import (
+        metablock_pairs_two_tables,
+    )
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    lt = part.where(F.col("p_partkey") % 2 == 0)
+    rt = part.where(F.col("p_partkey") % 2 == 1)
+    return metablock_pairs_two_tables(
+        lt, rt, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, weight="js", prune="wep", threshold=0.5,
+    )
+
+
+_METABLOCK_CC_SQL = f"""
+WITH lt AS (
+  SELECT p_partkey AS id, unnest(list_distinct({_WS.duckdb_sql("p_name")})) AS b
+  FROM part WHERE p_name IS NOT NULL AND p_partkey % 2 = 0
+), rt AS (
+  SELECT p_partkey AS id, unnest(list_distinct({_WS.duckdb_sql("p_name")})) AS b
+  FROM part WHERE p_name IS NOT NULL AND p_partkey % 2 = 1
+), good AS (
+  SELECT b FROM (SELECT DISTINCT b FROM lt) INTERSECT SELECT DISTINCT b FROM rt
+), lp AS (SELECT l.id, l.b FROM lt l JOIN good USING (b)),
+rp AS (SELECT r.id, r.b FROM rt r JOIN good USING (b)),
+ldeg AS (SELECT id, count(*) AS nb FROM lp GROUP BY id),
+rdeg AS (SELECT id, count(*) AS nb FROM rp GROUP BY id),
+e AS (
+  SELECT l.id AS li, r.id AS ri, count(*) AS cbs
+  FROM lp l JOIN rp r ON l.b = r.b
+  GROUP BY l.id, r.id
+),
+w AS (
+  SELECT li, ri, cbs,
+         cbs::DOUBLE / (dl.nb + dr.nb - cbs)::DOUBLE AS weight
+  FROM e JOIN ldeg dl ON e.li = dl.id JOIN rdeg dr ON e.ri = dr.id
+)
+SELECT li AS l_p_partkey, ri AS r_p_partkey, cbs AS common_blocks, weight
+FROM w WHERE weight >= 0.5
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2946,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve_part": q_pr_curve_part,
         "boilerplate_docs": q_boilerplate_docs,
         "featurize_part": q_featurize_part,
+        "metablock_cc_part": q_metablock_cc_part,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -3029,6 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve_part": _PR_CURVE_PART_SQL,
         "boilerplate_docs": _BOILERPLATE_DOCS_SQL,
         "featurize_part": _featurize_part_sql(),
+        "metablock_cc_part": _METABLOCK_CC_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

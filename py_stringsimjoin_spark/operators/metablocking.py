@@ -176,3 +176,119 @@ def metablock_pairs(
         "common_blocks",
         "weight",
     )
+
+
+def metablock_pairs_two_tables(
+    ltable: DataFrame,
+    rtable: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_block_attr: str,
+    r_block_attr: str,
+    tokenizer: Tokenizer,
+    weight: str = "js",
+    prune: str = "wep",
+    threshold: float | None = None,
+    k: int | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Clean-clean (R≠S) meta-blocking: edges only ACROSS the two
+    collections.
+
+    Same weighting/pruning semantics as :func:`metablock_pairs`, adapted
+    to two deduplicated collections (Papadakis' clean-clean ER setting):
+    a block is the set of records from BOTH sides sharing a token; blocks
+    whose size (l-members + r-members) exceeds ``max_block_size`` are
+    purged, as are blocks missing either side (they yield no cross
+    pairs); degrees |B(u)| count each record's surviving blocks on its own
+    side. CNP ranks a node's CROSS edges only (there are no within-side
+    edges to rank). Output: ``(l_<l_key_attr>, r_<r_key_attr>,
+    common_blocks, weight)``.
+    """
+    if weight not in _WEIGHTS:
+        raise AssertionError(f"weight must be one of {_WEIGHTS}, got {weight!r}")
+    if prune not in _PRUNE:
+        raise AssertionError(f"prune must be one of {_PRUNE}, got {prune!r}")
+    if prune == "cnp" and (k is None or k < 1):
+        raise AssertionError("prune='cnp' requires k >= 1")
+
+    def _blocks(df, key, attr):
+        validate_attr(df, key, "metablock input")
+        validate_attr(df, attr, "metablock input")
+        toks = tokenizer.spark_col(F.col(attr))
+        return df.select(
+            F.col(key), F.explode(F.array_distinct(toks)).alias("_block")
+        )
+
+    lb = _blocks(ltable, l_key_attr, l_block_attr).select(
+        "_block", F.col(l_key_attr).alias("_l")
+    )
+    rb = _blocks(rtable, r_key_attr, r_block_attr).select(
+        "_block", F.col(r_key_attr).alias("_r")
+    )
+    sizes = (
+        lb.select("_block").withColumn("_side", F.lit("l"))
+        .unionByName(rb.select("_block").withColumn("_side", F.lit("r")))
+        .groupBy("_block")
+        .agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.count_distinct("_side").alias("_sides"),
+        )
+    )
+    keep = F.col("_sides") == 2
+    if max_block_size is not None:
+        if max_block_size < 2:
+            raise AssertionError("max_block_size must be >= 2")
+        keep = keep & (F.col("_bsz") <= max_block_size)
+    good = sizes.where(keep).select("_block")
+    lbp = lb.join(good, "_block")
+    rbp = rb.join(good, "_block")
+    edges = (
+        lbp.join(rbp, "_block")
+        .groupBy("_l", "_r")
+        .agg(F.count(F.lit(1)).alias("common_blocks"))
+    )
+    if weight == "js":
+        ldeg = lbp.groupBy("_l").agg(F.count(F.lit(1)).alias("_nbl"))
+        rdeg = rbp.groupBy("_r").agg(F.count(F.lit(1)).alias("_nbr"))
+        edges = (
+            edges.join(ldeg, "_l").join(rdeg, "_r").select(
+                "_l", "_r", "common_blocks",
+                (
+                    F.col("common_blocks").cast("double")
+                    / (F.col("_nbl") + F.col("_nbr") - F.col("common_blocks")).cast(
+                        "double"
+                    )
+                ).alias("weight"),
+            )
+        )
+    else:
+        edges = edges.select(
+            "_l", "_r", "common_blocks",
+            F.col("common_blocks").cast("double").alias("weight"),
+        )
+
+    if prune == "wep":
+        if threshold is None:
+            mean = edges.agg(F.avg("weight").alias("_mw"))
+            edges = edges.crossJoin(F.broadcast(mean)).where(
+                F.col("weight") >= F.col("_mw")
+            ).drop("_mw")
+        else:
+            edges = edges.where(F.col("weight") >= F.lit(float(threshold)))
+    elif prune == "cnp":
+        w_l = Window.partitionBy("_l").orderBy(F.col("weight").desc(), F.col("_r").asc())
+        w_r = Window.partitionBy("_r").orderBy(F.col("weight").desc(), F.col("_l").asc())
+        ranked = edges.withColumn("_rnl", F.row_number().over(w_l)).withColumn(
+            "_rnr", F.row_number().over(w_r)
+        )
+        edges = ranked.where(
+            (F.col("_rnl") <= int(k)) | (F.col("_rnr") <= int(k))
+        ).drop("_rnl", "_rnr")
+
+    return edges.select(
+        F.col("_l").alias(f"l_{l_key_attr}"),
+        F.col("_r").alias(f"r_{r_key_attr}"),
+        "common_blocks",
+        "weight",
+    )

@@ -117,3 +117,73 @@ def test_plan_is_python_free(df):
     out = metablock_pairs(df, "id", "name", TOK, weight="js", prune="cnp", k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCleanClean:
+    L = [(1, "alpha beta"), (2, "alpha gamma"), (3, "zeta"), (4, None)]
+    R = [(10, "alpha beta"), (11, "gamma delta"), (12, "eta")]
+
+    def _brute(self, weight="js", max_block_size=None):
+        lb, rb = {}, {}
+        for rid, txt in self.L:
+            if txt is None: continue
+            for t in set(txt.split()):
+                lb.setdefault(t, set()).add(rid)
+        for rid, txt in self.R:
+            if txt is None: continue
+            for t in set(txt.split()):
+                rb.setdefault(t, set()).add(rid)
+        good = {
+            b for b in set(lb) & set(rb)
+            if max_block_size is None or len(lb[b]) + len(rb[b]) <= max_block_size
+        }
+        ldeg, rdeg, cbs = {}, {}, {}
+        for b in good:
+            for u in lb[b]: ldeg[u] = ldeg.get(u, 0) + 1
+            for v in rb[b]: rdeg[v] = rdeg.get(v, 0) + 1
+            for u in lb[b]:
+                for v in rb[b]:
+                    cbs[(u, v)] = cbs.get((u, v), 0) + 1
+        if weight == "cbs":
+            return {p: (c, float(c)) for p, c in cbs.items()}
+        return {p: (c, c / (ldeg[p[0]] + rdeg[p[1]] - c)) for p, c in cbs.items()}
+
+    def _run(self, spark, **kw):
+        from py_stringsimjoin_spark.functions.tokenizers import WhitespaceTokenizer
+        from py_stringsimjoin_spark.operators.metablocking import (
+            metablock_pairs_two_tables,
+        )
+
+        l = spark.createDataFrame(self.L, "id int, name string")
+        r = spark.createDataFrame(self.R, "id int, name string")
+        out = metablock_pairs_two_tables(
+            l, r, "id", "id", "name", "name",
+            WhitespaceTokenizer(return_set=True), **kw,
+        )
+        return {(x.l_id, x.r_id): (x.common_blocks, x.weight) for x in out.collect()}
+
+    def test_edges_match_brute(self, spark):
+        for w in ("cbs", "js"):
+            assert self._run(spark, weight=w, prune="none") == self._brute(w)
+
+    def test_wep_and_cnp(self, spark):
+        js = self._brute("js")
+        got = self._run(spark, weight="js", prune="wep", threshold=0.5)
+        assert set(got) == {p for p, (_, w) in js.items() if w >= 0.5}
+        # CNP k=1: edge kept if top-1 of either endpoint
+        keep = set()
+        for n in {p[0] for p in js}:
+            inc = sorted(((p, w) for p, (_, w) in js.items() if p[0] == n),
+                         key=lambda pw: (-pw[1], pw[0][1]))
+            keep.update(p for p, _ in inc[:1])
+        for n in {p[1] for p in js}:
+            inc = sorted(((p, w) for p, (_, w) in js.items() if p[1] == n),
+                         key=lambda pw: (-pw[1], pw[0][0]))
+            keep.update(p for p, _ in inc[:1])
+        got = self._run(spark, weight="js", prune="cnp", k=1)
+        assert set(got) == keep
+
+    def test_one_sided_blocks_yield_nothing(self, spark):
+        # 'zeta'/'eta' exist on one side only; NULL rows never block
+        got = self._run(spark, prune="none")
+        assert all(l != 3 for l, _ in got) and all(r != 12 for _, r in got)
