@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 74 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 75 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2939,6 +2939,43 @@ FROM w WHERE weight >= 0.5
 """
 
 
+def q_unigram_entropy_docs(spark, sf_dir):
+    """Corpus-LM quality signal (operators/textstats.py
+    unigram_cross_entropy): per-document unigram cross-entropy against
+    the corpus's own word distribution — the declarative stand-in for a
+    CCNet-style perplexity gate. Bit-exact oracle via sorted left-fold
+    summation and ln(x)/ln(2)."""
+    from py_stringsimjoin_spark.operators.textstats import unigram_cross_entropy
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_cross_entropy(docs, "doc_id", "text")
+
+
+_UNIGRAM_ENTROPY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w
+), tot AS (
+  SELECT sum(c)::BIGINT AS total FROM f
+), lp AS (
+  SELECT doc_id, ln(c::DOUBLE / total::DOUBLE) / ln(2.0) AS lp
+  FROM w JOIN f USING (w), tot
+), a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         list_reduce(list_sort(list(lp)), (x, y) -> x + y) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_words, 0)::BIGINT AS n_words,
+  -a.s / a.n_words::DOUBLE AS cross_entropy
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -2993,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "featurize_part": q_featurize_part,
         "metablock_cc_part": q_metablock_cc_part,
+        "unigram_entropy_docs": q_unigram_entropy_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -3077,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_docs": _BOILERPLATE_DOCS_SQL,
         "featurize_part": _featurize_part_sql(),
         "metablock_cc_part": _METABLOCK_CC_SQL,
+        "unigram_entropy_docs": _UNIGRAM_ENTROPY_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

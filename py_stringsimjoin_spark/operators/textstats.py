@@ -112,3 +112,61 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(t).alias("n_chars"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def unigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document unigram cross-entropy vs the corpus language model.
+
+    The declarative stand-in for the CCNet-style LM-perplexity quality
+    signal (no external KenLM in a pure-Spark pipeline): train a unigram
+    model on the corpus itself — ``p(w) = count(w) / total`` over all
+    word occurrences — and score each document with
+    ``H(d) = -(1/|d|) * Σ_{w∈d} log2 p(w)`` (bag semantics: repeated
+    words count every time). Low H = made of common words (boilerplate /
+    template-like); high H = rare-word-heavy (jargon, noise, or rich
+    content) — pipelines gate on both tails.
+
+    Returns ``(id_col, n_words, cross_entropy)``; NULL text or an empty
+    document yields NULL entropy. Determinism note: the per-document sum
+    is an explicit left fold over the SORTED log-probability array, and
+    log2 is computed as ``ln(x)/ln(2)`` — both choices so a replaying
+    engine (the DuckDB oracle) reproduces the float64 result bit-exactly
+    (float addition isn't associative; libm log2 differs by 1 ulp across
+    engines, ln does not).
+
+    Scale shape: one explode + one (word)-keyed count (partial-aggregated
+    — the Zipf head combines map-side), one broadcast-sized total, one
+    join back on word, one per-doc collect. No UDFs, nothing collected on
+    the driver.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("_w")
+    )
+    freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_total"))
+    lp = (
+        words.join(freq, "_w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                F.log(F.col("_c").cast("double") / F.col("_total").cast("double"))
+                / F.log(F.lit(2.0))
+            ).alias("_lp"),
+        )
+    )
+    agg = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_lp")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    return df.select(id_col, text_col).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+        (-F.col("_sum") / F.col("n_words").cast("double")).alias("cross_entropy"),
+    )

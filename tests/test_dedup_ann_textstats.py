@@ -197,3 +197,37 @@ def test_frame_sample_plan(spark):
     a = {key(r): r["features"] for r in out}
     b = {key(r): r["features"] for r in out2}
     assert a == b
+
+
+def test_unigram_cross_entropy(spark):
+    import math
+
+    from py_stringsimjoin_spark.operators.textstats import unigram_cross_entropy
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the the the"),
+        (3, "rare words here"),
+        (4, ""),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in unigram_cross_entropy(df, "doc_id", "text").collect()}
+
+    # brute-force model over the same corpus
+    bags = {i: t.lower().split() for i, t in rows if t is not None}
+    from collections import Counter
+
+    freq = Counter(w for b in bags.values() for w in b)
+    total = sum(freq.values())
+    for i, bag in bags.items():
+        if not bag:
+            assert got[i].n_words == 0 and got[i].cross_entropy is None
+            continue
+        h = -sum(math.log(freq[w] / total) / math.log(2.0) for w in bag) / len(bag)
+        assert got[i].n_words == len(bag)
+        assert got[i].cross_entropy == pytest.approx(h, rel=1e-12)
+    assert got[5].n_words == 0 and got[5].cross_entropy is None
+    # all-common doc scores LOWER than the rare-word doc
+    assert got[2].cross_entropy < got[3].cross_entropy
