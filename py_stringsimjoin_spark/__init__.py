@@ -18,6 +18,7 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
+from .functions.pii import pii_counts, redact_pii, redact_pii_expr
 from .functions.urls import (
     normalize_url,
     normalize_url_expr,
@@ -32,6 +33,7 @@ from .operators.connected_components import connected_components, update_compone
 from .operators.evaluation import (
     blocking_metrics,
     evaluate_blocking,
+    pr_curve,
     sample_pairs_for_review,
 )
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
@@ -55,9 +57,18 @@ from .operators.fellegi_sunter import (
     score_pairs,
     term_frequency_table,
 )
-from .operators.matcher import apply_matcher
+from .operators.learned import score_matches, train_matcher
+from .operators.matcher import apply_matcher, featurize_pairs
+from .operators.metablocking import (
+    metablock_pairs,
+    metablock_pairs_two_tables,
+    token_blocks,
+)
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
+from .operators.pii import pii_stats
+from .operators.textclean import remove_boilerplate_lines
+from .operators.textstats import unigram_cross_entropy
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
@@ -131,4 +142,17 @@ __all__ = [
     "get_spark",
     "engine_cache_scope",
     "release_engine_caches",
+    "featurize_pairs",
+    "train_matcher",
+    "score_matches",
+    "metablock_pairs",
+    "metablock_pairs_two_tables",
+    "token_blocks",
+    "pr_curve",
+    "pii_stats",
+    "redact_pii",
+    "redact_pii_expr",
+    "pii_counts",
+    "remove_boilerplate_lines",
+    "unigram_cross_entropy",
 ]
