@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 75 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 76 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2976,6 +2976,28 @@ FROM documents d LEFT JOIN a USING (doc_id)
 """
 
 
+def q_split_docs(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test assignment
+    (operators/splits.py assign_splits): md5-hash draw per doc_id,
+    boundaries as hex strings so both engines assign byte-identically;
+    stable under reruns, row order, and corpus growth."""
+    from py_stringsimjoin_spark.operators.splits import assign_splits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r4"
+    )
+
+
+def _split_docs_sql() -> str:
+    from py_stringsimjoin_spark.operators.splits import split_bounds_sql
+
+    case = split_bounds_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r4"
+    )
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -3031,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_part": q_featurize_part,
         "metablock_cc_part": q_metablock_cc_part,
         "unigram_entropy_docs": q_unigram_entropy_docs,
+        "split_docs": q_split_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -3116,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "featurize_part": _featurize_part_sql(),
         "metablock_cc_part": _METABLOCK_CC_SQL,
         "unigram_entropy_docs": _UNIGRAM_ENTROPY_SQL,
+        "split_docs": _split_docs_sql(),
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

@@ -67,6 +67,7 @@ from .operators.metablocking import (
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
+from .operators.splits import assign_splits
 from .operators.textclean import remove_boilerplate_lines
 from .operators.textstats import unigram_cross_entropy
 from .operators.prepared import PreparedSetSimCorpus
@@ -150,6 +151,7 @@ __all__ = [
     "token_blocks",
     "pr_curve",
     "pii_stats",
+    "assign_splits",
     "redact_pii",
     "redact_pii_expr",
     "pii_counts",
