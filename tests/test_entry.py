@@ -20,6 +20,7 @@ FAST_ORACLE_QUERIES = [
     "ann_topk_embeddings",
     "exact_dups_docs",
     "pii_docs",
+    "split_docs",
 ]
 
 
