@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship jaccard self-join on sf0.001.
 ``queries()``    — one entry per implemented operator (SURVEY.md §2);
-one per implemented operator (len(queries()) of them — 76 as of round 4), every one with a DuckDB oracle below.
+one per implemented operator (len(queries()) of them — 77 as of round 4), every one with a DuckDB oracle below.
 ``oracle_sql()`` — DuckDB-runnable SQL computing the same result; every
 formula is written so both engines execute the *identical* float64 IEEE
 operations (same operand order), so value hashes match exactly. As of round 4 every
@@ -2998,6 +2998,34 @@ def _split_docs_sql() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
+def q_top_tokens_docs(spark, sf_dir):
+    """Corpus vocabulary head (operators/textstats.py top_tokens): top-25
+    word tokens by total frequency with document frequency and a
+    deterministic rank — stopword discovery / the Zipf head the skew
+    planner salts and meta-blocking purges."""
+    from py_stringsimjoin_spark.operators.textstats import top_tokens
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_tokens(docs, "doc_id", "text", k=25)
+
+
+_TOP_TOKENS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT tok AS token, count(*)::BIGINT AS freq,
+         count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM w GROUP BY tok
+)
+SELECT token, freq, doc_freq,
+       row_number() OVER (ORDER BY freq DESC, token ASC)::BIGINT AS rank
+FROM s QUALIFY rank <= 25
+"""
+
+
 # -------------------------------------------------------------- registry --
 
 
@@ -3054,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablock_cc_part": q_metablock_cc_part,
         "unigram_entropy_docs": q_unigram_entropy_docs,
         "split_docs": q_split_docs,
+        "top_tokens_docs": q_top_tokens_docs,
         "fs_patterns_part": q_fs_patterns_part,
         "fs_score_part": q_fs_score_part,
         "fs_tf_part": q_fs_tf_part,
@@ -3140,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "metablock_cc_part": _METABLOCK_CC_SQL,
         "unigram_entropy_docs": _UNIGRAM_ENTROPY_SQL,
         "split_docs": _split_docs_sql(),
+        "top_tokens_docs": _TOP_TOKENS_SQL,
         "fs_patterns_part": _fs_patterns_sql(),
         "fs_score_part": _fs_score_sql(),
         "fs_tf_part": _fs_tf_sql(),

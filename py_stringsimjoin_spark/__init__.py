@@ -69,7 +69,7 @@ from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
 from .operators.splits import assign_splits
 from .operators.textclean import remove_boilerplate_lines
-from .operators.textstats import unigram_cross_entropy
+from .operators.textstats import top_tokens, unigram_cross_entropy
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
@@ -157,4 +157,5 @@ __all__ = [
     "pii_counts",
     "remove_boilerplate_lines",
     "unigram_cross_entropy",
+    "top_tokens",
 ]

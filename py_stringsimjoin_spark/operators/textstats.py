@@ -170,3 +170,42 @@ def unigram_cross_entropy(
         F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
         (-F.col("_sum") / F.col("n_words").cast("double")).alias("cross_entropy"),
     )
+
+
+def top_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent word tokens.
+
+    Returns ``(token, freq, doc_freq, rank)`` — total occurrences, number
+    of distinct documents containing the token, and a dense 1-based rank
+    by ``(freq desc, token asc)`` (deterministic ties). This is stopword
+    discovery / Zipf-head auditing: the same head the skew planner salts
+    (plans/skew.py) and meta-blocking purges, exposed as a table a
+    pipeline owner can inspect or feed back as a stop-token list.
+
+    Scale shape: one explode + one token-keyed aggregation computing freq
+    and doc_freq together (``count_distinct(id)`` per token — the heavy
+    half — partial-aggregates after an exact (token, id) distinct whose
+    shuffle key is the token); the final top-k is a single-partition sort
+    of vocabulary-sized data bounded by ``k`` via TakeOrdered, never a
+    full global sort of the corpus.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"), F.explode(_words(F.col(text_col))).alias("_w")
+    )
+    stats = words.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("_id").alias("doc_freq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("_w").asc())
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(F.col("_w").alias("token"), "freq", "doc_freq", "rank")
+    )
