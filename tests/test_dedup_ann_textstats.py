@@ -231,3 +231,20 @@ def test_unigram_cross_entropy(spark):
     assert got[5].n_words == 0 and got[5].cross_entropy is None
     # all-common doc scores LOWER than the rare-word doc
     assert got[2].cross_entropy < got[3].cross_entropy
+
+
+def test_top_tokens(spark):
+    from py_stringsimjoin_spark.operators.textstats import top_tokens
+
+    rows = [
+        (1, "a b b c"),
+        (2, "b c c"),
+        (3, None),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.token: (r.freq, r.doc_freq, r.rank) for r in top_tokens(df, "doc_id", "text", k=2).collect()}
+    # freq: b=3 c=3 a=2 -> ties broken by token asc: b rank 1, c rank 2
+    assert got == {"b": (3, 2, 1), "c": (3, 2, 2)}
+    all_ranks = {r.token: r.rank for r in top_tokens(df, "doc_id", "text", k=10).collect()}
+    assert all_ranks == {"b": 1, "c": 2, "a": 3}
