@@ -109,7 +109,7 @@ def band_bucket_exprs(sig_cols: list["F.Column"], bands: int) -> list["F.Column"
     ]
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -117,7 +117,11 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate near-dup pairs (l_id < r_id) sharing ≥1 LSH band bucket."""
+    """(id, _band, _bucket) LSH band assignments — the persistable half of
+    the near-dup join. A row collides with another iff they share a
+    (_band, _bucket); CurationPipeline.increment persists this table so a
+    crawl delta probes EXISTING buckets instead of re-signing the corpus
+    (same single-definition band hash the streaming probe uses)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     tok = tokenizer or ShingleTokenizer(n=3)
@@ -142,9 +146,21 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = band_bucket_exprs([F.col(f"_s{i}") for i in range(num_perm)], bands)
-    band_rows = sig.select(
+    return sig.select(
         "id", F.posexplode(F.array(*buckets)).alias("_band", "_bucket")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (l_id < r_id) sharing ≥1 LSH band bucket."""
+    band_rows = minhash_band_rows(df, id_col, text_col, tokenizer, num_perm, bands)
     a = band_rows.select(F.col("id").alias("l_id"), "_band", "_bucket")
     b = band_rows.select(F.col("id").alias("r_id"), "_band", "_bucket")
     return (
@@ -152,6 +168,38 @@ def minhash_lsh_pairs(
         .where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id")
         .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (l_id, r_id) candidates →
+    (l_id, r_id, jaccard) rows at or above ``threshold``."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"), tokenizer.spark_col(F.col(text_col)).alias("_tk")
+        )
+        .where(F.col("_tk").isNotNull())
+    )
+    l = toks.select(F.col("id").alias("l_id"), F.col("_tk").alias("_lt"))
+    r = toks.select(F.col("id").alias("r_id"), F.col("_tk").alias("_rt"))
+    return (
+        cand.join(l, "l_id")
+        .join(r, "r_id")
+        .withColumn("_ov", F.size(F.array_intersect("_lt", "_rt")))
+        .withColumn(
+            "jaccard",
+            F.col("_ov").cast("double")
+            / (F.size("_lt") + F.size("_rt") - F.col("_ov")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("l_id", "r_id", "jaccard")
     )
 
 
@@ -168,24 +216,7 @@ def minhash_dedup(
     (l_id, r_id, jaccard)."""
     tok = tokenizer or ShingleTokenizer(n=3)
     cand = minhash_lsh_pairs(df, id_col, text_col, tok, num_perm, bands)
-    toks = (
-        df.select(F.col(id_col).alias("id"), tok.spark_col(F.col(text_col)).alias("_tk"))
-        .where(F.col("_tk").isNotNull())
-    )
-    l = toks.select(F.col("id").alias("l_id"), F.col("_tk").alias("_lt"))
-    r = toks.select(F.col("id").alias("r_id"), F.col("_tk").alias("_rt"))
-    j = (
-        cand.join(l, "l_id")
-        .join(r, "r_id")
-        .withColumn("_ov", F.size(F.array_intersect("_lt", "_rt")))
-        .withColumn(
-            "jaccard",
-            F.col("_ov").cast("double")
-            / (F.size("_lt") + F.size("_rt") - F.col("_ov")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return j.select("l_id", "r_id", "jaccard")
+    return verify_jaccard_pairs(cand, df, id_col, text_col, tok, threshold)
 
 
 def simhash_col(tokens_col, bits: int = 64) -> "F.Column":

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from ..functions.pii import redact_pii_expr
 from ..functions.tokenizers import ShingleTokenizer
 from ..functions.urls import normalize_url_expr, url_host_expr
-from ..operators.dedup import dedup_groups, minhash_dedup
+from ..operators.dedup import (
+    dedup_groups,
+    minhash_band_rows,
+    verify_jaccard_pairs,
+)
 from ..operators.splits import assign_splits
 from ..operators.textclean import gopher_quality_filter, remove_boilerplate_lines
 from .pipeline import Stage, _fingerprint
@@ -98,18 +102,34 @@ class CurationPipeline:
         if st.done(fp):
             return st.manifest()
         docs = Stage(self.workdir, "01_canon").read(self.spark)
-        pairs = minhash_dedup(
-            docs, "url", "text",
-            threshold=self.neardup_threshold,
-            tokenizer=ShingleTokenizer(n=3),
+        tok = ShingleTokenizer(n=3)
+        buckets = minhash_band_rows(docs, "url", "text", tok)
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["_band", "_bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
+            .distinct()
+        )
+        pairs = verify_jaccard_pairs(
+            cand, docs, "url", "text", tok, self.neardup_threshold
         ).select("l_id", "r_id")
+        # side state for increments: the band buckets (so a delta probes
+        # existing buckets instead of re-signing the corpus) and the
+        # verified edges (so cluster membership can be rebuilt after
+        # recrawl-replacements delete nodes). Written BEFORE the manifest:
+        # a crash between leaves the stage not-done and it reruns whole.
+        buckets.write.mode("overwrite").parquet(st.dir + "__buckets")
+        pairs.write.mode("overwrite").parquet(st.dir + "__pairs")
+        kept = self._survivors(docs, self.spark.read.parquet(st.dir + "__pairs"))
+        return st.write(kept, fp, {"n_in": int(docs.count())})
+
+    @staticmethod
+    def _survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         groups = dedup_groups(docs, "url", pairs)
         rep = groups.groupBy("group_id").agg(F.min("id").alias("_rep"))
         keep = groups.join(rep, "group_id").where(F.col("id") == F.col("_rep"))
-        kept = docs.join(
-            keep.select(F.col("id").alias("url")), "url", "left_semi"
-        )
-        return st.write(kept, fp, {"n_in": int(docs.count())})
+        return docs.join(keep.select(F.col("id").alias("url")), "url", "left_semi")
 
     def hygiene(self) -> dict:
         st, fp = self._stage("03_hygiene")
@@ -155,6 +175,139 @@ class CurationPipeline:
             docs, "url", self.split_weights, seed=self.split_seed
         )
         return st.write(out, fp)
+
+    # ------------------------------------------------------------- increment
+    def increment(self, delta_pages: DataFrame) -> DataFrame:
+        """Fold a crawl increment into the curated state, delta-shaped.
+
+        Equivalent to re-running the FULL pipeline over (old ∪ delta)
+        pages — asserted in tests/test_curation.py — but the expensive
+        stages only touch the delta:
+
+        * canonical dedup: unaffected canonical keys pass through with an
+          anti-join (delta keys broadcast); only affected keys re-window;
+        * near-dup: only CHANGED docs (new keys + recrawl winners) are
+          re-signed; their bands probe the PERSISTED bucket table, so the
+          corpus is never re-signed. Edges touching replaced docs are
+          dropped (their text left the corpus — groups may split), new
+          verified edges join the persisted edge set, and connected
+          components rebuild over the EDGE set only (edges ≪ corpus);
+        * hygiene/scrub/splits recompute over the surviving set — they
+          are single-pass map-heavy stages whose cost is one corpus scan
+          (boilerplate counts are corpus-dependent, so true equivalence
+          requires the recount; splits are per-key deterministic and
+          cannot move).
+
+        Stage dirs rewrite via ``__next`` + atomic rename (each new stage
+        is derived FROM the old one); downstream manifests are removed so
+        the tail stages recompute instead of wrongly resuming.
+        """
+        import shutil
+
+        st_canon = Stage(self.workdir, "01_canon")
+        st_nd = Stage(self.workdir, "02_neardup")
+        n_inc = int(st_nd.manifest().get("increment", 0)) + 1
+
+        old = st_canon.read(self.spark)
+        delta = delta_pages.withColumn(
+            "canonical_url", normalize_url_expr(F.col("url"))
+        ).select("url", "canonical_url", "warc_ts", "text", "lang")
+        affected = delta.select("canonical_url").distinct()
+        untouched = old.join(affected, "canonical_url", "left_anti")
+        contested = old.join(affected, "canonical_url", "left_semi")
+        w = Window.partitionBy("canonical_url").orderBy(
+            F.col("warc_ts").desc(), F.col("url").asc()
+        )
+        winners = (
+            contested.unionByName(delta)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_canon = untouched.unionByName(winners)
+        # changed = winners not identical to an existing row (new keys, or
+        # keys where the delta crawl won); replaced = old rows that lost
+        changed = winners.join(
+            old.select("url", F.col("warc_ts").alias("_ots")),
+            "url",
+            "left",
+        ).where(
+            F.col("_ots").isNull() | (F.col("warc_ts") != F.col("_ots"))
+        ).drop("_ots")
+        # stale = old rows that left the corpus or whose text changed: every
+        # contested old url EXCEPT a winner that is the old row unchanged
+        # (the delta lost — its buckets and edges remain valid)
+        unchanged_winners = winners.join(
+            changed.select("url"), "url", "left_anti"
+        ).select("url")
+        stale_urls = contested.select("url").join(
+            unchanged_winners, "url", "left_anti"
+        ).distinct()
+
+        tok = ShingleTokenizer(n=3)
+        old_buckets = self.spark.read.parquet(st_nd.dir + "__buckets")
+        old_pairs = self.spark.read.parquet(st_nd.dir + "__pairs")
+        live_old_buckets = old_buckets.join(
+            stale_urls.select(F.col("url").alias("id")), "id", "left_anti"
+        )
+        new_buckets = minhash_band_rows(changed, "url", "text", tok)
+        all_buckets = live_old_buckets.unionByName(new_buckets)
+        cand = (
+            new_buckets.alias("a")
+            .join(all_buckets.alias("b"), ["_band", "_bucket"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("l_id"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("r_id"),
+            )
+            .distinct()
+        )
+        new_pairs = verify_jaccard_pairs(
+            cand, new_canon, "url", "text", tok, self.neardup_threshold
+        ).select("l_id", "r_id")
+        live_old_pairs = old_pairs.join(
+            stale_urls.select(F.col("url").alias("l_id")), "l_id", "left_anti"
+        ).join(stale_urls.select(F.col("url").alias("r_id")), "r_id", "left_anti")
+        all_pairs = live_old_pairs.unionByName(new_pairs).distinct()
+        survivors = self._survivors(new_canon, all_pairs)
+
+        fp_inc = {"increment": n_inc}
+        staged = []
+        for st, df, side in (
+            (st_canon, new_canon, {}),
+            (st_nd, survivors, {"__buckets": all_buckets, "__pairs": all_pairs}),
+        ):
+            nxt = Stage(self.workdir, os.path.basename(st.dir) + "__next")
+            for suffix, sdf in side.items():
+                sdf.write.mode("overwrite").parquet(nxt.dir + suffix)
+            fp = _fingerprint(
+                {**self.params, "stage": os.path.basename(st.dir), **fp_inc}
+            )
+            m = nxt.write(df, fp)
+            m.update(fp_inc)
+            staged.append((st, nxt, m, list(side)))
+        import json as _json
+
+        for st, nxt, m, suffixes in staged:
+            shutil.rmtree(st.dir)
+            os.rename(nxt.dir, st.dir)
+            for suffix in suffixes:
+                old_side = st.dir + suffix
+                if os.path.exists(old_side):
+                    shutil.rmtree(old_side)
+                os.rename(nxt.dir + suffix, old_side)
+            with open(st.manifest_path, "w") as f:
+                _json.dump(m, f, indent=2)
+            os.remove(nxt.manifest_path)
+        # tail stages are derived from 02_neardup: force their recompute
+        for name in ("03_hygiene", "04_scrub", "05_splits"):
+            p = Stage(self.workdir, name).manifest_path
+            if os.path.exists(p):
+                os.remove(p)
+        self.hygiene()
+        self.scrub()
+        self.splits()
+        return Stage(self.workdir, "05_splits").read(self.spark)
 
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame) -> DataFrame:

@@ -5,6 +5,11 @@ Usage (local sandbox):
         [--stage all|canon|neardup|hygiene|scrub|splits] \
         [--neardup-threshold 0.8] [--min-words 5] [--synthetic-pages 2000]
 
+    # fold a crawl increment into an existing workdir (delta curation —
+    # probes the persisted LSH buckets, rebuilds clusters over the edge set):
+    python scripts/run_curation.py --workdir /tmp/wd --stage increment \
+        --pages /path/new_pages_parquet
+
 On a cluster the same file ships via:
     spark-submit --py-files py_stringsimjoin_spark.zip scripts/run_curation.py ...
 
@@ -31,7 +36,8 @@ def main(argv=None):
                     help="generate N base pages instead of reading --pages")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stage", default="all",
-                    choices=["all", "canon", "neardup", "hygiene", "scrub", "splits"])
+                    choices=["all", "canon", "neardup", "hygiene", "scrub",
+                             "splits", "increment"])
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-words", type=int, default=100000)
@@ -61,6 +67,11 @@ def main(argv=None):
         if not args.pages:
             ap.error("--pages or --synthetic-pages required")
         return spark.read.parquet(args.pages)
+
+    if args.stage == "increment":
+        pipe.increment(_pages())
+        print(json.dumps(pipe.metrics(), indent=2))
+        return 0
 
     if args.stage in ("all", "canon"):
         pipe.canon(_pages())

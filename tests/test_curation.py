@@ -111,3 +111,79 @@ def _walls(wd):
             with open(p) as f:
                 out[name] = json.load(f)
     return out
+
+
+def test_increment_equals_full_run(spark, tmp_path_factory):
+    """increment(delta) must equal a full re-run over (base ∪ delta),
+    including the hard cases: a recrawl REPLACING an existing page's text
+    (near-dup edges must be dropped, groups may split) and a bridge page
+    merging two existing near-dup groups (representative changes)."""
+    base = generate_pages(spark, n_base=40, dup_fraction=0.5, seed=23).drop(
+        "cluster_id"
+    )
+    texts = [r.text for r in base.orderBy("url").limit(2).collect()]
+    delta = spark.createDataFrame(
+        [
+            # recrawl of an existing canonical resource with NEW text
+            # (same scheme — http vs https are distinct canonical keys)
+            (
+                "http://inc.example/replaced?fbclid=zzz",
+                datetime.datetime(2026, 3, 1),
+                b"<html>v2</html>",
+                "completely rewritten page body with enough words to pass gates",
+                "en",
+            ),
+            # near-dup of an existing base page (joins its group via the
+            # persisted buckets)
+            (
+                "https://inc.example/neardup",
+                datetime.datetime(2026, 3, 1),
+                b"<html>nd</html>",
+                texts[0] + " tail",
+                "en",
+            ),
+            # brand-new unrelated page
+            (
+                "https://inc.example/fresh",
+                datetime.datetime(2026, 3, 1),
+                b"<html>f</html>",
+                "an entirely unrelated fresh document with plenty of words here",
+                "en",
+            ),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    first_crawl = spark.createDataFrame(
+        [
+            (
+                "http://www.inc.example/replaced?utm_source=x",
+                datetime.datetime(2026, 1, 1),
+                b"<html>v1</html>",
+                texts[1],
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    base = base.unionByName(first_crawl)
+
+    wd_full = str(tmp_path_factory.mktemp("cur_full"))
+    wd_inc = str(tmp_path_factory.mktemp("cur_inc"))
+    kw = dict(neardup_threshold=0.8, min_words=5)
+
+    full = CurationPipeline(spark, wd_full, **kw).run(base.unionByName(delta))
+    pipe = CurationPipeline(spark, wd_inc, **kw)
+    pipe.run(base)
+    inc = pipe.increment(delta)
+
+    f = {(r.url, r.text, r.split) for r in full.collect()}
+    i = {(r.url, r.text, r.split) for r in inc.collect()}
+    assert f == i, (sorted(f - i)[:3], sorted(i - f)[:3])
+
+    # the replacement really happened: v2 text survives under the NEW url,
+    # the v1 canonical key no longer carries the old text
+    canon = spark.read.parquet(f"{wd_inc}/01_canon")
+    rep = canon.where(
+        F.col("canonical_url") == "http://inc.example/replaced"
+    ).collect()
+    assert len(rep) == 1 and rep[0].text.startswith("completely rewritten")
