@@ -340,8 +340,13 @@ def pr_curve(
         key_cols = [F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")]
     else:
         key_cols = [a.alias("_a"), b.alias("_b")]
+    # NULL scores carry no threshold information: a pair whose every score
+    # is NULL would otherwise survive the max() as a NULL `_s` group and
+    # emit a bogus NULL-threshold row that the descending window counts
+    # against every real threshold. Drop them before the aggregation.
     dedup = (
         scored.select(*key_cols, sc.alias("_s"))
+        .where(F.col("_s").isNotNull())
         .groupBy("_a", "_b")
         .agg(F.max("_s").alias("_s"))
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.pii import PII_CLASSES, pii_count_expr, redact_pii_expr
+from ..functions.pii import _resolve, pii_count_expr, redact_pii_expr
 from ..plans.validation import validate_attr
 
 
@@ -40,9 +40,10 @@ def pii_stats(
     """
     validate_attr(df, key_attr, "pii_stats input")
     validate_attr(df, text_attr, "pii_stats input")
-    names = [n for n, _, _ in PII_CLASSES] if classes is None else [
-        n for n, _, _ in PII_CLASSES if n in set(classes)
-    ]
+    # _resolve raises on unknown class names (same contract as the
+    # functions-layer redact/count helpers) instead of silently dropping.
+    names = [n for n, _, _ in _resolve(classes)]
+    assert names, "pii_stats: classes resolved to an empty list"
     text = F.col(text_attr)
     cols = [F.col(key_attr)]
     cols += [pii_count_expr(text, n).alias(f"n_{n}") for n in names]

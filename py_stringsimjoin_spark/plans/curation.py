@@ -101,7 +101,8 @@ class CurationPipeline:
         st, fp = self._stage("02_neardup")
         if st.done(fp):
             return st.manifest()
-        docs = Stage(self.workdir, "01_canon").read(self.spark)
+        prev = Stage(self.workdir, "01_canon")
+        docs = prev.read(self.spark)
         tok = ShingleTokenizer(n=3)
         buckets = minhash_band_rows(docs, "url", "text", tok)
         cand = (
@@ -122,7 +123,9 @@ class CurationPipeline:
         buckets.write.mode("overwrite").parquet(st.dir + "__buckets")
         pairs.write.mode("overwrite").parquet(st.dir + "__pairs")
         kept = self._survivors(docs, self.spark.read.parquet(st.dir + "__pairs"))
-        return st.write(kept, fp, {"n_in": int(docs.count())})
+        # n_in == the previous stage's output count — read it from that
+        # stage's manifest instead of paying another full-input count pass
+        return st.write(kept, fp, {"n_in": int(prev.manifest()["n_rows"])})
 
     @staticmethod
     def _survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -135,7 +138,8 @@ class CurationPipeline:
         st, fp = self._stage("03_hygiene")
         if st.done(fp):
             return st.manifest()
-        docs = Stage(self.workdir, "02_neardup").read(self.spark)
+        prev = Stage(self.workdir, "02_neardup")
+        docs = prev.read(self.spark)
         sited = docs.withColumn("_site", url_host_expr(F.col("url")))
         clean = remove_boilerplate_lines(
             sited, "url", "text", "_site",
@@ -156,7 +160,10 @@ class CurationPipeline:
         kept = merged.join(
             gate.where(F.col("keep")).select("url"), "url", "left_semi"
         ).withColumnRenamed("clean_text", "text")
-        return st.write(kept, fp, {"n_in": int(docs.count()), "dropped_by_rule": reasons})
+        return st.write(
+            kept, fp,
+            {"n_in": int(prev.manifest()["n_rows"]), "dropped_by_rule": reasons},
+        )
 
     def scrub(self) -> dict:
         st, fp = self._stage("04_scrub")
@@ -206,6 +213,8 @@ class CurationPipeline:
 
         st_canon = Stage(self.workdir, "01_canon")
         st_nd = Stage(self.workdir, "02_neardup")
+        self._recover_swap(st_canon, ())
+        self._recover_swap(st_nd, ("__buckets", "__pairs"))
         n_inc = int(st_nd.manifest().get("increment", 0)) + 1
 
         old = st_canon.read(self.spark)
@@ -226,14 +235,23 @@ class CurationPipeline:
         )
         new_canon = untouched.unionByName(winners)
         # changed = winners not identical to an existing row (new keys, or
-        # keys where the delta crawl won); replaced = old rows that lost
+        # keys where the delta crawl won); replaced = old rows that lost.
+        # Compare a text fingerprint as well as (url, warc_ts): a delta row
+        # re-delivering the same url+timestamp with DIFFERENT text must be
+        # re-signed or its stale LSH buckets/edges would silently survive.
         changed = winners.join(
-            old.select("url", F.col("warc_ts").alias("_ots")),
+            old.select(
+                "url",
+                F.col("warc_ts").alias("_ots"),
+                F.md5(F.col("text")).alias("_omd5"),
+            ),
             "url",
             "left",
         ).where(
-            F.col("_ots").isNull() | (F.col("warc_ts") != F.col("_ots"))
-        ).drop("_ots")
+            F.col("_ots").isNull()
+            | (F.col("warc_ts") != F.col("_ots"))
+            | (F.md5(F.col("text")) != F.col("_omd5"))
+        ).drop("_ots", "_omd5")
         # stale = old rows that left the corpus or whose text changed: every
         # contested old url EXCEPT a winner that is the old row unchanged
         # (the delta lost — its buckets and edges remain valid)
@@ -289,16 +307,27 @@ class CurationPipeline:
         import json as _json
 
         for st, nxt, m, suffixes in staged:
-            shutil.rmtree(st.dir)
-            os.rename(nxt.dir, st.dir)
-            for suffix in suffixes:
-                old_side = st.dir + suffix
-                if os.path.exists(old_side):
-                    shutil.rmtree(old_side)
-                os.rename(nxt.dir + suffix, old_side)
+            # Crash-safe swap: rename the live dirs ASIDE (same-filesystem
+            # rename, cheap) before the staged dirs take their place, and
+            # only delete the aside copies once every rename + the manifest
+            # landed. A crash at any point leaves either the old data live,
+            # or the new data live plus recoverable `__old` leftovers —
+            # never zero copies (see _recover_swap).
+            asides = []
+            for s in [""] + list(suffixes):
+                live, fresh = st.dir + s, nxt.dir + s
+                aside = live + "__old"
+                if os.path.exists(aside):
+                    shutil.rmtree(aside)
+                if os.path.exists(live):
+                    os.rename(live, aside)
+                    asides.append(aside)
+                os.rename(fresh, live)
             with open(st.manifest_path, "w") as f:
                 _json.dump(m, f, indent=2)
             os.remove(nxt.manifest_path)
+            for aside in asides:
+                shutil.rmtree(aside)
         # tail stages are derived from 02_neardup: force their recompute
         for name in ("03_hygiene", "04_scrub", "05_splits"):
             p = Stage(self.workdir, name).manifest_path
@@ -308,6 +337,36 @@ class CurationPipeline:
         self.scrub()
         self.splits()
         return Stage(self.workdir, "05_splits").read(self.spark)
+
+    @staticmethod
+    def _recover_swap(stage: Stage, suffixes: tuple) -> None:
+        """Recover from a crash mid-:meth:`increment` swap.
+
+        Swap invariant: a ``__old`` aside dir only exists while its live
+        replacement is being (or has been) renamed into place — so if the
+        live dir is MISSING, the aside copy is the only data and is
+        restored; if both exist, the swap's renames completed and the
+        aside is garbage. Leftover ``__next`` staging dirs are always
+        incomplete output and are removed (the increment re-runs them).
+        """
+        import shutil
+
+        for s in ("",) + tuple(suffixes):
+            live = stage.dir + s
+            aside = live + "__old"
+            if os.path.exists(aside):
+                if os.path.exists(live):
+                    shutil.rmtree(aside)
+                else:
+                    os.rename(aside, live)
+            nxt = stage.dir + "__next" + s
+            if os.path.exists(nxt):
+                shutil.rmtree(nxt)
+        nxt_manifest = Stage(
+            os.path.dirname(stage.dir), os.path.basename(stage.dir) + "__next"
+        ).manifest_path
+        if os.path.exists(nxt_manifest):
+            os.remove(nxt_manifest)
 
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame) -> DataFrame:

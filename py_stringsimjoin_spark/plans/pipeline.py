@@ -55,6 +55,11 @@ class Stage:
         except (json.JSONDecodeError, OSError):
             return False
 
+    #: heaviest partitions recorded verbatim in the manifest; the rest are
+    #: summarized as quantiles so the driver collect stays O(TOP_PARTITIONS)
+    #: even at ~10^6 shuffle partitions.
+    TOP_PARTITIONS = 8
+
     def write(self, df: DataFrame, fingerprint: str, extra: dict | None = None) -> dict:
         t0 = time.time()
         df.write.mode("overwrite").parquet(self.dir)
@@ -63,15 +68,37 @@ class Stage:
         per_part = (
             written.withColumn("_p", F.spark_partition_id())
             .groupBy("_p")
-            .count()
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        # Per-partition lineage without an O(#partitions) collect: one
+        # summary row (counts + row-count quantiles) plus the TOP_PARTITIONS
+        # heaviest partitions — bounded driver traffic at any scale.
+        summary = per_part.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("n_rows"),
+            F.min("count").alias("p_min"),
+            F.max("count").alias("p_max"),
+            F.expr("percentile_approx(count, array(0.5, 0.9, 0.99))").alias("q"),
+        ).collect()[0]
+        top = (
+            per_part.orderBy(F.col("count").desc(), F.col("_p").asc())
+            .limit(self.TOP_PARTITIONS)
             .collect()
         )
+        q = summary["q"] or [None, None, None]
         manifest = {
             "fingerprint": fingerprint,
             "path": self.dir,
-            "n_rows": int(sum(r["count"] for r in per_part)),
-            "n_partitions": len(per_part),
-            "partition_rows": {int(r["_p"]): int(r["count"]) for r in per_part},
+            "n_rows": int(summary["n_rows"]),
+            "n_partitions": int(summary["n_partitions"]),
+            "partition_rows": {int(r["_p"]): int(r["count"]) for r in top},
+            "partition_row_stats": {
+                "min": None if summary["p_min"] is None else int(summary["p_min"]),
+                "p50": None if q[0] is None else int(q[0]),
+                "p90": None if q[1] is None else int(q[1]),
+                "p99": None if q[2] is None else int(q[2]),
+                "max": None if summary["p_max"] is None else int(summary["p_max"]),
+            },
             "wall_sec": round(time.time() - t0, 3),
         }
         manifest.update(extra or {})

@@ -4,7 +4,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from py_stringsimjoin_spark.plans.pipeline import LinkagePipeline, pairwise_f1
+from py_stringsimjoin_spark.plans.pipeline import LinkagePipeline, Stage, pairwise_f1
 from py_stringsimjoin_spark.sources.pages import (
     extract_text,
     generate_pages,
@@ -71,7 +71,15 @@ def test_manifest_lineage_fields(spark, pages, tmp_path_factory):
         m = json.load(f)
     assert m["n_rows"] > 0
     assert m["n_partitions"] >= 1
-    assert sum(m["partition_rows"].values()) == m["n_rows"]
+    # partition lineage is capped: top-N heaviest partitions verbatim plus
+    # quantile stats — bounded driver traffic at any partition count
+    assert len(m["partition_rows"]) <= Stage.TOP_PARTITIONS
+    assert sum(m["partition_rows"].values()) <= m["n_rows"]
+    stats = m["partition_row_stats"]
+    assert stats["max"] == max(m["partition_rows"].values())
+    assert stats["min"] >= 0 and stats["p50"] <= stats["max"]
+    if m["n_partitions"] <= Stage.TOP_PARTITIONS:
+        assert sum(m["partition_rows"].values()) == m["n_rows"]
 
 
 def test_pages_table_io_roundtrip(spark, tmp_path):
