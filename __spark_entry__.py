@@ -416,6 +416,99 @@ def q_fingerprint_docs(spark, sf_dir):
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_media_meta_docs(spark, sf_dir):
+    """Media header metadata (functions/media.py): per-doc deterministic
+    PNG/GIF/JPEG container bytes are assembled JVM-side (unhex of a hex
+    layout derived from doc_id) and parsed back by the pure-expression
+    header walker via attach_media_meta. The Spark side does REAL byte
+    parsing (incl. the variable-length JPEG segment walk); the oracle checks
+    the dims/format/byte-count arithmetic the fixtures encode."""
+    from py_stringsimjoin_spark.functions.media import synth_media_bytes
+    from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 3 == 0, F.lit("png"))
+        .when(d % 3 == 1, F.lit("gif"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        (1 + d % 640).cast("int").alias("w"),
+        (1 + d % 480).cast("int").alias("h"),
+        (d % 32).cast("int").alias("pad"),
+    )
+    media = docs.select(
+        "doc_id",
+        synth_media_bytes(F.col("fmt"), F.col("w"), F.col("h"), F.col("pad")).alias(
+            "payload"
+        ),
+    )
+    parsed = attach_media_meta(media, "payload", "image")
+    m = F.col("media_meta")
+    return parsed.select(
+        "doc_id",
+        m["format"].alias("format"),
+        m["width"].alias("width"),
+        m["height"].alias("height"),
+        m["n_bytes"].alias("n_bytes"),
+    )
+
+
+_MEDIA_META_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+  CAST(1 + doc_id % 640 AS INTEGER) AS width,
+  CAST(1 + doc_id % 480 AS INTEGER) AS height,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 10
+       ELSE 25 + doc_id % 32 END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_stream_dedup_replay(spark, sf_dir):
+    """Streaming first-seen exact dedup, driver-checkable batch-replay form
+    (streaming/stateful_dedup.exact_dedup_replay — pytest asserts it equals
+    the applyInPandasWithState query fed the same records in id order).
+    The corpus is replicated 3x with fresh ids so real duplicate groups
+    exist; every 97th group's last copy carries NULL text to exercise the
+    NULL passthrough carve-out."""
+    from py_stringsimjoin_spark.streaming.stateful_dedup import exact_dedup_replay
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.select(
+        "doc_id", "text", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_k")
+    ).select(
+        (F.col("doc_id") * 3 + F.col("_k")).alias("rid"),
+        F.when(
+            (F.col("_k") == 2) & (F.col("doc_id") % 97 == 0), F.lit(None).cast("string")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_dedup_replay(rep, "rid", "text")
+
+
+_STREAM_DEDUP_REPLAY_SQL = """
+WITH rep AS (
+  SELECT d.doc_id * 3 + v.k AS id,
+         CASE WHEN v.k = 2 AND d.doc_id % 97 = 0 THEN NULL ELSE d.text END AS text
+  FROM documents d, (VALUES (0), (1), (2)) v(k)
+), nn AS (
+  SELECT id, md5(text) AS fingerprint,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY id) AS rn,
+         min(id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM rep WHERE text IS NOT NULL
+)
+SELECT id, fingerprint, rn > 1 AS is_duplicate, canonical_id,
+       CAST(rn - 1 AS BIGINT) AS n_seen_before
+FROM nn
+UNION ALL
+SELECT id, NULL AS fingerprint, FALSE AS is_duplicate, id AS canonical_id,
+       CAST(0 AS BIGINT) AS n_seen_before
+FROM rep WHERE text IS NULL
+"""
+
+
 _WORDS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '')"
 
 _FINGERPRINT_SQL = f"""
@@ -3058,7 +3151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_blocking_part": q_snm_blocking_part,
         "snm_two_tables_part": q_snm_two_tables_part,
         "bcubed_part": q_bcubed_part,
-        # -- 20-27: last driver-verified in rounds 1-3 ----------------------
+        # -- 20-21: new in round 5 (never driver-verified) -------------------
+        "media_meta_docs": q_media_meta_docs,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        # -- 22-29: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3067,7 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_pairs_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_emb,
-        # -- 28-50: canary kernels (r04 green) ------------------------------
+        # -- 30-50: canary kernels (r04 green) ------------------------------
         "jaccard_part": _set_sim_part("jaccard", 0.5),
         "cosine_part": _set_sim_part("cosine", 0.7),
         "dice_part": _set_sim_part("dice", 0.6),
@@ -3089,9 +3185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve_part": q_pr_curve_part,
         "featurize_part": q_featurize_part,
         "band_join_events": q_band_join_events,
+        # -- 51+: long-green r04 passes --------------------------------------
         "fingerprint_docs": q_fingerprint_docs,
         "tokenstats_docs": q_tokenstats_docs,
-        # -- 51+: long-green r04 passes --------------------------------------
         "jaccard_part_rowlevel": q_jaccard_part_rowlevel,
         "edit_distance_part_rowlevel": q_edit_distance_part_rowlevel,
         "quality_docs": q_quality_docs,
@@ -3206,4 +3302,6 @@ def oracle_sql() -> dict[str, str]:
         "snm_blocking_part": _snm_blocking_sql(),
         "snm_two_tables_part": _snm_two_tables_sql(),
         "bcubed_part": _bcubed_sql(),
+        "media_meta_docs": _MEDIA_META_SQL,
+        "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
     }

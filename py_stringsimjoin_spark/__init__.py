@@ -18,6 +18,7 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
+from .functions.media import media_dims_col, media_format_col, synth_media_bytes
 from .functions.pii import pii_counts, redact_pii, redact_pii_expr
 from .functions.urls import (
     normalize_url,
@@ -158,4 +159,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "unigram_cross_entropy",
     "top_tokens",
+    "media_format_col",
+    "media_dims_col",
+    "synth_media_bytes",
 ]

@@ -29,18 +29,27 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def attach_media_meta(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
-    """Cheap JVM-side metadata (sizes from the bytes themselves; dims/duration
-    left NULL until decode)."""
+def attach_media_meta(
+    df: DataFrame, binary_col: str, media_type: str, fmt: str | None = None
+) -> DataFrame:
+    """JVM-side metadata from the bytes themselves: n_bytes always; format +
+    width/height parsed from PNG/GIF/JPEG container headers (pure expression
+    walk, functions/media.py — no codec library, no Python). ``fmt`` is the
+    declared fallback when the magic bytes are unrecognized; duration stays
+    NULL until a real demux (frame_sample_plan's injectable probe)."""
+    from ..functions.media import media_dims_col, media_format_col
+
+    b = F.col(binary_col)
+    dims = media_dims_col(b)
     return df.withColumn(
         "media_meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
-            F.lit(fmt).alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.coalesce(media_format_col(b), F.lit(fmt)).alias("format"),
+            dims["width"].alias("width"),
+            dims["height"].alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
-            F.length(F.col(binary_col)).cast("long").alias("n_bytes"),
+            F.length(b).cast("long").alias("n_bytes"),
         ),
     )
 

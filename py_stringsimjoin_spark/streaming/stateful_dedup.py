@@ -120,3 +120,40 @@ def streaming_exact_dedup(
         F.lit(0).cast("long").alias("n_seen_before"),
     )
     return deduped.unionByName(nulls)
+
+
+def exact_dedup_replay(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Batch replay of ``streaming_exact_dedup``: the exact output the
+    streaming query produces when the same records arrive in ascending-id
+    micro-batch order (first-seen = lowest id per fingerprint; within-batch
+    ties already break by id in the streaming kernel, so any batch split of
+    an id-ordered replay yields this same table).
+
+    Same schema, same NULL-text carve-out. One shuffle, partitioned by the
+    fingerprint — the key the streaming state store hashes on — so the batch
+    and streaming plans shard identically at scale. Used by the equivalence
+    pytest AND as the driver-oracle form of the streaming surface (the
+    CORRECTNESS gate can't run an unbounded query; this is its replay twin).
+    """
+    from pyspark.sql import Window
+
+    keyed = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.md5(F.col(text_col).cast("binary")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    out = keyed.select(
+        "id",
+        "fingerprint",
+        (F.row_number().over(w) > 1).alias("is_duplicate"),
+        F.min("id").over(Window.partitionBy("fingerprint")).alias("canonical_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_seen_before"),
+    )
+    nulls = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.lit(False).alias("is_duplicate"),
+        F.col(id_col).cast("long").alias("canonical_id"),
+        F.lit(0).cast("long").alias("n_seen_before"),
+    )
+    return out.unionByName(nulls)

@@ -1,0 +1,172 @@
+"""Media header parsing (functions/media.py): the JVM expression parser vs
+Python-built container bytes, including JPEGs whose SOF sits behind several
+variable-length segments, truncated payloads, and the synth builders'
+round-trip."""
+
+import struct
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from py_stringsimjoin_spark.functions.media import (
+    media_dims_col,
+    media_format_col,
+    synth_media_bytes,
+)
+from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
+
+
+def _png(w, h):
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _gif(w, h, ver=b"89a"):
+    return b"GIF" + ver + struct.pack("<HH", w, h)
+
+
+def _jpeg(w, h, pre_segments=()):
+    """SOI + arbitrary leading segments + SOF0. ``pre_segments`` is a list of
+    (marker_byte, payload_bytes)."""
+    out = b"\xff\xd8"
+    for marker, payload in pre_segments:
+        out += b"\xff" + bytes([marker]) + struct.pack(">H", len(payload) + 2) + payload
+    sof = struct.pack(">HBHHB", 17, 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return out + b"\xff\xc0" + sof
+
+
+CASES = [
+    ("png_small", _png(16, 9), "png", 16, 9),
+    ("png_big", _png(70000, 54321), "png", 70000, 54321),
+    ("gif87", _gif(320, 200, b"87a"), "gif", 320, 200),
+    ("gif89", _gif(641, 479), "gif", 641, 479),
+    ("jpeg_bare", _jpeg(800, 600), "jpeg", 800, 600),
+    (
+        "jpeg_app0",
+        _jpeg(1024, 768, [(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")]),
+        "jpeg",
+        1024,
+        768,
+    ),
+    (
+        "jpeg_many_segments",
+        _jpeg(
+            12,
+            34,
+            [
+                (0xE0, b"JFIF\x00" + b"\x00" * 9),
+                (0xE1, b"Exif\x00\x00" + b"\x00" * 40),
+                (0xFE, b"a comment"),
+                (0xDB, b"\x00" + b"\x01" * 64),
+                (0xC4, b"\x00" + b"\x02" * 16),
+            ],
+        ),
+        "jpeg",
+        12,
+        34,
+    ),
+    # progressive (SOF2)
+    (
+        "jpeg_sof2",
+        b"\xff\xd8\xff\xfe\x00\x03x"
+        + b"\xff\xc2"
+        + struct.pack(">HBHHB", 17, 8, 66, 55, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+        "jpeg",
+        55,
+        66,
+    ),
+    ("garbage", b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b", None, None, None),
+    ("png_truncated", _png(16, 9)[:12], None, None, None),
+    ("jpeg_truncated_mid_walk", _jpeg(800, 600)[:6], "jpeg", None, None),
+    ("jpeg_eoi_before_sof", b"\xff\xd8\xff\xd9\xff\xc0", "jpeg", None, None),
+    ("empty", b"", None, None, None),
+]
+
+
+def test_parser_vs_python_built_bytes(spark):
+    rows = [Row(name=n, payload=p) for n, p, _, _, _ in CASES]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            media_format_col(F.col("payload")).alias("fmt"),
+            media_dims_col(F.col("payload")).alias("dims"),
+        ).collect()
+    }
+    for name, _, fmt, w, h in CASES:
+        r = got[name]
+        assert r["fmt"] == fmt, name
+        assert r["dims"]["width"] == w, name
+        assert r["dims"]["height"] == h, name
+
+
+def test_null_payload(spark):
+    df = spark.createDataFrame([Row(payload=None)], "payload binary")
+    r = df.select(
+        media_format_col(F.col("payload")).alias("fmt"),
+        media_dims_col(F.col("payload")).alias("dims"),
+    ).first()
+    assert r["fmt"] is None and r["dims"]["width"] is None
+
+
+@pytest.mark.parametrize("fmt", ["png", "gif", "jpeg"])
+def test_synth_roundtrip(spark, fmt):
+    """JVM-built fixture bytes parse back to the exact dims, and byte counts
+    match the closed form the oracle uses (png 33, gif 10, jpeg 25+pad)."""
+    df = spark.range(0, 50).select(
+        F.lit(fmt).alias("fmt"),
+        (1 + F.col("id") % 640).cast("int").alias("w"),
+        (1 + F.col("id") % 480).cast("int").alias("h"),
+        (F.col("id") % 32).cast("int").alias("pad"),
+    )
+    out = df.select(
+        "fmt", "w", "h", "pad",
+        synth_media_bytes(F.col("fmt"), F.col("w"), F.col("h"), F.col("pad")).alias("b"),
+    ).select(
+        "fmt", "w", "h", "pad",
+        media_format_col(F.col("b")).alias("got_fmt"),
+        media_dims_col(F.col("b")).alias("dims"),
+        F.length("b").alias("n"),
+    )
+    for r in out.collect():
+        assert r["got_fmt"] == fmt
+        assert r["dims"]["width"] == r["w"]
+        assert r["dims"]["height"] == r["h"]
+        expect_n = {"png": 33, "gif": 10}.get(fmt, 25 + r["pad"])
+        assert r["n"] == expect_n
+
+
+def test_synth_matches_python_struct(spark):
+    """The JVM hex assembly is byte-identical to the Python struct builders."""
+    df = spark.createDataFrame([Row(w=123, h=45)])
+    b_png, b_gif, b_jpg = df.select(
+        synth_media_bytes(F.lit("png"), F.col("w"), F.col("h"), F.lit(0)),
+        synth_media_bytes(F.lit("gif"), F.col("w"), F.col("h"), F.lit(0)),
+        synth_media_bytes(F.lit("jpeg"), F.col("w"), F.col("h"), F.lit(3)),
+    ).first()
+    assert bytes(b_png) == _png(123, 45)
+    assert bytes(b_gif) == _gif(123, 45)
+    assert bytes(b_jpg) == _jpeg(123, 45, [(0xFE, b"\x00\x00\x00")])
+
+
+def test_attach_media_meta_fills_real_dims(spark):
+    df = spark.createDataFrame(
+        [Row(payload=_png(7, 11)), Row(payload=b"not an image")]
+    )
+    out = attach_media_meta(df, "payload", "image", fmt="raw").select("media_meta").collect()
+    metas = sorted((m["media_meta"] for m in out), key=lambda m: m["format"])
+    assert metas[0]["format"] == "png"
+    assert (metas[0]["width"], metas[0]["height"]) == (7, 11)
+    assert metas[0]["n_bytes"] == 33
+    # unrecognized payload falls back to the declared format, NULL dims
+    assert metas[1]["format"] == "raw"
+    assert metas[1]["width"] is None

@@ -86,3 +86,26 @@ def test_within_batch_tie_breaks_by_id(spark, tmp_path):
     assert got[20]["is_duplicate"] and got[20]["canonical_id"] == 10
     assert got[30]["is_duplicate"] and got[30]["canonical_id"] == 10
     assert [got[i]["n_seen_before"] for i in (10, 20, 30)] == [0, 1, 2]
+
+
+def test_batch_replay_equivalence(spark, tmp_path):
+    """exact_dedup_replay == the streaming query fed the same records in
+    ascending-id micro-batches, row for row."""
+    from py_stringsimjoin_spark.streaming.stateful_dedup import exact_dedup_replay
+
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    rows1 = [(1, "alpha"), (2, "alpha"), (3, "beta"), (4, None)]
+    rows2 = [(5, "alpha"), (6, "gamma"), (7, "beta"), (8, None)]
+    _write_batch(src, "b1.parquet", rows1)
+    got_stream = _run_once(spark, src, ckpt, str(tmp_path / "out"))
+    _write_batch(src, "b2.parquet", rows2)
+    got_stream = _run_once(spark, src, ckpt, str(tmp_path / "out"))
+
+    batch = spark.createDataFrame(list(rows1 + rows2), SCHEMA)
+    got_batch = {r["id"]: r for r in exact_dedup_replay(batch, "doc_id", "text").collect()}
+
+    assert set(got_batch) == set(got_stream)
+    for i in got_batch:
+        assert got_batch[i].asDict() == got_stream[i].asDict(), i
