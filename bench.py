@@ -135,6 +135,47 @@ def run_one(name: str, sf_dir: str, cpus: int) -> int:
     return 0
 
 
+def _append_bench_md(out: dict) -> None:
+    """Self-annotating per-run table in BENCH.md: recorded best-of-N next to
+    the rolling 9-run median/min from BENCH_MEDIANS.json, so window-noise
+    regressions (a stolen attempt recorded as the artifact) are visible in
+    the same row instead of needing a manual history diff.
+    SPARK_GRAFT_BENCH_MD=0 disables (scaling_bench appends its own table)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_MD", "1") == "0":
+        return
+    try:
+        from datetime import datetime, timezone
+
+        hist = _load_medians()
+        cpus, sf, extras = out["cpus"], out["sf"], out["extras"]
+        ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+        lines = [
+            f"\n## Headline run {ts} — sf{sf} local[{cpus}], "
+            f"total {out['value']}s (best-of-N per query; medians from "
+            f"BENCH_MEDIANS.json history)\n",
+            "| query | sec | attempts | steal% | 9-run median | min |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, sec in out["queries"].items():
+            vals = hist.get(f"{name}@{cpus}@{sf}", [])
+            med = _median(vals)
+            mn = min(vals) if vals else None
+            att = extras.get(f"{name}_attempts", [])
+            st = extras.get(f"{name}_steal_pct")
+            lines.append(
+                f"| {name} | {sec} | {att} | {st} | "
+                f"{med if med is not None else '—'} | "
+                f"{mn if mn is not None else '—'} |"
+            )
+        if extras.get("failures"):
+            lines.append(f"\nFailures: {extras['failures']}")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "BENCH.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+    except Exception as e:  # markdown annotation must never fail the bench
+        print(f"[bench] BENCH.md append failed: {e!r}", file=sys.stderr)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -43,7 +43,11 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
-from ..plans.skew import hot_token_ranks, resolve_salt_parallelism, salted_token_join
+from ..plans.skew import (
+    exploded_hot_token_ranks,
+    resolve_salt_parallelism,
+    salted_token_join,
+)
 import copy
 
 
@@ -227,7 +231,21 @@ def edit_distance_join(
     )
     n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    hot = hot_token_ranks(ordering, n_salts)
+    # hotness measured on the PREFIX stream this join actually explodes, not
+    # the global vocabulary (plans/skew.exploded_hot_token_ranks: prefixes
+    # keep each record's rarest q-grams, so the global f² rule misses the
+    # buckets that carry the join's quadratic output)
+    probe = l_rk.withColumn(
+        "_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q)
+    ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+    if not is_self:
+        probe = probe.unionByName(
+            r_rk.withColumn(
+                "_pfx",
+                fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q),
+            ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+        )
+    hot = exploded_hot_token_ranks(probe, n_salts)
     # exact verify in pure JVM, inline in the join stage: Spark's built-in
     # threshold-bounded levenshtein(l, r, t) runs banded O(len·t) with early
     # exit inside whole-stage codegen and returns −1 when the distance

@@ -45,7 +45,12 @@ from ..plans.validation import (
 from .missing_pairs import missing_pairs
 from .token_ordering import add_ranked_tokens, build_token_ordering
 from ..plans.cache import tracked_cache as _tc
-from ..plans.skew import hot_token_ranks, resolve_salt_parallelism, salted_token_join
+from ..plans.skew import (
+    exploded_hot_token_ranks,
+    hot_token_ranks,
+    resolve_salt_parallelism,
+    salted_token_join,
+)
 
 _EMPTY_OK = ("jaccard", "cosine", "dice", "overlap_coefficient")
 
@@ -296,9 +301,21 @@ def set_sim_join_pairs(
         st = get_stats()
         avg_size = st["avg_size"]
         avg_pfx = st["avg_pfx"]
+        # Count wins only when its one advantage — narrow rows through the
+        # token-join exchange instead of ranked arrays — is material, i.e.
+        # wide sets at low thresholds (prefix ≈ full set AND arrays ≫ the
+        # narrow row). For short sets prefix+inline-verify dominates
+        # structurally: its post-join hash state is the VERIFIED matches
+        # (a subset of count's candidate-pair agg state, 15× smaller on the
+        # dup-heavy x2 part kernel) and the position filter prunes joined
+        # rows inside codegen. Measured sf0.1 local[16], x2 part rowlevel:
+        # prefix 30.5s vs count ~42s — the pre-round-4 rule (count whenever
+        # avg_size ≤ 4) dated from the mapInPandas verify era, when prefix
+        # paid a Python stage per candidate; the inline JVM array_intersect
+        # removed that cost entirely.
         strategy = (
             "count"
-            if avg_size <= 4 or (avg_size > 0 and avg_pfx / avg_size > 0.6)
+            if avg_size > 8 and avg_pfx / avg_size > 0.6
             else "prefix"
         )
 
@@ -306,7 +323,27 @@ def set_sim_join_pairs(
         ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    hot = hot_token_ranks(ordering, n_salts)
+    if strategy == "count":
+        # full-token explode: the global ordering frequencies ARE the join
+        # stream frequencies, so the zero-job global rule is exact here
+        hot = hot_token_ranks(ordering, n_salts)
+    else:
+        # prefix explode keeps each record's RAREST tokens — hotness must be
+        # measured on the prefix stream itself or templated near-dup corpora
+        # serialize the join into one bucket (plans/skew.
+        # exploded_hot_token_ranks; measured 29.8s -> fair-share tasks on
+        # jaccard_docs sf0.1)
+        probe = l_rk.withColumn(
+            "_pfx", fm.prefix_length_col(F.col("_l_size"), measure, threshold)
+        ).select(F.explode(F.expr("slice(_l_ranked, 1, _pfx)")).alias("_tok"))
+        if not is_self and _prepared is None:
+            probe = probe.unionByName(
+                r_rk.withColumn(
+                    "_pfx",
+                    fm.prefix_length_col(F.col("_r_size"), measure, threshold),
+                ).select(F.explode(F.expr("slice(_r_ranked, 1, _pfx)")).alias("_tok"))
+            )
+        hot = exploded_hot_token_ranks(probe, n_salts)
     # Every strategy ends in a hash aggregation keyed by the candidate pair
     # (groupBy / distinct) — the plan's spill-dominant stage on dup-heavy
     # corpora. When both keys provably fit in 32 bits the pair is packed

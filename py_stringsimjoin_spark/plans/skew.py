@@ -107,6 +107,85 @@ def hot_token_ranks(
     return out
 
 
+def _hot_from_tok_stream(spark, tok_stream: DataFrame, parallelism: int,
+                         alpha: int, tok_col: str = "_tok") -> dict:
+    """{token: S_t} from a one-column token stream with the scale-invariant
+    ratio rule (hot ⟺ f² > Σf²/(α·P), S_t = ceil(α·P·f²/Σf²) clamped to
+    [2, α·P]).
+
+    ONE eager job total: hotness is monotone in frequency and at most
+    cap = α·P tokens can exceed the Σf²/cap budget (k qualifying tokens ⟹
+    Σf² ≥ k·min(f²) > k·Σf²/cap ⟹ k < cap), so the top-``cap`` tokens by
+    frequency (TakeOrderedAndProject — no full sort) necessarily contain
+    every hot token. That branch is UNIONed with the 1-row Σf² aggregate
+    over the same frequency plan and collected in a single action — the
+    map-side-combined count stage is shared by both branches inside the one
+    job, so no persist is needed either. Runs under the utility shuffle
+    sizing (plan-time probe, not kernel work)."""
+    from .stats import util_shuffle_scope
+
+    freq = tok_stream.groupBy(tok_col).agg(F.count("*").alias("_freq"))
+    fd = F.col("_freq").cast("double")
+    cap = alpha * max(parallelism, 1)
+    tok_type = freq.schema[tok_col].dataType
+    sum_branch = freq.agg(F.sum(fd * fd).alias("_w")).select(
+        F.lit(None).cast(tok_type).alias(tok_col),
+        F.lit(None).cast("long").alias("_freq"),
+        "_w",
+    )
+    top_branch = freq.orderBy(F.col("_freq").desc()).limit(cap).select(
+        tok_col, "_freq", F.lit(None).cast("double").alias("_w")
+    )
+    with util_shuffle_scope(spark):
+        rows = sum_branch.unionByName(top_branch).collect()
+    w = next((r["_w"] for r in rows if r["_w"] is not None), 0.0) or 0.0
+    hot: dict = {}
+    if w > 0:
+        budget = w / cap
+        for r in rows:
+            if r["_freq"] is not None and float(r["_freq"]) ** 2 > budget:
+                hot[r[tok_col]] = max(
+                    2, min(math.ceil(r["_freq"] ** 2 / budget), cap)
+                )
+    return hot
+
+
+def exploded_hot_token_ranks(
+    ex_probe: DataFrame,
+    parallelism: int,
+    alpha: int = SALT_ALPHA,
+    tok_col: str = "_tok",
+) -> dict:
+    """{token_rank: S_t} measured on the JOIN'S OWN exploded token stream —
+    the prefix stream for prefix-filter joins — not on the global vocabulary.
+
+    Prefix filtering keeps each record's RAREST tokens, so global frequency
+    is the wrong hotness measure for a prefix join: on a templated near-dup
+    corpus the join's quadratic output concentrates on mid-frequency tokens
+    that the global f² rule never flags, because the (never-exploded)
+    stopword head inflates Σf² and swallows the budget. Measured on
+    jaccard_docs sf0.1 local[16]: ONE task carried 1.4M of the 2.97M join
+    outputs (stage wall 29.8 s, median task 4 s, Σtask-wall 117 s) with the
+    global rule; the prefix-stream rule splits those buckets to fair share.
+
+    ``ex_probe`` should be the exploded token column only (no arrays, no
+    payload) so the probe costs one map-side-combined count per distinct
+    token — strictly cheaper than the ordering build that already scanned
+    every token once. ``spark.py_stringsimjoin.saltPrefixSampleFraction``
+    (default 1.0 = exact) row-samples the probe first: at 10^12-doc scale
+    set ~0.01 — both sides of the hot ratio scale by ~p², so the sampled
+    plan converges to the exact one (salting is output-invariant either
+    way: a miss costs balance, never correctness)."""
+    spark = ex_probe.sparkSession
+    p = float(
+        spark.conf.get("spark.py_stringsimjoin.saltPrefixSampleFraction", "1.0")
+    )
+    probe = ex_probe.select(tok_col)
+    if p < 1.0:
+        probe = probe.sample(fraction=p, seed=42)
+    return _hot_from_tok_stream(spark, probe, parallelism, alpha, tok_col)
+
+
 def sampled_hot_tokens(
     spark,
     inputs: list,
@@ -125,8 +204,6 @@ def sampled_hot_tokens(
     exact-count plan while tokenizing only the sample. Salting is
     output-invariant: a sampling miss costs balance, never correctness.
     Set the conf to 1.0 for exact counts (one extra corpus pass)."""
-    from .cache import persist_tracked
-
     p = float(spark.conf.get("spark.py_stringsimjoin.saltSampleFraction", "0.01"))
     tok_stream = None
     for t, a in inputs:
@@ -139,26 +216,7 @@ def sampled_hot_tokens(
             F.explode("_tokens").alias("_tok")
         )
         tok_stream = s if tok_stream is None else tok_stream.unionByName(s)
-    # sample-vocabulary-sized; persisted because the Σf² agg and the
-    # hot-token collect both read it. Both eager jobs run under the
-    # utility shuffle sizing (plans/stats.util_shuffle_scope) — they
-    # aggregate a 1% sample, not the corpus, so kernel-sized reduce
-    # fan-out is pure task-scheduling overhead here.
-    from .stats import util_shuffle_scope
-
-    freq = persist_tracked(
-        tok_stream.groupBy("_tok").agg(F.count("*").alias("_freq"))
-    )
-    fd = F.col("_freq").cast("double")
-    hot: dict = {}
-    with util_shuffle_scope(spark):
-        w = freq.agg(F.sum(fd * fd).alias("w")).first()["w"] or 0.0
-        if w > 0:
-            budget = w / (alpha * max(parallelism, 1))
-            cap = alpha * max(parallelism, 1)
-            for r in freq.where(fd * fd > F.lit(budget)).select("_tok", "_freq").collect():
-                hot[r["_tok"]] = max(2, min(math.ceil(r["_freq"] ** 2 / budget), cap))
-    return hot
+    return _hot_from_tok_stream(spark, tok_stream, parallelism, alpha)
 
 
 def salted_token_join(
@@ -211,7 +269,20 @@ def salted_token_join(
         F.explode(F.sequence(F.lit(0), (s_col - F.lit(1)).cast("int"))),
     )
     if pin_partitions:
-        # user-specified numPartitions: AQE will not coalesce these exchanges
-        l2 = l2.repartition(pin_partitions, F.col(tok_col), F.col("_salt"))
-        r2 = r2.repartition(pin_partitions, F.col(tok_col), F.col("_salt"))
+        # Widen the pinned exchange when the hot-bucket count approaches the
+        # partition count: each hot (token, salt) bucket carries up to
+        # Σw/(α·P) of the join's work, and with only ~P partitions for ~2αP
+        # buckets, balls-into-bins collisions put 4-5 heavy buckets in one
+        # partition (measured: 2.4× max/median task skew on jaccard_docs at
+        # local[16]). With partitions ≥ 2× the bucket count the scheduler
+        # bin-packs instead, and the wall approaches the design bound
+        # (1 + 1/α)× fair share. At production scale this is a no-op:
+        # saltParallelism is pinned to cluster cores, so the bucket count
+        # (≤ 2α·cores) sits far below the prescribed ~10^6 shuffle
+        # partitions and max() keeps the workload sizing. The factor-8 cap
+        # bounds task-count inflation in misconfigured sessions.
+        n_buckets = sum(hot.values())
+        pin_eff = max(pin_partitions, min(2 * n_buckets, 8 * pin_partitions))
+        l2 = l2.repartition(pin_eff, F.col(tok_col), F.col("_salt"))
+        r2 = r2.repartition(pin_eff, F.col(tok_col), F.col("_salt"))
     return l2.join(r2, [tok_col, "_salt"]).drop("_salt")

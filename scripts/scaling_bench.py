@@ -89,6 +89,8 @@ def _wait_for_quiet_box(max_wait_s: int = 900) -> None:
 def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     env.setdefault("SPARK_GRAFT_BENCH_QUERIES", SCALING_QUERIES)
+    # scaling appends its own synthesis table; per-run headline tables off
+    env.setdefault("SPARK_GRAFT_BENCH_MD", "0")
     # pipeline excluded from scaling attempts: its wall includes 4 fresh JVM
     # startups per attempt (the resume-from-manifest deployment shape), which
     # measures process spawn, not kernel scaling. Verified-pairs/sec of the
