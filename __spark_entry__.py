@@ -418,23 +418,30 @@ def q_fingerprint_docs(spark, sf_dir):
 
 def q_media_meta_docs(spark, sf_dir):
     """Media header metadata (functions/media.py): per-doc deterministic
-    PNG/GIF/JPEG container bytes are assembled JVM-side (unhex of a hex
+    PNG/GIF/JPEG/WAV container bytes are assembled JVM-side (unhex of a hex
     layout derived from doc_id) and parsed back by the pure-expression
-    header walker via attach_media_meta. The Spark side does REAL byte
-    parsing (incl. the variable-length JPEG segment walk); the oracle checks
-    the dims/format/byte-count arithmetic the fixtures encode."""
+    header walkers via attach_media_meta. The Spark side does REAL byte
+    parsing (incl. the variable-length JPEG segment walk and the RIFF chunk
+    chain for WAV duration); the oracle checks the dims/format/duration/
+    byte-count arithmetic the fixtures encode."""
     from py_stringsimjoin_spark.functions.media import synth_media_bytes
     from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
 
     d = F.col("doc_id")
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(d % 3 == 0, F.lit("png"))
-        .when(d % 3 == 1, F.lit("gif"))
-        .otherwise(F.lit("jpeg"))
+        F.when(d % 4 == 0, F.lit("png"))
+        .when(d % 4 == 1, F.lit("gif"))
+        .when(d % 4 == 2, F.lit("jpeg"))
+        .otherwise(F.lit("wav"))
         .alias("fmt"),
-        (1 + d % 640).cast("int").alias("w"),
-        (1 + d % 480).cast("int").alias("h"),
+        # for wav: w = sample rate, h = data-chunk byte count
+        F.when(d % 4 == 3, (8000 + (d % 8) * 1000).cast("int"))
+        .otherwise((1 + d % 640).cast("int"))
+        .alias("w"),
+        F.when(d % 4 == 3, (d % 200).cast("int"))
+        .otherwise((1 + d % 480).cast("int"))
+        .alias("h"),
         (d % 32).cast("int").alias("pad"),
     )
     media = docs.select(
@@ -450,17 +457,24 @@ def q_media_meta_docs(spark, sf_dir):
         m["format"].alias("format"),
         m["width"].alias("width"),
         m["height"].alias("height"),
+        m["duration_ms"].alias("duration_ms"),
         m["n_bytes"].alias("n_bytes"),
     )
 
 
 _MEDIA_META_SQL = """
 SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
-  CAST(1 + doc_id % 640 AS INTEGER) AS width,
-  CAST(1 + doc_id % 480 AS INTEGER) AS height,
-  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 10
-       ELSE 25 + doc_id % 32 END AS BIGINT) AS n_bytes
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+       ELSE 'wav' END AS format,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(1 + doc_id % 640 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(1 + doc_id % 480 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 4 = 3 THEN CAST(FLOOR(
+         (doc_id % 200) * 1000.0 / (2 * (8000 + (doc_id % 8) * 1000))
+       ) AS BIGINT) ELSE NULL END AS duration_ms,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 10 WHEN 2 THEN 25 + doc_id % 32
+       ELSE 44 + doc_id % 200 END AS BIGINT) AS n_bytes
 FROM documents
 """
 

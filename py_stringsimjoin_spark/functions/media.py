@@ -1,11 +1,12 @@
 """Media container header parsing — pure JVM expressions, zero Python.
 
-Real image metadata (format, width, height) extracted from the leading
-bytes of a ``binary`` column without any codec library: PNG and GIF carry
-dimensions at fixed offsets; JPEG requires walking the variable-length
-segment chain to the SOF marker, done here as a bounded ``F.aggregate``
-fold (``JPEG_MAX_HOPS`` segments) so the whole parse stays inside
-whole-stage codegen. Malformed / truncated / unknown payloads yield NULLs,
+Real media metadata (format, width, height, audio duration) extracted from
+the leading bytes of a ``binary`` column without any codec library: PNG and
+GIF carry dimensions at fixed offsets; JPEG requires walking the
+variable-length segment chain to the SOF marker, and WAV duration the RIFF
+chunk chain to the fmt byte-rate + data size — both done as bounded
+``F.aggregate`` folds (``JPEG_MAX_HOPS`` / ``WAV_MAX_HOPS``) so the whole
+parse stays inside whole-stage codegen. Malformed / truncated / unknown payloads yield NULLs,
 never errors — at crawl scale a parse failure is data, not an exception.
 
 Also provides deterministic JVM-side fixture builders (``synth_*_hex``)
@@ -41,6 +42,17 @@ def _be(b: Column, pos, n: int) -> Column:
     return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).cast("long")
 
 
+def _le(b: Column, pos, n: int) -> Column:
+    """Little-endian unsigned int from ``n`` bytes at 1-based position
+    ``pos`` (RIFF/WAV fields). Truncated reads yield NULL."""
+    if not isinstance(pos, Column):
+        pos = F.lit(pos)
+    out = F.lit(0).cast("long")
+    for i in range(n):
+        out = out + _be(b, pos + i, 1) * (256 ** i)
+    return out
+
+
 def _is_png(b: Column) -> Column:
     return (
         (F.length(b) >= 24)
@@ -57,6 +69,50 @@ def _is_gif(b: Column) -> Column:
 
 def _is_jpeg(b: Column) -> Column:
     return (F.length(b) >= 4) & (F.hex(F.substring(b, 1, 2)) == "FFD8")
+
+
+def _is_wav(b: Column) -> Column:
+    return (
+        (F.length(b) >= 20)
+        & (F.substring(b, 1, 4).cast("string") == "RIFF")
+        & (F.substring(b, 9, 4).cast("string") == "WAVE")
+    )
+
+
+# RIFF chunks a scanner can meet before data: fmt/fact/LIST/cue/bext/junk…
+WAV_MAX_HOPS = 12
+
+
+def _wav_info(b: Column, max_hops: int = WAV_MAX_HOPS) -> Column:
+    """struct(byte_rate, data_size) from the RIFF chunk chain: a bounded
+    fold from offset 13 (after RIFF size + 'WAVE'); each hop reads a chunk
+    id + little-endian size, records the fmt chunk's byte-rate field or the
+    data chunk's size, and advances past the (even-padded) payload. State
+    off = 1-based position of the next chunk id; -1 = done/malformed."""
+
+    def hop(acc: Column, _: Column) -> Column:
+        off, br, ds = acc["off"], acc["br"], acc["ds"]
+        valid = F.coalesce((off > 0) & (off + 7 <= F.length(b)), F.lit(False))
+        cid = F.substring(b, off, 4).cast("string")
+        size = _le(b, off + 4, 4)
+        is_fmt = valid & (cid == "fmt ") & (size >= 16)
+        # fmt payload: audio_format u16, channels u16, sample_rate u32,
+        # byte_rate u32  ->  byte_rate at payload offset 8 (abs off+16)
+        new_br = F.when(br.isNotNull(), br).when(is_fmt, _le(b, off + 16, 4))
+        new_ds = F.when(ds.isNotNull(), ds).when(valid & (cid == "data"), size)
+        done = ~valid | (new_ds.isNotNull() & new_br.isNotNull())
+        new_off = F.when(done | size.isNull(), F.lit(-1).cast("long")).otherwise(
+            off + 8 + size + size % 2
+        )
+        return F.struct(new_off.alias("off"), new_br.alias("br"), new_ds.alias("ds"))
+
+    init = F.struct(
+        F.lit(13).cast("long").alias("off"),
+        F.lit(None).cast("long").alias("br"),
+        F.lit(None).cast("long").alias("ds"),
+    )
+    acc = F.aggregate(F.sequence(F.lit(1), F.lit(max_hops)), init, hop)
+    return F.struct(acc["br"].alias("byte_rate"), acc["ds"].alias("data_size"))
 
 
 def _jpeg_dims(b: Column, max_hops: int = JPEG_MAX_HOPS) -> Column:
@@ -100,12 +156,25 @@ def _jpeg_dims(b: Column, max_hops: int = JPEG_MAX_HOPS) -> Column:
 
 
 def media_format_col(b: Column) -> Column:
-    """'png' | 'gif' | 'jpeg' | NULL from the payload's magic bytes."""
+    """'png' | 'gif' | 'jpeg' | 'wav' | NULL from the payload's magic bytes."""
     return (
         F.when(_is_png(b), F.lit("png"))
         .when(_is_gif(b), F.lit("gif"))
         .when(_is_jpeg(b), F.lit("jpeg"))
+        .when(_is_wav(b), F.lit("wav"))
         .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def media_duration_col(b: Column) -> Column:
+    """duration_ms (long) from the WAV fmt byte-rate + data chunk size;
+    NULL for non-audio / malformed / zero-rate payloads."""
+    info = _wav_info(b)
+    br, ds = info["byte_rate"], info["data_size"]
+    return (
+        F.when(_is_wav(b) & (br > 0) & ds.isNotNull(), F.floor(ds * 1000 / br))
+        .otherwise(F.lit(None))
+        .cast("long")
     )
 
 
@@ -134,6 +203,7 @@ def media_dims_col(b: Column) -> Column:
 #   PNG  = 33 bytes   (sig 8 + IHDR len/type 8 + data 13 + crc 4)
 #   GIF  = 10 bytes   (header 6 + logical screen w/h 4)
 #   JPEG = 25 + pad   (SOI 2 + COM [marker 2 + len 2 + pad] + SOF0 2+17)
+#   WAV  = 44 + data  (RIFF/WAVE 12 + fmt 8+16 + data hdr 8 + payload)
 # ---------------------------------------------------------------------------
 
 def _hex_be(v: Column, nbytes: int) -> Column:
@@ -143,6 +213,16 @@ def _hex_be(v: Column, nbytes: int) -> Column:
 def _hex_le16(v: Column) -> Column:
     v = v.cast("long")
     return F.concat(_hex_be(v % 256, 1), _hex_be((v / 256).cast("long"), 1))
+
+
+def _hex_le32(v: Column) -> Column:
+    v = v.cast("long")
+    return F.concat(
+        _hex_be(v % 256, 1),
+        _hex_be((v / 256).cast("long") % 256, 1),
+        _hex_be((v / 65536).cast("long") % 256, 1),
+        _hex_be((v / 16777216).cast("long") % 256, 1),
+    )
 
 
 def synth_png_hex(w: Column, h: Column) -> Column:
@@ -174,10 +254,34 @@ def synth_jpeg_hex(w: Column, h: Column, pad: Column) -> Column:
     )
 
 
+def synth_wav_hex(sample_rate: Column, data_size: Column) -> Column:
+    """Canonical 44-byte PCM WAV header (mono, 16-bit) + ``data_size``
+    zero-filled payload bytes, so the RIFF/fmt/data sizes are all honest:
+    n_bytes = 44 + data_size, byte_rate = 2*sample_rate, duration_ms =
+    floor(data_size*1000 / (2*sample_rate))."""
+    sample_rate = sample_rate.cast("long")
+    data_size = data_size.cast("long")
+    return F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        _hex_le32(F.lit(36) + data_size),
+        F.lit("57415645" + "666D7420"),          # 'WAVE' 'fmt '
+        _hex_le32(F.lit(16)),                    # PCM fmt chunk size
+        F.lit("0100" + "0100"),                  # format=1 (PCM), channels=1
+        _hex_le32(sample_rate),
+        _hex_le32(sample_rate * 2),              # byte rate (mono 16-bit)
+        F.lit("0200" + "1000"),                  # block align 2, bits 16
+        F.lit("64617461"),                       # 'data'
+        _hex_le32(data_size),
+        F.rpad(F.lit(""), (data_size * 2).cast("int"), "00"),
+    )
+
+
 def synth_media_bytes(fmt: Column, w: Column, h: Column, pad: Column) -> Column:
-    """binary PNG/GIF/JPEG header per the ``fmt`` column ('png'/'gif'/'jpeg')."""
+    """binary PNG/GIF/JPEG/WAV header per the ``fmt`` column; for 'wav',
+    ``w`` is the sample rate and ``h`` the data-chunk byte count."""
     return F.unhex(
         F.when(fmt == "png", synth_png_hex(w, h))
         .when(fmt == "gif", synth_gif_hex(w, h))
+        .when(fmt == "wav", synth_wav_hex(w, h))
         .otherwise(synth_jpeg_hex(w, h, pad))
     )

@@ -33,11 +33,16 @@ def attach_media_meta(
     df: DataFrame, binary_col: str, media_type: str, fmt: str | None = None
 ) -> DataFrame:
     """JVM-side metadata from the bytes themselves: n_bytes always; format +
-    width/height parsed from PNG/GIF/JPEG container headers (pure expression
-    walk, functions/media.py — no codec library, no Python). ``fmt`` is the
-    declared fallback when the magic bytes are unrecognized; duration stays
-    NULL until a real demux (frame_sample_plan's injectable probe)."""
-    from ..functions.media import media_dims_col, media_format_col
+    width/height parsed from PNG/GIF/JPEG container headers and duration_ms
+    from the WAV RIFF chunk chain (pure expression walks, functions/media.py
+    — no codec library, no Python). ``fmt`` is the declared fallback when
+    the magic bytes are unrecognized; duration stays NULL for containers
+    that need a real demux (frame_sample_plan's injectable probe)."""
+    from ..functions.media import (
+        media_dims_col,
+        media_duration_col,
+        media_format_col,
+    )
 
     b = F.col(binary_col)
     dims = media_dims_col(b)
@@ -48,7 +53,7 @@ def attach_media_meta(
             F.coalesce(media_format_col(b), F.lit(fmt)).alias("format"),
             dims["width"].alias("width"),
             dims["height"].alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            media_duration_col(b).alias("duration_ms"),
             F.length(b).cast("long").alias("n_bytes"),
         ),
     )

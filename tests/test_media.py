@@ -11,10 +11,28 @@ from pyspark.sql import functions as F
 
 from py_stringsimjoin_spark.functions.media import (
     media_dims_col,
+    media_duration_col,
     media_format_col,
     synth_media_bytes,
 )
 from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
+
+
+def _wav(sample_rate, data_size, channels=1, bits=16, pre_chunks=()):
+    """Python-built RIFF/WAVE bytes. ``pre_chunks`` is a list of
+    (chunk_id, payload) inserted before the fmt chunk; RIFF pads odd-sized
+    payloads to even."""
+    byte_rate = sample_rate * channels * bits // 8
+    body = b""
+    for cid, payload in pre_chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    body += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
+    )
+    body += b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def _png(w, h):
@@ -156,6 +174,69 @@ def test_synth_matches_python_struct(spark):
     assert bytes(b_png) == _png(123, 45)
     assert bytes(b_gif) == _gif(123, 45)
     assert bytes(b_jpg) == _jpeg(123, 45, [(0xFE, b"\x00\x00\x00")])
+
+
+WAV_CASES = [
+    # (name, payload, expect_fmt, expect_duration_ms)
+    ("wav_canonical", _wav(8000, 16000), "wav", 1000),
+    # 44100 Hz stereo 16-bit -> 176400 B/s; 44100 bytes = 250 ms
+    ("wav_stereo", _wav(44100, 44100, channels=2), "wav", 250),
+    # LIST + odd-sized bext chunks before fmt: exercises the chunk walk and
+    # the even-padding rule — layouts synth_wav_hex never produces
+    (
+        "wav_list_before_fmt",
+        _wav(16000, 8000, pre_chunks=[(b"LIST", b"INFOIART" + b"\x00" * 8),
+                                      (b"bext", b"\x01" * 7)]),
+        "wav",
+        250,
+    ),
+    ("wav_zero_data", _wav(8000, 0), "wav", 0),
+    # fractional ms floor: 999 bytes at 16000 B/s = 62.4375 ms -> 62
+    ("wav_floor", _wav(8000, 999), "wav", 62),
+    # header says RIFF/WAVE but the chunk chain is cut mid-header
+    ("wav_truncated", _wav(8000, 16000)[:18], None, None),
+    ("wav_header_only", _wav(8000, 16000)[:20], "wav", None),
+    ("not_wav", b"RIFX" + b"\x00" * 40, None, None),
+]
+
+
+def test_wav_duration_vs_python_built_bytes(spark):
+    rows = [Row(name=n, payload=p) for n, p, _, _ in WAV_CASES]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            media_format_col(F.col("payload")).alias("fmt"),
+            media_duration_col(F.col("payload")).alias("dur"),
+            media_dims_col(F.col("payload")).alias("dims"),
+        ).collect()
+    }
+    for name, _, fmt, dur in WAV_CASES:
+        r = got[name]
+        assert r["fmt"] == fmt, name
+        assert r["dur"] == dur, name
+        assert r["dims"]["width"] is None, name  # audio has no dims
+
+
+def test_wav_zero_byte_rate_yields_null(spark):
+    # a corrupt fmt chunk advertising byte_rate=0 must not divide by zero
+    raw = bytearray(_wav(8000, 16000))
+    raw[28:32] = b"\x00\x00\x00\x00"
+    df = spark.createDataFrame([Row(payload=bytes(raw))])
+    r = df.select(media_duration_col(F.col("payload")).alias("d")).first()
+    assert r["d"] is None
+
+
+def test_synth_wav_matches_python_struct(spark):
+    """JVM hex assembly byte-identical to the canonical Python WAV builder,
+    and the closed forms the oracle uses hold (n = 44 + data_size)."""
+    df = spark.createDataFrame([Row(sr=8000, ds=120)])
+    b = df.select(
+        synth_media_bytes(F.lit("wav"), F.col("sr"), F.col("ds"), F.lit(0)).alias("b")
+    ).first()["b"]
+    assert bytes(b) == _wav(8000, 120)
+    assert len(b) == 44 + 120
 
 
 def test_attach_media_meta_fills_real_dims(spark):
