@@ -418,28 +418,32 @@ def q_fingerprint_docs(spark, sf_dir):
 
 def q_media_meta_docs(spark, sf_dir):
     """Media header metadata (functions/media.py): per-doc deterministic
-    PNG/GIF/JPEG/WAV container bytes are assembled JVM-side (unhex of a hex
-    layout derived from doc_id) and parsed back by the pure-expression
+    PNG/GIF/JPEG/WAV/MP4 container bytes are assembled JVM-side (unhex of a
+    hex layout derived from doc_id) and parsed back by the pure-expression
     header walkers via attach_media_meta. The Spark side does REAL byte
-    parsing (incl. the variable-length JPEG segment walk and the RIFF chunk
-    chain for WAV duration); the oracle checks the dims/format/duration/
-    byte-count arithmetic the fixtures encode."""
+    parsing (the variable-length JPEG segment walk, the RIFF chunk chain
+    for WAV duration, the ISO-BMFF moov/mvhd box walk for MP4 duration);
+    the oracle checks the dims/format/duration/byte-count arithmetic the
+    fixtures encode."""
     from py_stringsimjoin_spark.functions.media import synth_media_bytes
     from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
 
     d = F.col("doc_id")
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(d % 4 == 0, F.lit("png"))
-        .when(d % 4 == 1, F.lit("gif"))
-        .when(d % 4 == 2, F.lit("jpeg"))
-        .otherwise(F.lit("wav"))
+        F.when(d % 5 == 0, F.lit("png"))
+        .when(d % 5 == 1, F.lit("gif"))
+        .when(d % 5 == 2, F.lit("jpeg"))
+        .when(d % 5 == 3, F.lit("wav"))
+        .otherwise(F.lit("mp4"))
         .alias("fmt"),
-        # for wav: w = sample rate, h = data-chunk byte count
-        F.when(d % 4 == 3, (8000 + (d % 8) * 1000).cast("int"))
+        # wav: w = sample rate, h = data bytes; mp4: w = timescale, h = units
+        F.when(d % 5 == 3, (8000 + (d % 8) * 1000).cast("int"))
+        .when(d % 5 == 4, (1000 + (d % 7) * 100).cast("int"))
         .otherwise((1 + d % 640).cast("int"))
         .alias("w"),
-        F.when(d % 4 == 3, (d % 200).cast("int"))
+        F.when(d % 5 == 3, (d % 200).cast("int"))
+        .when(d % 5 == 4, (d % 5000).cast("int"))
         .otherwise((1 + d % 480).cast("int"))
         .alias("h"),
         (d % 32).cast("int").alias("pad"),
@@ -464,17 +468,20 @@ def q_media_meta_docs(spark, sf_dir):
 
 _MEDIA_META_SQL = """
 SELECT doc_id,
-  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
-       ELSE 'wav' END AS format,
-  CASE WHEN doc_id % 4 = 3 THEN NULL
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+       WHEN 3 THEN 'wav' ELSE 'mp4' END AS format,
+  CASE WHEN doc_id % 5 >= 3 THEN NULL
        ELSE CAST(1 + doc_id % 640 AS INTEGER) END AS width,
-  CASE WHEN doc_id % 4 = 3 THEN NULL
+  CASE WHEN doc_id % 5 >= 3 THEN NULL
        ELSE CAST(1 + doc_id % 480 AS INTEGER) END AS height,
-  CASE WHEN doc_id % 4 = 3 THEN CAST(FLOOR(
-         (doc_id % 200) * 1000.0 / (2 * (8000 + (doc_id % 8) * 1000))
-       ) AS BIGINT) ELSE NULL END AS duration_ms,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 10 WHEN 2 THEN 25 + doc_id % 32
-       ELSE 44 + doc_id % 200 END AS BIGINT) AS n_bytes
+  CASE doc_id % 5
+    WHEN 3 THEN CAST(FLOOR(
+      (doc_id % 200) * 1000.0 / (2 * (8000 + (doc_id % 8) * 1000))) AS BIGINT)
+    WHEN 4 THEN CAST(FLOOR(
+      (doc_id % 5000) * 1000.0 / (1000 + (doc_id % 7) * 100)) AS BIGINT)
+    ELSE NULL END AS duration_ms,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 10 WHEN 2 THEN 25 + doc_id % 32
+       WHEN 3 THEN 44 + doc_id % 200 ELSE 140 + doc_id % 32 END AS BIGINT) AS n_bytes
 FROM documents
 """
 

@@ -79,6 +79,75 @@ def _is_wav(b: Column) -> Column:
     )
 
 
+def _is_mp4(b: Column) -> Column:
+    # ISO BMFF: first box is ftyp (mp4/mov/m4a/3gp all carry it)
+    return (F.length(b) >= 16) & (F.substring(b, 5, 4).cast("string") == "ftyp")
+
+
+# top-level boxes before moov (ftyp/free/skip/wide/mdat/uuid…) plus moov
+# children before mvhd (rare; mvhd is conventionally first) share one hop
+# budget — the fold is a single expression, so ONE bounded walk handles both
+# levels (a nested two-fold formulation duplicates the outer fold's subtree
+# at every reference and blows Catalyst analysis up ~100×; measured 193 s
+# for one row vs <1 s for this state machine)
+MP4_MAX_HOPS = 24
+
+
+def _mp4_duration_ms(b: Column) -> Column:
+    """duration_ms from moov/mvhd as ONE bounded fold: walk the top-level
+    box chain to moov, descend (in_moov flips, the enclosure end tightens),
+    walk moov's children to mvhd, then read the version-dependent fixed
+    offsets (v0: u32 timescale/duration at payload +12/+16; v1: u32/u64 at
+    +20/+24). Handles 64-bit largesize (size==1) and to-end-of-enclosure
+    (size==0) boxes. NULL on malformed chains or zero timescale."""
+
+    def hop(acc: Column, _: Column) -> Column:
+        off, end, in_moov, ms, done = (
+            acc["off"], acc["end"], acc["in_moov"], acc["ms"], acc["done"],
+        )
+        valid = F.coalesce(~done & (off > 0) & (off + 7 <= end), F.lit(False))
+        size32 = _be(b, off, 4)
+        hdr = F.when(size32 == 1, F.lit(16)).otherwise(F.lit(8)).cast("long")
+        bsize = (
+            F.when(size32 == 1, _be(b, off + 8, 8))
+            .when(size32 == 0, end - off + 1)
+            .otherwise(size32)
+        )
+        btype = F.substring(b, off + 4, 4).cast("string")
+        enter = valid & ~in_moov & (btype == "moov")
+        hit = valid & in_moov & (btype == "mvhd")
+        p = off + hdr  # mvhd payload (version u8 + flags 3B first)
+        ver = _be(b, p, 1)
+        ts = F.when(ver == 0, _be(b, p + 12, 4)).when(ver == 1, _be(b, p + 20, 4))
+        dur = F.when(ver == 0, _be(b, p + 16, 4)).when(ver == 1, _be(b, p + 24, 8))
+        bad = bsize.isNull() | (bsize < hdr)
+        new_off = (
+            F.when(~valid | hit | bad, F.lit(-1).cast("long"))
+            .when(enter, off + hdr)
+            .otherwise(off + bsize)
+        )
+        new_end = F.when(enter, F.least(off + bsize - 1, end)).otherwise(end)
+        return F.struct(
+            new_off.alias("off"),
+            new_end.alias("end"),
+            (in_moov | enter).alias("in_moov"),
+            F.when(
+                hit & (ts > 0) & dur.isNotNull(), F.floor(dur * 1000 / ts)
+            ).otherwise(ms).alias("ms"),
+            (done | hit | ~valid | bad).alias("done"),
+        )
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("off"),
+        F.length(b).cast("long").alias("end"),
+        F.lit(False).alias("in_moov"),
+        F.lit(None).cast("long").alias("ms"),
+        F.lit(False).alias("done"),
+    )
+    acc = F.aggregate(F.sequence(F.lit(1), F.lit(MP4_MAX_HOPS)), init, hop)
+    return acc["ms"]
+
+
 # RIFF chunks a scanner can meet before data: fmt/fact/LIST/cue/bext/junk…
 WAV_MAX_HOPS = 12
 
@@ -162,17 +231,20 @@ def media_format_col(b: Column) -> Column:
         .when(_is_gif(b), F.lit("gif"))
         .when(_is_jpeg(b), F.lit("jpeg"))
         .when(_is_wav(b), F.lit("wav"))
+        .when(_is_mp4(b), F.lit("mp4"))
         .otherwise(F.lit(None).cast("string"))
     )
 
 
 def media_duration_col(b: Column) -> Column:
-    """duration_ms (long) from the WAV fmt byte-rate + data chunk size;
-    NULL for non-audio / malformed / zero-rate payloads."""
+    """duration_ms (long) from the WAV fmt byte-rate + data chunk size, or
+    the MP4 moov/mvhd timescale + duration; NULL for non-a/v / malformed /
+    zero-rate payloads."""
     info = _wav_info(b)
     br, ds = info["byte_rate"], info["data_size"]
     return (
         F.when(_is_wav(b) & (br > 0) & ds.isNotNull(), F.floor(ds * 1000 / br))
+        .when(_is_mp4(b), _mp4_duration_ms(b))
         .otherwise(F.lit(None))
         .cast("long")
     )
@@ -276,12 +348,34 @@ def synth_wav_hex(sample_rate: Column, data_size: Column) -> Column:
     )
 
 
+def synth_mp4_hex(timescale: Column, duration: Column, pad: Column) -> Column:
+    """ftyp + a ``pad``-byte free box (forces the walker to skip a
+    variable-size sibling) + moov[mvhd v0] with the given timescale and
+    duration (media units): n_bytes = 140 + pad, duration_ms =
+    floor(duration*1000/timescale)."""
+    pad = pad.cast("int")
+    return F.concat(
+        F.lit("00000010" + "66747970" + "69736F6D" + "00000200"),  # ftyp isom
+        _hex_be(F.lit(8) + pad, 4),
+        F.lit("66726565"),                                         # free
+        F.substring(F.lit("0" * 512), F.lit(1), pad * 2),
+        F.lit("00000074" + "6D6F6F76"),                            # moov (116)
+        F.lit("0000006C" + "6D766864" + "00000000"),               # mvhd v0 (108)
+        F.lit("00000000" + "00000000"),                            # ctime mtime
+        _hex_be(timescale, 4),
+        _hex_be(duration, 4),
+        F.lit("0" * 160),                                          # rest of mvhd
+    )
+
+
 def synth_media_bytes(fmt: Column, w: Column, h: Column, pad: Column) -> Column:
-    """binary PNG/GIF/JPEG/WAV header per the ``fmt`` column; for 'wav',
-    ``w`` is the sample rate and ``h`` the data-chunk byte count."""
+    """binary PNG/GIF/JPEG/WAV/MP4 header per the ``fmt`` column; for 'wav',
+    ``w`` is the sample rate and ``h`` the data-chunk byte count; for
+    'mp4', ``w`` is the mvhd timescale and ``h`` the duration in units."""
     return F.unhex(
         F.when(fmt == "png", synth_png_hex(w, h))
         .when(fmt == "gif", synth_gif_hex(w, h))
         .when(fmt == "wav", synth_wav_hex(w, h))
+        .when(fmt == "mp4", synth_mp4_hex(w, h, pad))
         .otherwise(synth_jpeg_hex(w, h, pad))
     )

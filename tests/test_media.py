@@ -200,6 +200,71 @@ WAV_CASES = [
 ]
 
 
+def _mp4_box(btype, payload, largesize=False):
+    if largesize:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(timescale, duration, version=0, pre_boxes=(), moov_largesize=False):
+    """Python-built ISO BMFF bytes: ftyp + arbitrary siblings + moov[mvhd]."""
+    if version == 0:
+        mvhd = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration)
+        mvhd += b"\x00" * 80
+    else:
+        mvhd = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, timescale, duration)
+        mvhd += b"\x00" * 80
+    out = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    for btype, payload in pre_boxes:
+        out += _mp4_box(btype, payload)
+    return out + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd), largesize=moov_largesize)
+
+
+MP4_CASES = [
+    ("mp4_v0", _mp4(1000, 2500), "mp4", 2500),
+    # 90 kHz timescale, floor of a fractional ms
+    ("mp4_90k", _mp4(90000, 90000 * 3 + 45000 + 7), "mp4", 3500),
+    ("mp4_v1_64bit", _mp4(600, 3000, version=1), "mp4", 5000),
+    # free + mdat siblings before moov: the walker must skip by size
+    ("mp4_moov_last", _mp4(1000, 42, pre_boxes=[(b"free", b"\x00" * 11),
+                                                (b"mdat", b"\xab" * 300)]), "mp4", 42),
+    ("mp4_largesize_moov", _mp4(1000, 1234, moov_largesize=True), "mp4", 1234),
+    ("mp4_zero_timescale", _mp4(0, 1000), "mp4", None),
+    ("mp4_truncated", _mp4(1000, 2500)[:20], "mp4", None),
+    ("mp4_no_moov", _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+     + _mp4_box(b"free", b"\x00" * 8), "mp4", None),
+    ("not_mp4", b"\x00\x00\x00\x08abcd" + b"\x00" * 24, None, None),
+]
+
+
+def test_mp4_duration_vs_python_built_bytes(spark):
+    rows = [Row(name=n, payload=p) for n, p, _, _ in MP4_CASES]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            media_format_col(F.col("payload")).alias("fmt"),
+            media_duration_col(F.col("payload")).alias("dur"),
+        ).collect()
+    }
+    for name, _, fmt, dur in MP4_CASES:
+        r = got[name]
+        assert r["fmt"] == fmt, name
+        assert r["dur"] == dur, name
+
+
+def test_synth_mp4_matches_python_struct(spark):
+    """JVM hex assembly byte-identical to the Python builder with a 5-byte
+    free box between ftyp and moov (the driver fixture layout)."""
+    df = spark.createDataFrame([Row(ts=1000, dur=2500)])
+    b = df.select(
+        synth_media_bytes(F.lit("mp4"), F.col("ts"), F.col("dur"), F.lit(5)).alias("b")
+    ).first()["b"]
+    assert bytes(b) == _mp4(1000, 2500, pre_boxes=[(b"free", b"\x00" * 5)])
+    assert len(b) == 140 + 5
+
+
 def test_wav_duration_vs_python_built_bytes(spark):
     rows = [Row(name=n, payload=p) for n, p, _, _ in WAV_CASES]
     df = spark.createDataFrame(rows)
