@@ -379,3 +379,85 @@ def synth_media_bytes(fmt: Column, w: Column, h: Column, pad: Column) -> Column:
         .when(fmt == "mp4", synth_mp4_hex(w, h, pad))
         .otherwise(synth_jpeg_hex(w, h, pad))
     )
+
+
+# ---------------------------------------------------------------------------
+# Python mirrors of the duration walkers — the independent-reference form for
+# tests AND the real default duration probe for frame_sample_plan's
+# mapInPandas kernel (which runs Python per batch anyway, so a bytes-level
+# parse there costs nothing extra).
+# ---------------------------------------------------------------------------
+
+def py_container_duration_ms(payload: bytes) -> int | None:
+    """WAV/MP4 duration in ms from raw container bytes; None when the
+    payload is not a recognized a/v container or is malformed. Semantics
+    mirror media_duration_col exactly (same bounded walks, same floors)."""
+    if payload is None or len(payload) < 16:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _py_wav_ms(payload)
+    if payload[4:8] == b"ftyp":
+        return _py_mp4_ms(payload)
+    return None
+
+
+def _py_wav_ms(b: bytes) -> int | None:
+    off, br, ds = 12, None, None
+    for _ in range(WAV_MAX_HOPS):
+        if off + 8 > len(b):
+            break
+        cid = b[off:off + 4]
+        size = int.from_bytes(b[off + 4:off + 8], "little")
+        if cid == b"fmt " and size >= 16 and br is None:
+            if off + 20 > len(b):
+                break
+            br = int.from_bytes(b[off + 16:off + 20], "little")
+        elif cid == b"data" and ds is None:
+            ds = size
+        if br is not None and ds is not None:
+            return (ds * 1000) // br if br > 0 else None
+        off += 8 + size + size % 2
+    return None
+
+
+def _py_mp4_ms(b: bytes) -> int | None:
+    off, end, in_moov = 0, len(b), False
+    for _ in range(MP4_MAX_HOPS):
+        if off + 8 > end:
+            return None
+        size32 = int.from_bytes(b[off:off + 4], "big")
+        hdr = 16 if size32 == 1 else 8
+        if size32 == 1:
+            if off + 16 > end:
+                return None
+            bsize = int.from_bytes(b[off + 8:off + 16], "big")
+        elif size32 == 0:
+            bsize = end - off
+        else:
+            bsize = size32
+        btype = b[off + 4:off + 8]
+        if bsize < hdr:
+            return None
+        if not in_moov and btype == b"moov":
+            end = min(off + bsize, end)
+            off += hdr
+            in_moov = True
+            continue
+        if in_moov and btype == b"mvhd":
+            p = off + hdr
+            if p + 28 > len(b):
+                return None
+            ver = b[p]
+            if ver == 0:
+                ts = int.from_bytes(b[p + 12:p + 16], "big")
+                dur = int.from_bytes(b[p + 16:p + 20], "big")
+            elif ver == 1:
+                if p + 32 > len(b):
+                    return None
+                ts = int.from_bytes(b[p + 20:p + 24], "big")
+                dur = int.from_bytes(b[p + 24:p + 32], "big")
+            else:
+                return None
+            return (dur * 1000) // ts if ts > 0 else None
+        off += bsize
+    return None

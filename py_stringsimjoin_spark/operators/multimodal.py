@@ -129,17 +129,25 @@ def frame_sample_plan(
 
     The two codec touchpoints are injectable:
 
-    * ``duration_fn(bytes) -> ms``   — container demux; default derives a
-      deterministic pseudo-duration from the payload (1 ms per 100 bytes,
-      min one frame), standing in for a real probe.
+    * ``duration_fn(bytes) -> ms``   — container demux; the default first
+      tries the REAL header parse (functions/media.py
+      ``py_container_duration_ms``: WAV RIFF chain, MP4 moov/mvhd walk) and
+      only falls back to a deterministic pseudo-duration (1 ms per 100
+      bytes, min one frame) for containers that genuinely need a codec.
     * ``frame_feature_fn(bytes, ts_ms) -> np.ndarray`` — frame decode +
       featurize; default is the md5-seeded fake (same bytes+ts → same
       features on any executor/retry).
 
     With real codecs available, pass both and nothing else changes.
     """
+    from ..functions.media import py_container_duration_ms
+
+    def _default_duration(b: bytes) -> int:
+        real = py_container_duration_ms(b)
+        return real if real is not None else max(len(b) // 100, 1)
+
     id_type = df.schema[id_col].dataType
-    fn_dur = duration_fn or (lambda b: max(len(b) // 100, 1))
+    fn_dur = duration_fn or _default_duration
     fn_feat = frame_feature_fn or (
         lambda b, ts: _fake_decode((b or b"") + str(ts).encode(), feat_dim)
     )

@@ -304,6 +304,36 @@ def test_synth_wav_matches_python_struct(spark):
     assert len(b) == 44 + 120
 
 
+def test_python_duration_mirror_matches_spark_cases():
+    """py_container_duration_ms (the frame_sample_plan default probe) agrees
+    with the JVM walkers on every WAV and MP4 case, including malformed."""
+    from py_stringsimjoin_spark.functions.media import py_container_duration_ms
+
+    for name, payload, _, dur in WAV_CASES + MP4_CASES:
+        assert py_container_duration_ms(payload) == dur, name
+    raw = bytearray(_wav(8000, 16000))
+    raw[28:32] = b"\x00\x00\x00\x00"  # zero byte rate
+    assert py_container_duration_ms(bytes(raw)) is None
+    assert py_container_duration_ms(None) is None
+    assert py_container_duration_ms(b"") is None
+
+
+def test_frame_sample_plan_uses_real_container_duration(spark):
+    """Default duration probe: a 2500 ms mvhd yields a 2500 ms frame grid
+    (3 frames at 1000 ms), not the byte-length pseudo-duration."""
+    from py_stringsimjoin_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [Row(id=1, payload=_mp4(1000, 2500)), Row(id=2, payload=_wav(8000, 16000 * 2))]
+    )
+    rows = frame_sample_plan(df, "id", "payload", every_ms=1000).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(r["frame_ts_ms"])
+    assert sorted(got[1]) == [0, 1000, 2000]       # 2500 ms video
+    assert sorted(got[2]) == [0, 1000]             # 2000 ms audio
+
+
 def test_attach_media_meta_fills_real_dims(spark):
     df = spark.createDataFrame(
         [Row(payload=_png(7, 11)), Row(payload=b"not an image")]
