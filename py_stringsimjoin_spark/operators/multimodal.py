@@ -2,10 +2,17 @@
 
 Media travel as opaque ``binary`` columns with a typed metadata struct; the
 decode / feature-extraction kernels are Arrow-batched ``mapInPandas`` stages.
-The actual codec work is STUBBED (image/audio libraries are not available in
-this container): ``decode_fn=None`` uses a deterministic fake decoder so the
-Spark-side contract — schema, batch shape, partitioning, null routing — is
-real and tested; pass a real decode_fn (e.g. PIL/librosa-based) in production.
+Decode coverage is format-tiered and honest about it:
+
+* REAL, zero external codec: container header metadata (PNG/GIF/JPEG dims,
+  WAV/MP4 duration — JVM expressions, functions/media.py), full pixel
+  decode of 8-bit PNGs (stdlib zlib + scanline unfiltering), full waveform
+  decode of PCM WAV (numpy) — functions/codecs.py.
+* STUBBED: JPEG/GIF pixels and compressed audio/video need an external
+  codec this container lacks; ``decode_fn=None`` routes those to a
+  deterministic fake decoder so the Spark-side contract — schema, batch
+  shape, partitioning, null routing — stays real and tested. Pass a real
+  decode_fn (e.g. PIL/librosa-based) in production.
 """
 
 from __future__ import annotations
@@ -77,7 +84,13 @@ def extract_media_features(
     decode_fn=None,
 ) -> DataFrame:
     """(id, features: array<float>, n_bytes). ``decode_fn(bytes)->np.ndarray``
-    plugs in a real codec; default is the deterministic stub."""
+    plugs in a real codec; the default decodes REAL pixels/waveforms for
+    codec-free containers (8-bit PNG via stdlib zlib, PCM WAV via numpy —
+    functions/codecs.py) and falls back to the deterministic md5 stub for
+    formats that genuinely need an external codec (JPEG/GIF/compressed
+    audio)."""
+    from ..functions.codecs import real_media_features
+
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
         [
@@ -86,7 +99,12 @@ def extract_media_features(
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    fn_decode = decode_fn or (lambda b: _fake_decode(b, feat_dim))
+
+    def _default_decode(b: bytes) -> np.ndarray:
+        real = real_media_features(b, feat_dim)
+        return real if real is not None else _fake_decode(b, feat_dim)
+
+    fn_decode = decode_fn or _default_decode
 
     def fn(batches):
         import pandas as pd
