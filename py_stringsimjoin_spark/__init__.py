@@ -18,13 +18,25 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
-from .functions.media import media_dims_col, media_format_col, synth_media_bytes
+from .functions.codecs import decode_png, decode_wav_pcm, real_media_features
+from .functions.media import (
+    media_dims_col,
+    media_duration_col,
+    media_format_col,
+    py_container_duration_ms,
+    synth_media_bytes,
+)
 from .functions.pii import pii_counts, redact_pii, redact_pii_expr
 from .functions.urls import (
     normalize_url,
     normalize_url_expr,
     url_host_expr,
     url_registrable_domain_expr,
+)
+from .operators.multimodal import (
+    attach_media_meta,
+    extract_media_features,
+    frame_sample_plan,
 )
 from .operators.dedup import canonical_url_groups
 from .operators.band_join import band_join
@@ -159,7 +171,15 @@ __all__ = [
     "remove_boilerplate_lines",
     "unigram_cross_entropy",
     "top_tokens",
+    "attach_media_meta",
+    "extract_media_features",
+    "frame_sample_plan",
     "media_format_col",
     "media_dims_col",
+    "media_duration_col",
+    "py_container_duration_ms",
+    "decode_png",
+    "decode_wav_pcm",
+    "real_media_features",
     "synth_media_bytes",
 ]

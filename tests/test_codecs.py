@@ -171,3 +171,32 @@ def test_extract_media_features_real_vs_stub(spark):
     np.testing.assert_allclose(
         rows[3]["features"], _fake_decode(blob, 16), rtol=1e-6
     )
+
+
+def test_multimodal_to_ann_composition(spark):
+    """End-to-end multimodal pipeline: mixed binary payloads -> header
+    metadata gate (images only) -> real pixel features -> cosine top-k.
+    Identical images must be each other's nearest neighbors with cosine 1."""
+    from pyspark.sql import functions as F
+
+    from py_stringsimjoin_spark.operators.ann import brute_force_topk
+    from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
+
+    def img(val):
+        return _png_encode(np.full((6, 6, 3), val, dtype=np.uint8), [0] * 6)
+
+    rows = [
+        Row(id=1, payload=img(10)),
+        Row(id=2, payload=img(10)),            # exact duplicate of 1
+        Row(id=3, payload=img(240)),
+        Row(id=4, payload=_wav_pcm16(np.zeros((50, 1)), 8000)),  # audio
+        Row(id=5, payload=b"opaque"),                            # junk
+    ]
+    df = attach_media_meta(spark.createDataFrame(rows), "payload", "media")
+    images = df.where(F.col("media_meta")["format"] == "png")
+    assert images.count() == 3  # the gate drops wav + junk
+    feats = extract_media_features(images, "id", "payload", feat_dim=16)
+    nn = brute_force_topk(feats, feats, id_col="id", vec_col="features", k=1)
+    best = {r["query_id"]: r for r in nn.collect()}
+    assert best[1]["neighbor_id"] == 2 and abs(best[1]["cosine"] - 1.0) < 1e-6
+    assert best[2]["neighbor_id"] == 1
