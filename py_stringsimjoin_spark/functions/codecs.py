@@ -8,11 +8,14 @@ which is all this environment (and many locked-down clusters) ships:
 * **PNG** — IDAT is zlib (stdlib) over filtered scanlines; undoing the five
   RFC 2083 filters (None/Sub/Up/Average/Paeth) recovers exact pixels for
   8-bit non-interlaced gray/RGB/paletteless images.
+* **GIF** — LZW is fully specified (variable 3-12-bit codes, LSB-first);
+  a pure-Python decode of the first frame + color-table lookup recovers
+  exact RGB pixels.
 
 These feed ``extract_media_features``'s default decode path so REAL pixel
-and waveform features flow end to end for payloads in these formats; JPEG/
-GIF-LZW/compressed-audio still require an injected codec (honestly NULL /
-fake-stub routed, never silently wrong). The decoders run inside the
+and waveform features flow end to end for payloads in these formats; JPEG
+(DCT) and compressed audio/video still require an injected codec (honestly
+NULL / fake-stub routed, never silently wrong). The decoders run inside the
 mapInPandas batch kernel — per-batch Python that is already the plan's
 declared Python stage, not a new slow path.
 
@@ -195,12 +198,136 @@ def _fit(v: np.ndarray, feat_dim: int) -> np.ndarray:
 
 
 def real_media_features(payload: bytes, feat_dim: int = 16):
-    """Real features when the payload is a decodable container (PCM WAV or
-    8-bit PNG); None otherwise — callers route None to their fallback."""
+    """Real features when the payload is a decodable container (PCM WAV,
+    8-bit PNG, or GIF); None otherwise — callers route None to their
+    fallback."""
     png = decode_png(payload)
     if png is not None:
         return image_features(png, feat_dim)
+    gif = decode_gif(payload)
+    if gif is not None:
+        return image_features(gif, feat_dim)
     wav = decode_wav_pcm(payload)
     if wav is not None:
         return audio_features(wav[0], wav[1], feat_dim)
     return None
+
+
+def decode_gif(payload: bytes):
+    """uint8 RGB array [h, w, 3] for the FIRST frame of a non-interlaced
+    GIF87a/89a (global or local color table); None otherwise. GIF's LZW is
+    fully specified and needs no codec library — a pure-Python decode here
+    is honest and exact; it is also per-batch Python inside the declared
+    mapInPandas stage, same as the PNG path."""
+    b = payload or b""
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[off:off + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            return None
+        gct = gct.reshape(n, 3)
+        off += 3 * n
+    # walk blocks to the first image descriptor
+    for _ in range(64):
+        if off >= len(b):
+            return None
+        marker = b[off]
+        if marker == 0x2C:
+            break
+        if marker == 0x21:  # extension: label + length-prefixed sub-blocks
+            off += 2
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+        elif marker == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    else:
+        return None
+    if off + 10 > len(b):
+        return None
+    iw = int.from_bytes(b[off + 5:off + 7], "little")
+    ih = int.from_bytes(b[off + 7:off + 9], "little")
+    ipacked = b[off + 9]
+    off += 10
+    if ipacked & 0x40:  # interlaced — out of scope
+        return None
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        table = np.frombuffer(b[off:off + 3 * n], dtype=np.uint8)
+        if len(table) < 3 * n:
+            return None
+        table = table.reshape(n, 3)
+        off += 3 * n
+    if table is None or off >= len(b) or not (iw and ih):
+        return None
+    min_code = b[off]
+    off += 1
+    data = bytearray()
+    while off < len(b) and b[off] != 0:
+        ln = b[off]
+        data += b[off + 1:off + 1 + ln]
+        off += 1 + ln
+    idx = _lzw_decode(bytes(data), min_code, iw * ih)
+    if idx is None:
+        return None
+    idx = np.asarray(idx, dtype=np.int64)
+    if np.any(idx >= len(table)):
+        return None
+    return table[idx].reshape(ih, iw, 3)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """GIF-variant LZW: variable 3..12-bit codes, LSB-first bit packing,
+    clear/end codes, dictionary growth. Returns index list or None."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out, prev = [], None
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels] if len(out) >= n_pixels else None

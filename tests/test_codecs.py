@@ -200,3 +200,126 @@ def test_multimodal_to_ann_composition(spark):
     best = {r["query_id"]: r for r in nn.collect()}
     assert best[1]["neighbor_id"] == 2 and abs(best[1]["cosine"] - 1.0) < 1e-6
     assert best[2]["neighbor_id"] == 1
+
+
+# --- GIF fixtures: a real LZW encoder (width growth mirrored against the
+# decoder's table-size rule) + GIF container assembly ---------------------
+
+def _lzw_encode(indices, min_code):
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [(clear, min_code + 1)]
+    d = {(i,): i for i in range(clear)}
+    next_code, width, table_len = end + 1, min_code + 1, clear + 2
+    first_data = True
+    buf = ()
+
+    def emit(code):
+        nonlocal table_len, width, first_data
+        codes.append((code, width))
+        if first_data:
+            first_data = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+
+    for k in indices:
+        cand = buf + (int(k),)
+        if cand in d:
+            buf = cand
+            continue
+        emit(d[buf])
+        d[cand] = next_code
+        next_code += 1
+        assert next_code <= 4096, "test encoder: dict overflow"
+        buf = (int(k),)
+    if buf:
+        emit(d[buf])
+    codes.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(indices2d, palette, with_gce=False):
+    """First-frame GIF89a bytes from an index raster + RGB palette rows."""
+    h, w = indices2d.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    size_field = bits - 1
+    table = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * ((1 << bits) - n))
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | size_field, 0, 0])
+    out += table
+    if with_gce:  # graphic control extension before the image descriptor
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw_min = max(2, bits)
+    out += bytes([lzw_min])
+    data = _lzw_encode(indices2d.reshape(-1), lzw_min)
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    return out + b"\x00" + b"\x3b"
+
+
+def test_lzw_codec_roundtrip_property():
+    from py_stringsimjoin_spark.functions.codecs import _lzw_decode
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        for min_code in (2, 4, 7):
+            n = int(rng.randint(1, 400))
+            idx = rng.randint(0, 1 << min_code, size=n)
+            data = _lzw_encode(idx, min_code)
+            got = _lzw_decode(data, min_code, n)
+            assert got is not None, (seed, min_code)
+            np.testing.assert_array_equal(np.asarray(got), idx)
+
+
+def test_gif_decode_roundtrip():
+    from py_stringsimjoin_spark.functions.codecs import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 4, size=(9, 13))
+    for gce in (False, True):
+        got = decode_gif(_gif_encode(idx, palette, with_gce=gce))
+        assert got is not None and got.shape == (9, 13, 3)
+        expect = np.array(palette, dtype=np.uint8)[idx]
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_gif_decode_rejects_malformed():
+    from py_stringsimjoin_spark.functions.codecs import decode_gif
+
+    palette = [(1, 2, 3), (4, 5, 6)]
+    idx = np.zeros((4, 4), dtype=int)
+    good = _gif_encode(idx, palette)
+    assert decode_gif(good[:20]) is None
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(None) is None
+    interlaced = bytearray(good)
+    # image descriptor packed byte: offset 6+7+6 (header+lsd+gct for 2-bit
+    # table=12 bytes) ... locate 0x2c marker instead of hand-counting
+    pos = good.index(b"\x2c")
+    interlaced[pos + 9] |= 0x40
+    assert decode_gif(bytes(interlaced)) is None
+
+
+def test_real_media_features_covers_gif():
+    from py_stringsimjoin_spark.functions.codecs import real_media_features
+
+    palette = [(200, 200, 200), (0, 0, 0)]
+    idx = np.zeros((5, 5), dtype=int)  # uniform light gray
+    feats = real_media_features(_gif_encode(idx, palette), 16)
+    assert feats is not None
+    assert abs(feats[0] - 200 / 255.0) < 1e-6  # real pixels, not a stub
