@@ -30,8 +30,8 @@ import zlib
 
 import numpy as np
 
-# PNG color type -> samples per pixel (8-bit depth, non-interlaced only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> samples per pixel (palette type 3 is 1 index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_wav_pcm(payload: bytes):
@@ -82,35 +82,44 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes):
-    """uint8 pixel array [h, w, channels] for 8-bit non-interlaced
-    gray/gray+alpha/RGB/RGBA PNGs; None for anything else (palette,
-    16-bit, interlaced, truncated, bad zlib)."""
+    """uint8 pixel array [h, w, channels] for non-interlaced 8/16-bit
+    gray/gray+alpha/RGB/RGBA and 8-bit palette PNGs (16-bit reduced to the
+    high byte, palette expanded to RGB); None for anything else
+    (sub-byte depths, interlaced, truncated, bad zlib)."""
     b = payload or b""
     if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
         return None
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     depth, color, interlace = b[24], b[25], b[28]
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0 or not (w and h):
+    if color not in _PNG_CHANNELS or interlace != 0 or not (w and h):
+        return None
+    if depth not in (8, 16) or (color == 3 and depth != 8):
         return None
     ch = _PNG_CHANNELS[color]
-    # walk chunks for IDAT (concatenated) until IEND
-    off, idat = 8, []
+    bpp = ch * (depth // 8)  # filter offset unit: bytes per pixel
+    # walk chunks for PLTE + IDAT (concatenated) until IEND
+    off, idat, plte = 8, [], None
     while off + 8 <= len(b):
         size = int.from_bytes(b[off:off + 4], "big")
         ctype = b[off + 4:off + 8]
         if ctype == b"IDAT":
             idat.append(b[off + 8:off + 8 + size])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(b[off + 8:off + 8 + size], dtype=np.uint8)
+            if len(plte) % 3 or len(plte) < size:
+                return None
+            plte = plte.reshape(-1, 3)
         elif ctype == b"IEND":
             break
         off += 12 + size  # len + type + payload + crc
-    if not idat:
+    if not idat or (color == 3 and plte is None):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * ch
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -126,25 +135,34 @@ def decode_png(payload: bytes):
             out[y] = line + prev
         elif ftype == 1:  # Sub — sequential in x
             row = line.copy()
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
             out[y] = row
         elif ftype == 3:  # Average
             row = line.copy()
             for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
+                left = int(row[x - bpp]) if x >= bpp else 0
                 row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
             out[y] = row
         elif ftype == 4:  # Paeth
             row = line.copy()
             for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                upleft = int(prev[x - ch]) if x >= ch else 0
+                left = int(row[x - bpp]) if x >= bpp else 0
+                upleft = int(prev[x - bpp]) if x >= bpp else 0
                 row[x] = (int(row[x]) + _paeth(left, int(prev[x]), upleft)) & 0xFF
             out[y] = row
         else:
             return None
-    return out.reshape(h, w, ch)
+    if depth == 16:  # most-significant byte ≡ rounding to 8-bit
+        out = out.reshape(h, w, ch, 2)[..., 0]
+    else:
+        out = out.reshape(h, w, ch)
+    if color == 3:
+        idx = out.reshape(h, w)
+        if np.any(idx >= len(plte)):
+            return None
+        return plte[idx.astype(np.int64)]
+    return out
 
 
 def image_features(pixels: np.ndarray, feat_dim: int = 16) -> np.ndarray:

@@ -323,3 +323,68 @@ def test_real_media_features_covers_gif():
     feats = real_media_features(_gif_encode(idx, palette), 16)
     assert feats is not None
     assert abs(feats[0] - 200 / 255.0) < 1e-6  # real pixels, not a stub
+
+
+def _png_encode_palette(indices2d, palette):
+    """8-bit palette (color type 3) PNG from an index raster."""
+    h, w = indices2d.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = b"".join(b"\x00" + indices2d[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _png_encode_16bit(pixels16, filters):
+    """16-bit RGB PNG (big-endian samples) with real per-row filters applied
+    at byte level with bpp=6, exactly as the spec defines."""
+    h, w, ch = pixels16.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    bpp = ch * 2
+    stride = w * bpp
+    flat = np.zeros((h, stride), dtype=np.int16)
+    for y in range(h):
+        flat[y] = np.frombuffer(pixels16[y].astype(">u2").tobytes(),
+                                dtype=np.uint8).astype(np.int16)
+    raw = b""
+    for y, ftype in enumerate(filters):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int16)
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), line[:-bpp]])
+            enc = line - left
+        else:  # Up
+            enc = line - prev
+        raw += bytes([ftype]) + (enc % 256).astype(np.uint8).tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_roundtrip():
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = RNG.randint(0, 4, size=(6, 11))
+    got = decode_png(_png_encode_palette(idx, palette))
+    assert got is not None and got.shape == (6, 11, 3)
+    np.testing.assert_array_equal(got, np.array(palette, dtype=np.uint8)[idx])
+    # out-of-range index -> reject, never garbage
+    assert decode_png(_png_encode_palette(idx + 10, palette)) is None
+
+
+def test_png_16bit_roundtrip():
+    pixels16 = RNG.randint(0, 65536, size=(5, 4, 3)).astype(np.uint16)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [0, 1, 2, 1, 0]):
+        got = decode_png(_png_encode_16bit(pixels16, list(filters)))
+        assert got is not None and got.shape == (5, 4, 3)
+        np.testing.assert_array_equal(got, (pixels16 >> 8).astype(np.uint8))
