@@ -38,8 +38,10 @@ _PNG_SIG_HEX = "89504E470D0A1A0A"
 
 def _be(b: Column, pos, n: int) -> Column:
     """Big-endian unsigned int from ``n`` bytes at 1-based position ``pos``
-    (pos may be a Column). Out-of-range reads yield NULL, not errors."""
-    return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).cast("long")
+    (pos may be a Column). Out-of-range reads yield NULL, not errors; so do
+    u64 values ≥ 2^63 (conv returns the unsigned decimal string, which a
+    plain ANSI cast would THROW on — try_cast keeps malformed bytes data)."""
+    return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).try_cast("long")
 
 
 def _le(b: Column, pos, n: int) -> Column:
@@ -431,6 +433,8 @@ def _py_mp4_ms(b: bytes) -> int | None:
             if off + 16 > end:
                 return None
             bsize = int.from_bytes(b[off + 8:off + 16], "big")
+            if bsize >= 1 << 63:  # mirrors the JVM try_cast(long) NULL
+                return None
         elif size32 == 0:
             bsize = end - off
         else:
@@ -457,6 +461,8 @@ def _py_mp4_ms(b: bytes) -> int | None:
                 ts = int.from_bytes(b[p + 20:p + 24], "big")
                 dur = int.from_bytes(b[p + 24:p + 32], "big")
             else:
+                return None
+            if dur >= 1 << 63:  # mirrors the JVM try_cast(long) NULL
                 return None
             return (dur * 1000) // ts if ts > 0 else None
         off += bsize

@@ -346,3 +346,49 @@ def test_attach_media_meta_fills_real_dims(spark):
     # unrecognized payload falls back to the declared format, NULL dims
     assert metas[1]["format"] == "raw"
     assert metas[1]["width"] is None
+
+
+def test_fuzz_jvm_vs_python_duration_mirror(spark):
+    """Cross-engine mirror fuzz: random blobs, truncations, and byte
+    mutations of valid WAV/MP4 fixtures must parse to the SAME duration in
+    the JVM fold and the Python mirror (both may be None — but never
+    different, and neither may raise)."""
+    from py_stringsimjoin_spark.functions.media import py_container_duration_ms
+
+    rng = __import__("random").Random(42)
+    blobs = []
+    base = [
+        _wav(8000, 16000),
+        _wav(44100, 500, channels=2, pre_chunks=[(b"LIST", b"\x00" * 9)]),
+        _mp4(1000, 2500),
+        _mp4(90000, 123456, version=1),
+        _mp4(600, 42, pre_boxes=[(b"free", b"\x00" * 5)], moov_largesize=True),
+    ]
+    for payload in base:
+        blobs.append(payload)
+        for cut in (4, 12, 19, 25, 37, len(payload) - 1):
+            blobs.append(payload[:cut])
+        for _ in range(40):  # point mutations anywhere in the header
+            m = bytearray(payload)
+            i = rng.randrange(min(len(m), 64))
+            m[i] = rng.randrange(256)
+            blobs.append(bytes(m))
+    for _ in range(60):  # unstructured noise
+        n = rng.randrange(0, 80)
+        blobs.append(bytes(rng.randrange(256) for _ in range(n)))
+
+    rows = [Row(i=i, payload=p) for i, p in enumerate(blobs)]
+    from py_stringsimjoin_spark.functions.media import media_duration_col
+
+    got = {
+        r["i"]: r["d"]
+        for r in spark.createDataFrame(rows)
+        .select("i", media_duration_col(F.col("payload")).alias("d"))
+        .collect()
+    }
+    mismatches = [
+        (i, got[i], py_container_duration_ms(p))
+        for i, p in enumerate(blobs)
+        if got[i] != py_container_duration_ms(p)
+    ]
+    assert not mismatches, mismatches[:5]
