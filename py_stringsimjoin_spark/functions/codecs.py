@@ -276,8 +276,7 @@ def decode_gif(payload: bytes):
     ih = int.from_bytes(b[off + 7:off + 9], "little")
     ipacked = b[off + 9]
     off += 10
-    if ipacked & 0x40:  # interlaced — out of scope
-        return None
+    interlaced = bool(ipacked & 0x40)
     table = gct
     if ipacked & 0x80:
         n = 2 << (ipacked & 0x07)
@@ -301,7 +300,14 @@ def decode_gif(payload: bytes):
     idx = np.asarray(idx, dtype=np.int64)
     if np.any(idx >= len(table)):
         return None
-    return table[idx].reshape(ih, iw, 3)
+    raster = idx.reshape(ih, iw)
+    if interlaced:  # GIF89a appendix E: 4 passes, rows 0::8, 4::8, 2::4, 1::2
+        order = np.concatenate([np.arange(0, ih, 8), np.arange(4, ih, 8),
+                                np.arange(2, ih, 4), np.arange(1, ih, 2)])
+        deinterlaced = np.empty_like(raster)
+        deinterlaced[order] = raster
+        raster = deinterlaced
+    return table[raster.reshape(-1)].reshape(ih, iw, 3)
 
 
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int):

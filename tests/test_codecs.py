@@ -307,12 +307,8 @@ def test_gif_decode_rejects_malformed():
     assert decode_gif(good[:20]) is None
     assert decode_gif(b"GIF89a") is None
     assert decode_gif(None) is None
-    interlaced = bytearray(good)
-    # image descriptor packed byte: offset 6+7+6 (header+lsd+gct for 2-bit
-    # table=12 bytes) ... locate 0x2c marker instead of hand-counting
-    pos = good.index(b"\x2c")
-    interlaced[pos + 9] |= 0x40
-    assert decode_gif(bytes(interlaced)) is None
+    truncated_lzw = good[: good.index(b"\x2c") + 12]
+    assert decode_gif(truncated_lzw) is None
 
 
 def test_real_media_features_covers_gif():
@@ -388,3 +384,21 @@ def test_png_16bit_roundtrip():
         got = decode_png(_png_encode_16bit(pixels16, list(filters)))
         assert got is not None and got.shape == (5, 4, 3)
         np.testing.assert_array_equal(got, (pixels16 >> 8).astype(np.uint8))
+
+
+def test_gif_interlaced_roundtrip():
+    """GIF89a appendix-E interlacing: the encoder stores rows in 4-pass
+    order; the decoder must put them back."""
+    from py_stringsimjoin_spark.functions.codecs import decode_gif
+
+    palette = [(i, 2 * i, 3 * i) for i in range(8)]
+    idx = RNG.randint(0, 8, size=(11, 5))
+    order = np.concatenate([np.arange(0, 11, 8), np.arange(4, 11, 8),
+                            np.arange(2, 11, 4), np.arange(1, 11, 2)])
+    stored = idx[order]  # rows as an interlaced encoder writes them
+    gif = bytearray(_gif_encode(stored, palette))
+    pos = bytes(gif).index(b"\x2c")
+    gif[pos + 9] |= 0x40  # set the interlace flag
+    got = decode_gif(bytes(gif))
+    assert got is not None
+    np.testing.assert_array_equal(got, np.array(palette, dtype=np.uint8)[idx])
