@@ -13,11 +13,13 @@ which is all this environment (and many locked-down clusters) ships:
   exact RGB pixels.
 
 These feed ``extract_media_features``'s default decode path so REAL pixel
-and waveform features flow end to end for payloads in these formats; JPEG
-(DCT) and compressed audio/video still require an injected codec (honestly
-NULL / fake-stub routed, never silently wrong). The decoders run inside the
-mapInPandas batch kernel — per-batch Python that is already the plan's
-declared Python stage, not a new slow path.
+and waveform features flow end to end for payloads in these formats;
+baseline-sequential JPEG decodes for real too (functions/jpeg.py: canonical
+Huffman + dequant + IDCT, numpy only). Progressive JPEG and compressed
+audio/video still require an injected codec (honestly NULL / fake-stub
+routed, never silently wrong). The decoders run inside the mapInPandas
+batch kernel — per-batch Python that is already the plan's declared Python
+stage, not a new slow path.
 
 Capability positioning vs the reference: py_stringsimjoin has no media
 support; this implements the brief's multimodal decode ask as far as a
@@ -29,6 +31,8 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+
+from py_stringsimjoin_spark.functions.jpeg import decode_jpeg
 
 # PNG color type -> samples per pixel (palette type 3 is 1 index sample)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -217,14 +221,17 @@ def _fit(v: np.ndarray, feat_dim: int) -> np.ndarray:
 
 def real_media_features(payload: bytes, feat_dim: int = 16):
     """Real features when the payload is a decodable container (PCM WAV,
-    8-bit PNG, or GIF); None otherwise — callers route None to their
-    fallback."""
+    8-bit PNG, GIF, or baseline JPEG); None otherwise — callers route None
+    to their fallback."""
     png = decode_png(payload)
     if png is not None:
         return image_features(png, feat_dim)
     gif = decode_gif(payload)
     if gif is not None:
         return image_features(gif, feat_dim)
+    jpg = decode_jpeg(payload)
+    if jpg is not None:
+        return image_features(jpg, feat_dim)
     wav = decode_wav_pcm(payload)
     if wav is not None:
         return audio_features(wav[0], wav[1], feat_dim)
