@@ -7,7 +7,8 @@ which is all this environment (and many locked-down clusters) ships:
   8/16-bit integer PCM to float in [-1, 1].
 * **PNG** — IDAT is zlib (stdlib) over filtered scanlines; undoing the five
   RFC 2083 filters (None/Sub/Up/Average/Paeth) recovers exact pixels for
-  8-bit non-interlaced gray/RGB/paletteless images.
+  8/16-bit gray/RGB/RGBA/palette images, sequential or Adam7-interlaced
+  (each Adam7 pass unfiltered independently, scattered on the §2.6 grid).
 * **GIF** — LZW is fully specified (variable 3-12-bit codes, LSB-first);
   a pure-Python decode of the first frame + color-table lookup recovers
   exact RGB pixels.
@@ -85,50 +86,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
-    """uint8 pixel array [h, w, channels] for non-interlaced 8/16-bit
-    gray/gray+alpha/RGB/RGBA and 8-bit palette PNGs (16-bit reduced to the
-    high byte, palette expanded to RGB); None for anything else
-    (sub-byte depths, interlaced, truncated, bad zlib)."""
-    b = payload or b""
-    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw, pos, nrows, stride, bpp):
+    """Undo RFC 2083 per-scanline filtering for one image (or one Adam7
+    pass): ``nrows`` scanlines of ``stride`` bytes each, starting at byte
+    ``pos`` of the decompressed stream. Returns (uint8 [nrows, stride],
+    next pos) or None on short data / unknown filter id."""
+    if len(raw) - pos < nrows * (stride + 1):
         return None
-    w = int.from_bytes(b[16:20], "big")
-    h = int.from_bytes(b[20:24], "big")
-    depth, color, interlace = b[24], b[25], b[28]
-    if color not in _PNG_CHANNELS or interlace != 0 or not (w and h):
-        return None
-    if depth not in (8, 16) or (color == 3 and depth != 8):
-        return None
-    ch = _PNG_CHANNELS[color]
-    bpp = ch * (depth // 8)  # filter offset unit: bytes per pixel
-    # walk chunks for PLTE + IDAT (concatenated) until IEND
-    off, idat, plte = 8, [], None
-    while off + 8 <= len(b):
-        size = int.from_bytes(b[off:off + 4], "big")
-        ctype = b[off + 4:off + 8]
-        if ctype == b"IDAT":
-            idat.append(b[off + 8:off + 8 + size])
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(b[off + 8:off + 8 + size], dtype=np.uint8)
-            if len(plte) % 3 or len(plte) < size:
-                return None
-            plte = plte.reshape(-1, 3)
-        elif ctype == b"IEND":
-            break
-        off += 12 + size  # len + type + payload + crc
-    if not idat or (color == 3 and plte is None):
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    out = np.zeros((nrows, stride), dtype=np.uint8)
+    for y in range(nrows):
         ftype = raw[pos]
         line = np.frombuffer(raw[pos + 1:pos + 1 + stride], dtype=np.uint8)
         pos += 1 + stride
@@ -157,6 +130,66 @@ def decode_png(payload: bytes):
             out[y] = row
         else:
             return None
+    return out, pos
+
+
+def decode_png(payload: bytes):
+    """uint8 pixel array [h, w, channels] for 8/16-bit gray/gray+alpha/RGB/
+    RGBA and 8-bit palette PNGs, both sequential and Adam7-interlaced
+    (16-bit reduced to the high byte, palette expanded to RGB); None for
+    anything else (sub-byte depths, truncated, bad zlib)."""
+    b = payload or b""
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color, interlace = b[24], b[25], b[28]
+    if color not in _PNG_CHANNELS or interlace not in (0, 1) or not (w and h):
+        return None
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        return None
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)  # filter offset unit: bytes per pixel
+    # walk chunks for PLTE + IDAT (concatenated) until IEND
+    off, idat, plte = 8, [], None
+    while off + 8 <= len(b):
+        size = int.from_bytes(b[off:off + 4], "big")
+        ctype = b[off + 4:off + 8]
+        if ctype == b"IDAT":
+            idat.append(b[off + 8:off + 8 + size])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(b[off + 8:off + 8 + size], dtype=np.uint8)
+            if len(plte) % 3 or len(plte) < size:
+                return None
+            plte = plte.reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        off += 12 + size  # len + type + payload + crc
+    if not idat or (color == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        res = _unfilter(raw, 0, h, w * bpp, bpp)
+        if res is None:
+            return None
+        out = res[0]
+    else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images: zero bytes written
+            res = _unfilter(raw, pos, ph, pw * bpp, bpp)
+            if res is None:
+                return None
+            sub, pos = res
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        out = img.reshape(h, w * bpp)
     if depth == 16:  # most-significant byte ≡ rounding to 8-bit
         out = out.reshape(h, w, ch, 2)[..., 0]
     else:
@@ -239,8 +272,9 @@ def real_media_features(payload: bytes, feat_dim: int = 16):
 
 
 def decode_gif(payload: bytes):
-    """uint8 RGB array [h, w, 3] for the FIRST frame of a non-interlaced
-    GIF87a/89a (global or local color table); None otherwise. GIF's LZW is
+    """uint8 RGB array [h, w, 3] for the FIRST frame of a GIF87a/89a
+    (global or local color table, interlaced or not); None otherwise.
+    GIF's LZW is
     fully specified and needs no codec library — a pure-Python decode here
     is honest and exact; it is also per-batch Python inside the declared
     mapInPandas stage, same as the PNG path."""

@@ -32,15 +32,10 @@ def _chunk(ctype, payload):
     )
 
 
-def _png_encode(pixels, filters):
-    """Reference PNG encoder: ``pixels`` uint8 [h, w, ch], ``filters`` one
-    RFC 2083 filter id per row (the encoder applies it for real, so the
-    decoder must undo it for real)."""
-    h, w, ch = pixels.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    stride = w * ch
-    flat = pixels.reshape(h, stride).astype(np.int16)
+def _filter_rows(flat, filters, ch):
+    """Apply RFC 2083 per-row filters to ``flat`` int16 [h, stride]; returns
+    the filtered scanline byte stream (filter id + filtered bytes per row)."""
+    stride = flat.shape[1]
     raw = b""
     for y, ftype in enumerate(filters):
         line = flat[y]
@@ -66,6 +61,49 @@ def _png_encode(pixels, filters):
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 enc[x] = int(line[x]) - pred
         raw += bytes([ftype]) + (enc % 256).astype(np.uint8).tobytes()
+    return raw
+
+
+def _png_encode(pixels, filters):
+    """Reference PNG encoder: ``pixels`` uint8 [h, w, ch], ``filters`` one
+    RFC 2083 filter id per row (the encoder applies it for real, so the
+    decoder must undo it for real)."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = pixels.reshape(h, w * ch).astype(np.int16)
+    raw = _filter_rows(flat, filters, ch)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid (x_start, y_start, x_step, y_step) — independent spelling
+# of the decoder's table, straight from RFC 2083 §2.6
+_ADAM7_GRID = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_encode_adam7(pixels):
+    """Adam7-interlaced PNG encoder: each pass is its own filtered
+    sub-image; filter ids cycle 0..4 across pass rows so every filter is
+    exercised against pass-local left/up neighbours."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    raw = b""
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_GRID):
+        sub = pixels[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * ch).astype(np.int16)
+        raw += _filter_rows(flat, [(y + pi) % 5 for y in range(ph)], ch)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -384,6 +422,30 @@ def test_png_16bit_roundtrip():
         got = decode_png(_png_encode_16bit(pixels16, list(filters)))
         assert got is not None and got.shape == (5, 4, 3)
         np.testing.assert_array_equal(got, (pixels16 >> 8).astype(np.uint8))
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_adam7_roundtrip(ch):
+    # sizes straddle the 8x8 Adam7 tile: exact multiples, odd remainders,
+    # and images small enough that whole passes are empty
+    for h, w in [(16, 16), (13, 21), (7, 5), (1, 1), (2, 9), (8, 3)]:
+        pixels = RNG.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        dec = decode_png(_png_encode_adam7(pixels))
+        assert dec is not None and dec.shape == (h, w, ch), (h, w, ch)
+        np.testing.assert_array_equal(dec, pixels)
+
+
+def test_png_adam7_matches_sequential_decode():
+    pixels = RNG.randint(0, 256, size=(19, 14, 3), dtype=np.uint8)
+    seq = decode_png(_png_encode(pixels, [y % 5 for y in range(19)]))
+    ada = decode_png(_png_encode_adam7(pixels))
+    np.testing.assert_array_equal(seq, ada)
+
+
+def test_png_adam7_truncated_rejected():
+    good = _png_encode_adam7(RNG.randint(0, 256, size=(16, 16, 3), dtype=np.uint8))
+    for cut in (len(good) // 3, len(good) // 2, len(good) - 20):
+        assert decode_png(good[:cut]) is None  # reject, never raise
 
 
 def test_gif_interlaced_roundtrip():
