@@ -18,7 +18,19 @@ from .functions.tokenizers import (
     ShingleTokenizer,
     WhitespaceTokenizer,
 )
-from .functions.codecs import decode_png, decode_wav_pcm, real_media_features
+from .functions.avi import (
+    avi_duration_ms,
+    decode_avi_frame,
+    is_avi,
+    parse_avi,
+)
+from .functions.codecs import (
+    decode_gif,
+    decode_png,
+    decode_wav_pcm,
+    real_media_features,
+)
+from .functions.jpeg import decode_jpeg
 from .functions.media import (
     media_dims_col,
     media_duration_col,
@@ -179,6 +191,12 @@ __all__ = [
     "media_duration_col",
     "py_container_duration_ms",
     "decode_png",
+    "decode_gif",
+    "decode_jpeg",
+    "parse_avi",
+    "decode_avi_frame",
+    "avi_duration_ms",
+    "is_avi",
     "decode_wav_pcm",
     "real_media_features",
     "synth_media_bytes",

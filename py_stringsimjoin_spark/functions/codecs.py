@@ -254,8 +254,13 @@ def _fit(v: np.ndarray, feat_dim: int) -> np.ndarray:
 
 def real_media_features(payload: bytes, feat_dim: int = 16):
     """Real features when the payload is a decodable container (PCM WAV,
-    8-bit PNG, GIF, or baseline JPEG); None otherwise — callers route None
-    to their fallback."""
+    8-bit PNG, GIF, baseline JPEG, or an MJPEG AVI's first frame); None
+    otherwise — callers route None to their fallback."""
+    from py_stringsimjoin_spark.functions.avi import decode_avi_frame, is_avi
+
+    if is_avi(payload):
+        frame = decode_avi_frame(payload, 0)
+        return image_features(frame, feat_dim) if frame is not None else None
     png = decode_png(payload)
     if png is not None:
         return image_features(png, feat_dim)

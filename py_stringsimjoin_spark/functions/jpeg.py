@@ -10,9 +10,11 @@ image format instead of the md5 stub.
 
 Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3 components, any
 integer chroma subsampling (4:4:4, 4:2:2, 4:2:0, ...), restart markers,
-multiple DQT/DHT segments, fill bytes. Rejected as ``None`` (data, not
-errors): progressive/extended/lossless/arithmetic SOFs, 12-bit precision,
-4-component (CMYK) scans, truncated or corrupt entropy data.
+multiple DQT/DHT segments, fill bytes, and DHT-less streams (MJPEG frames
+inside AVI conventionally omit DHT and imply the T.81 Annex K typical
+tables — the fallback kicks in per missing table id). Rejected as ``None``
+(data, not errors): progressive/extended/lossless/arithmetic SOFs, 12-bit
+precision, 4-component (CMYK) scans, truncated or corrupt entropy data.
 
 Scale shape: the decoder runs inside the already-declared ``mapInPandas``
 batch stage of ``extract_media_features`` / ``frame_sample_plan`` — per-batch
@@ -107,6 +109,61 @@ class _BitReader:
 def _extend(v: int, s: int) -> int:
     """T.81 EXTEND: magnitude bits -> signed coefficient."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# T.81 Annex K.3.3 "typical" Huffman specs. MJPEG frames inside AVI
+# containers conventionally OMIT the DHT segment and imply these tables
+# (OpenDML AVI spec); decode_jpeg falls back to them for any table id the
+# stream never defined. (BITS, HUFFVAL) per (class, luma|chroma):
+_K_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_K_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+_K_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_K_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+_DEFAULT_HUFF_CACHE: dict = {}
+
+
+def _default_huff(tc: int, th: int):
+    """Annex K table for (class tc, id th): id 0 -> luma, others -> chroma
+    (the MJPEG convention). Built once, cached."""
+    key = (tc, 1 if th else 0)
+    if key not in _DEFAULT_HUFF_CACHE:
+        spec = {(0, 0): _K_DC_LUMA, (0, 1): _K_DC_CHROMA,
+                (1, 0): _K_AC_LUMA, (1, 1): _K_AC_CHROMA}[key]
+        _DEFAULT_HUFF_CACHE[key] = build_huffman(*spec)
+    return _DEFAULT_HUFF_CACHE[key]
 
 
 def _entropy_segments(b: bytes, pos: int):
@@ -283,8 +340,8 @@ def _decode_scan(b, data_pos, sos, sof, qt, huff, restart_interval):
         if not match:
             return None
         j = match[0]
-        dc = huff.get((0, tda >> 4))
-        ac = huff.get((1, tda & 0x0F))
+        dc = huff.get((0, tda >> 4)) or _default_huff(0, tda >> 4)
+        ac = huff.get((1, tda & 0x0F)) or _default_huff(1, tda & 0x0F)
         if dc is None or ac is None or comps[j][3] not in qt:
             return None
         order.append((j, dc, ac))

@@ -86,6 +86,38 @@ def _is_mp4(b: Column) -> Column:
     return (F.length(b) >= 16) & (F.substring(b, 5, 4).cast("string") == "ftyp")
 
 
+def _is_avi(b: Column) -> Column:
+    """Canonical AVI layout: the hdrl LIST with its avih main header is the
+    first chunk after the RIFF header (required by the spec), so every
+    avih field sits at a FIXED offset — no fold needed. 72 bytes reaches
+    through dwHeight (avih data offset 32 + field offset 36 + 4)."""
+    return (
+        (F.length(b) >= 72)
+        & (F.substring(b, 1, 4).cast("string") == "RIFF")
+        & (F.substring(b, 9, 4).cast("string") == "AVI ")
+        & (F.substring(b, 13, 4).cast("string") == "LIST")
+        & (F.substring(b, 21, 4).cast("string") == "hdrl")
+        & (F.substring(b, 25, 4).cast("string") == "avih")
+    )
+
+
+def _avi_duration_ms(b: Column) -> Column:
+    """dwMicroSecPerFrame x dwTotalFrames from the fixed-offset avih; NULL
+    when the frame period is zero. (The Python demux in functions/avi.py
+    counts the movi frame chunks instead — more robust, but that is a
+    sequential scan; the header math is what a JVM expression can do, and
+    the two agree on well-formed files.)"""
+    usf = _le(b, 33, 4)
+    frames = _le(b, 49, 4)
+    # two u32s multiply past int64 (1.8e19 > 2^63) — ANSI long arithmetic
+    # would THROW on fuzzed headers; decimal(38) holds the 20-digit product
+    total_us = usf.cast("decimal(20,0)") * frames.cast("decimal(20,0)")
+    return (
+        F.when(usf > 0, F.floor(total_us / 1000).cast("long"))
+        .otherwise(F.lit(None))
+    )
+
+
 # top-level boxes before moov (ftyp/free/skip/wide/mdat/uuid…) plus moov
 # children before mvhd (rare; mvhd is conventionally first) share one hop
 # budget — the fold is a single expression, so ONE bounded walk handles both
@@ -233,6 +265,7 @@ def media_format_col(b: Column) -> Column:
         .when(_is_gif(b), F.lit("gif"))
         .when(_is_jpeg(b), F.lit("jpeg"))
         .when(_is_wav(b), F.lit("wav"))
+        .when(_is_avi(b), F.lit("avi"))
         .when(_is_mp4(b), F.lit("mp4"))
         .otherwise(F.lit(None).cast("string"))
     )
@@ -246,6 +279,7 @@ def media_duration_col(b: Column) -> Column:
     br, ds = info["byte_rate"], info["data_size"]
     return (
         F.when(_is_wav(b) & (br > 0) & ds.isNotNull(), F.floor(ds * 1000 / br))
+        .when(_is_avi(b), _avi_duration_ms(b))
         .when(_is_mp4(b), _mp4_duration_ms(b))
         .otherwise(F.lit(None))
         .cast("long")
@@ -260,12 +294,14 @@ def media_dims_col(b: Column) -> Column:
         F.when(_is_png(b), _be(b, 17, 4).cast("int"))
         .when(_is_gif(b), (_be(b, 7, 1) + _be(b, 8, 1) * 256).cast("int"))
         .when(_is_jpeg(b), jd["w"])
+        .when(_is_avi(b), _le(b, 65, 4).cast("int"))
         .otherwise(F.lit(None).cast("int"))
     )
     h = (
         F.when(_is_png(b), _be(b, 21, 4).cast("int"))
         .when(_is_gif(b), (_be(b, 9, 1) + _be(b, 10, 1) * 256).cast("int"))
         .when(_is_jpeg(b), jd["h"])
+        .when(_is_avi(b), _le(b, 69, 4).cast("int"))
         .otherwise(F.lit(None).cast("int"))
     )
     return F.struct(w.alias("width"), h.alias("height"))
@@ -370,15 +406,36 @@ def synth_mp4_hex(timescale: Column, duration: Column, pad: Column) -> Column:
     )
 
 
+def synth_avi_hex(w: Column, h: Column, frames: Column) -> Column:
+    """Canonical minimal AVI: RIFF + hdrl LIST (avih with a fixed 40000 us
+    frame period = 25 fps) + an empty movi LIST. Closed forms for oracles:
+    n_bytes = 100, duration_ms = 40 * frames, dims = (w, h)."""
+    return F.concat(
+        F.lit("52494646" + "5C000000" + "41564920"),   # RIFF 92 'AVI '
+        F.lit("4C495354" + "44000000" + "6864726C"),   # LIST 68 hdrl
+        F.lit("61766968" + "38000000"),                # avih 56
+        F.lit("409C0000"),                             # usf = 40000
+        F.lit("00000000" * 3),                         # maxbytes padding flags
+        _hex_le32(frames),
+        F.lit("00000000" + "01000000" + "00000000"),   # initial streams sugbuf
+        _hex_le32(w),
+        _hex_le32(h),
+        F.lit("00000000" * 4),                         # reserved
+        F.lit("4C495354" + "04000000" + "6D6F7669"),   # LIST 4 movi
+    )
+
+
 def synth_media_bytes(fmt: Column, w: Column, h: Column, pad: Column) -> Column:
-    """binary PNG/GIF/JPEG/WAV/MP4 header per the ``fmt`` column; for 'wav',
-    ``w`` is the sample rate and ``h`` the data-chunk byte count; for
-    'mp4', ``w`` is the mvhd timescale and ``h`` the duration in units."""
+    """binary PNG/GIF/JPEG/WAV/MP4/AVI header per the ``fmt`` column; for
+    'wav', ``w`` is the sample rate and ``h`` the data-chunk byte count; for
+    'mp4', ``w`` is the mvhd timescale and ``h`` the duration in units; for
+    'avi', ``pad`` is the avih frame count (dims stay w x h)."""
     return F.unhex(
         F.when(fmt == "png", synth_png_hex(w, h))
         .when(fmt == "gif", synth_gif_hex(w, h))
         .when(fmt == "wav", synth_wav_hex(w, h))
         .when(fmt == "mp4", synth_mp4_hex(w, h, pad))
+        .when(fmt == "avi", synth_avi_hex(w, h, pad))
         .otherwise(synth_jpeg_hex(w, h, pad))
     )
 
@@ -398,9 +455,22 @@ def py_container_duration_ms(payload: bytes) -> int | None:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _py_wav_ms(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _py_avi_ms(payload)
     if payload[4:8] == b"ftyp":
         return _py_mp4_ms(payload)
     return None
+
+
+def _py_avi_ms(b: bytes) -> int | None:
+    """Mirror of the JVM fixed-offset avih read (NOT the functions/avi.py
+    chunk-count demux): canonical hdrl-first layout or None."""
+    if (len(b) < 72 or b[12:16] != b"LIST" or b[20:24] != b"hdrl"
+            or b[24:28] != b"avih"):
+        return None
+    usf = int.from_bytes(b[32:36], "little")
+    frames = int.from_bytes(b[48:52], "little")
+    return (usf * frames) // 1000 if usf > 0 else None
 
 
 def _py_wav_ms(b: bytes) -> int | None:

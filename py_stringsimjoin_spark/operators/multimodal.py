@@ -151,27 +151,42 @@ def frame_sample_plan(
     The two codec touchpoints are injectable:
 
     * ``duration_fn(bytes) -> ms``   — container demux; the default first
-      tries the REAL header parse (functions/media.py
+      tries the REAL header parse (MJPEG-AVI counted frame chunks x frame
+      period via functions/avi.py, else functions/media.py
       ``py_container_duration_ms``: WAV RIFF chain, MP4 moov/mvhd walk) and
       only falls back to a deterministic pseudo-duration (1 ms per 100
       bytes, min one frame) for containers that genuinely need a codec.
     * ``frame_feature_fn(bytes, ts_ms) -> np.ndarray`` — frame decode +
-      featurize; default is the md5-seeded fake (same bytes+ts → same
-      features on any executor/retry).
+      featurize; the default decodes REAL pixels for MJPEG AVI frames
+      (functions/avi.py demux + the baseline-JPEG decoder, Annex K
+      fallback for DHT-less frames) and falls back to the md5-seeded fake
+      for codec-requiring formats (same bytes+ts → same features on any
+      executor/retry).
 
     With real codecs available, pass both and nothing else changes.
     """
+    from ..functions.avi import avi_duration_ms, decode_avi_frame, is_avi
+    from ..functions.codecs import image_features
     from ..functions.media import py_container_duration_ms
 
     def _default_duration(b: bytes) -> int:
+        if is_avi(b):
+            real = avi_duration_ms(b)
+            if real is not None:
+                return max(real, 1)
         real = py_container_duration_ms(b)
         return real if real is not None else max(len(b) // 100, 1)
 
+    def _default_frame_feat(b: bytes, ts: int) -> np.ndarray:
+        if is_avi(b):
+            px = decode_avi_frame(b, ts)
+            if px is not None:
+                return image_features(px, feat_dim)
+        return _fake_decode((b or b"") + str(ts).encode(), feat_dim)
+
     id_type = df.schema[id_col].dataType
     fn_dur = duration_fn or _default_duration
-    fn_feat = frame_feature_fn or (
-        lambda b, ts: _fake_decode((b or b"") + str(ts).encode(), feat_dim)
-    )
+    fn_feat = frame_feature_fn or _default_frame_feat
     out_schema = T.StructType(
         [
             T.StructField("id", id_type),

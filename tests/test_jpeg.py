@@ -83,7 +83,9 @@ def _mag(v):
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def _encode_block(w, block, qtab, pred):
+def _encode_block(w, block, qtab, pred, dc_enc=None, ac_enc=None):
+    dc_enc = _DC_ENC if dc_enc is None else dc_enc
+    ac_enc = _AC_ENC if ac_enc is None else ac_enc
     # snap the float DCT to 6 decimals first: integer-input DCT coefficients
     # are exact rationals, and without the snap a -1016 DC lands at
     # -1015.9999999 → /q crosses a .5 rounding boundary the wrong way,
@@ -92,7 +94,7 @@ def _encode_block(w, block, qtab, pred):
     coeffs = np.round(dct / qtab).astype(np.int64)
     zz = coeffs.flatten()[ZIGZAG]
     s, bits = _mag(int(zz[0]) - pred)
-    ln, code = _DC_ENC[s]
+    ln, code = dc_enc[s]
     w.bits(code, ln)
     if s:
         w.bits(bits, s)
@@ -103,16 +105,16 @@ def _encode_block(w, block, qtab, pred):
             run += 1
             continue
         while run >= 16:
-            ln, code = _AC_ENC[0xF0]
+            ln, code = ac_enc[0xF0]
             w.bits(code, ln)
             run -= 16
         s, bits = _mag(v)
-        ln, code = _AC_ENC[(run << 4) | s]
+        ln, code = ac_enc[(run << 4) | s]
         w.bits(code, ln)
         w.bits(bits, s)
         run = 0
     if run:
-        ln, code = _AC_ENC[0x00]
+        ln, code = ac_enc[0x00]
         w.bits(code, ln)
     return int(zz[0])
 
@@ -130,10 +132,13 @@ def _downsample(plane, fv, fh):
     return p.reshape(p.shape[0] // fv, fv, p.shape[1] // fh, fh).mean(axis=(1, 3))
 
 
-def encode_jpeg(img, q=1, sub=(1, 1), restart=0):
+def encode_jpeg(img, q=1, sub=(1, 1), restart=0, tables="test", emit_dht=True):
     """Minimal baseline JPEG encoder. img: uint8 [h,w,3] RGB or [h,w] gray.
     q: flat quant value (both tables). sub: (H,V) luma sampling factors
-    (chroma is 1,1) — (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0."""
+    (chroma is 1,1) — (1,1)=4:4:4, (2,1)=4:2:2, (2,2)=4:2:0.
+    tables: "test" = this file's own canonical specs, "annexk" = the T.81
+    Annex K typical tables. emit_dht=False omits the DHT segments entirely
+    (the MJPEG-in-AVI convention: tables are implied, not carried)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -168,10 +173,21 @@ def encode_jpeg(img, q=1, sub=(1, 1), restart=0):
     for cid, H, V, tq in comps:
         sofp += bytes([cid, (H << 4) | V, tq])
     out += _seg(0xC0, sofp)
-    for tid in range(1 if gray else 2):
-        out += _seg(0xC4, bytes([tid]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-        out += _seg(0xC4, bytes([0x10 | tid]) + bytes(_AC_BITS)
-                    + bytes(_AC_VALS_FULL))
+    if tables == "test":
+        specs = {(0, 0): (_DC_BITS, _DC_VALS), (1, 0): (_AC_BITS, _AC_VALS_FULL),
+                 (0, 1): (_DC_BITS, _DC_VALS), (1, 1): (_AC_BITS, _AC_VALS_FULL)}
+    else:  # the Annex K typical tables, as MJPEG encoders use
+        from py_stringsimjoin_spark.functions import jpeg as _J
+
+        specs = {(0, 0): _J._K_DC_LUMA, (1, 0): _J._K_AC_LUMA,
+                 (0, 1): _J._K_DC_CHROMA, (1, 1): _J._K_AC_CHROMA}
+    enc = {k: _enc_table(*v) for k, v in specs.items()}
+    if emit_dht:
+        for tid in range(1 if gray else 2):
+            for tc in (0, 1):
+                bits, vals = specs[(tc, tid)]
+                out += _seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits)
+                            + bytes(vals))
     if restart:
         out += _seg(0xDD, restart.to_bytes(2, "big"))
     sosp = bytes([len(comps)])
@@ -196,8 +212,10 @@ def encode_jpeg(img, q=1, sub=(1, 1), restart=0):
             for v in range(V):
                 for u in range(H):
                     y0, x0 = (my * V + v) * 8, (mx * H + u) * 8
+                    tid = 0 if j == 0 else 1
                     preds[j] = _encode_block(
-                        wtr, padded[j][y0:y0 + 8, x0:x0 + 8], qtab, preds[j])
+                        wtr, padded[j][y0:y0 + 8, x0:x0 + 8], qtab, preds[j],
+                        enc[(0, tid)], enc[(1, tid)])
     wtr.align()
     out += bytes(wtr.out)
     out += b"\xff\xd9"
@@ -328,6 +346,34 @@ def test_fuzz_mutations_never_raise():
     for blob in blobs:
         out = decode_jpeg(blob)  # must return an array or None, never raise
         assert out is None or out.dtype == np.uint8
+
+
+def test_annexk_tables_roundtrip():
+    img = _rng_img(21, 18, 13)
+    dec = decode_jpeg(encode_jpeg(img, q=1, tables="annexk"))
+    assert dec is not None and dec.shape == (21, 18, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() <= 1.5
+
+
+def test_dhtless_mjpeg_frame_decodes_via_annexk_fallback():
+    img = _rng_img(16, 24, 17)
+    with_dht = encode_jpeg(img, q=2, sub=(2, 2), tables="annexk")
+    without = encode_jpeg(img, q=2, sub=(2, 2), tables="annexk",
+                          emit_dht=False)
+    assert b"\xff\xc4" in with_dht and b"\xff\xc4" not in without
+    a, b = decode_jpeg(with_dht), decode_jpeg(without)
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a, b)  # implied tables == carried tables
+
+
+def test_dhtless_with_custom_tables_still_never_raises():
+    # a DHT-less stream encoded with NON-standard tables decodes to garbage
+    # or None — either is fine, raising is not
+    img = _rng_img(16, 16, 19)
+    blob = encode_jpeg(img, q=1, tables="test", emit_dht=False)
+    out = decode_jpeg(blob)
+    assert out is None or out.dtype == np.uint8
 
 
 def test_real_media_features_covers_jpeg():

@@ -17,6 +17,14 @@ from py_stringsimjoin_spark.functions.media import (
 )
 from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
 
+from .test_avi import avi_write
+
+
+def _avi_mut(avi: bytes, off: int, val: int) -> bytes:
+    out = bytearray(avi)
+    out[off:off + 4] = struct.pack("<I", val)
+    return bytes(out)
+
 
 def _wav(sample_rate, data_size, channels=1, bits=16, pre_chunks=()):
     """Python-built RIFF/WAVE bytes. ``pre_chunks`` is a list of
@@ -101,6 +109,8 @@ CASES = [
         55,
         66,
     ),
+    ("avi_dims", avi_write([b"\xff\xd8xx"], 320, 240, fps=25), "avi", 320, 240),
+    ("avi_truncated", avi_write([b"\xff\xd8xx"], 320, 240)[:60], None, None, None),
     ("garbage", b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b", None, None, None),
     ("png_truncated", _png(16, 9)[:12], None, None, None),
     ("jpeg_truncated_mid_walk", _jpeg(800, 600)[:6], "jpeg", None, None),
@@ -265,6 +275,43 @@ def test_synth_mp4_matches_python_struct(spark):
     assert len(b) == 140 + 5
 
 
+# duration = avih dwMicroSecPerFrame x dwTotalFrames (HEADER count: the
+# fixed-offset JVM read can't walk movi; the chunk-counting demux lives in
+# functions/avi.py and is tested in test_avi.py)
+_AVI3 = avi_write([b"\xff\xd8ab"] * 3, 640, 480, fps=10)  # usf=100000
+AVI_CASES = [
+    ("avi_3frames", _AVI3, "avi", 300),
+    ("avi_hdr_count_wins", avi_write([b"\xff\xd8ab"] * 3, 640, 480, fps=10,
+                                     total_frames=7), "avi", 700),
+    ("avi_zero_usf", _avi_mut(_AVI3, 32, 0), "avi", None),
+    # u32max x u32max: 20-digit product must not overflow ANSI long math
+    ("avi_huge_product", _avi_mut(_avi_mut(_AVI3, 32, 0xFFFFFFFF), 48,
+                                  0xFFFFFFFF), "avi",
+     ((0xFFFFFFFF * 0xFFFFFFFF) // 1000)),
+    ("avi_truncated_hdr", _AVI3[:60], None, None),
+]
+
+
+def test_avi_duration_and_dims_vs_python_built_bytes(spark):
+    rows = [Row(name=n, payload=p) for n, p, _, _ in AVI_CASES]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            media_format_col(F.col("payload")).alias("fmt"),
+            media_duration_col(F.col("payload")).alias("dur"),
+            media_dims_col(F.col("payload")).alias("dims"),
+        ).collect()
+    }
+    for name, _, fmt, dur in AVI_CASES:
+        r = got[name]
+        assert r["fmt"] == fmt, name
+        assert r["dur"] == dur, (name, r["dur"])
+        if fmt == "avi":
+            assert (r["dims"]["width"], r["dims"]["height"]) == (640, 480), name
+
+
 def test_wav_duration_vs_python_built_bytes(spark):
     rows = [Row(name=n, payload=p) for n, p, _, _ in WAV_CASES]
     df = spark.createDataFrame(rows)
@@ -304,12 +351,35 @@ def test_synth_wav_matches_python_struct(spark):
     assert len(b) == 44 + 120
 
 
+def test_synth_avi_parses_back_and_counts(spark):
+    """The JVM AVI fixture: 100 bytes, dims round-trip, duration = 40ms x
+    frames, and the Python demux agrees there are zero movi frames."""
+    from py_stringsimjoin_spark.functions.avi import parse_avi
+
+    df = spark.createDataFrame([Row(w=320, h=176, fr=13)])
+    b = df.select(
+        synth_media_bytes(F.lit("avi"), F.col("w"), F.col("h"), F.col("fr")).alias("b")
+    ).first()["b"]
+    assert len(b) == 100
+    r = spark.createDataFrame([Row(payload=bytes(b))]).select(
+        media_format_col(F.col("payload")).alias("fmt"),
+        media_dims_col(F.col("payload")).alias("dims"),
+        media_duration_col(F.col("payload")).alias("dur"),
+    ).first()
+    assert r["fmt"] == "avi"
+    assert (r["dims"]["width"], r["dims"]["height"]) == (320, 176)
+    assert r["dur"] == 40 * 13
+    info = parse_avi(bytes(b))
+    assert info is not None and info["n_frames"] == 0
+    assert (info["width"], info["height"], info["hdr_frames"]) == (320, 176, 13)
+
+
 def test_python_duration_mirror_matches_spark_cases():
     """py_container_duration_ms (the frame_sample_plan default probe) agrees
     with the JVM walkers on every WAV and MP4 case, including malformed."""
     from py_stringsimjoin_spark.functions.media import py_container_duration_ms
 
-    for name, payload, _, dur in WAV_CASES + MP4_CASES:
+    for name, payload, _, dur in WAV_CASES + MP4_CASES + AVI_CASES:
         assert py_container_duration_ms(payload) == dur, name
     raw = bytearray(_wav(8000, 16000))
     raw[28:32] = b"\x00\x00\x00\x00"  # zero byte rate
@@ -363,6 +433,7 @@ def test_fuzz_jvm_vs_python_duration_mirror(spark):
         _mp4(1000, 2500),
         _mp4(90000, 123456, version=1),
         _mp4(600, 42, pre_boxes=[(b"free", b"\x00" * 5)], moov_largesize=True),
+        avi_write([b"\xff\xd8ab"] * 2, 320, 240, fps=25),
     ]
     for payload in base:
         blobs.append(payload)
