@@ -192,6 +192,51 @@ def test_extract_media_features_covers_avi(spark):
     assert np.abs(np.array(row["features"][:3]) - exp).max() < 0.02
 
 
+def test_video_neardup_composition(spark):
+    """Full video-dedup composition over the REAL decode stack: MJPEG AVIs
+    -> frame_sample_plan (real per-frame features) -> mean-pooled video
+    signature -> cosine_neardup_pairs. The re-encoded copy of video A (same
+    frames at q=2) must pair with A; the unrelated video must not."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from py_stringsimjoin_spark.operators.ann import cosine_neardup_pairs
+    from py_stringsimjoin_spark.operators.multimodal import frame_sample_plan
+
+    # structured, DISTINCT content (random noise has near-identical feature
+    # statistics across videos — means ~0.5, flat histograms — so it cannot
+    # separate same-video from different-video)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    imgs_a = [np.stack([(yy * 8 + k * 10) % 128, (xx * 8) % 128,
+                        np.full_like(yy, 20 + k)], axis=2).astype(np.uint8)
+              for k in range(4)]
+    imgs_b = [np.stack([np.full_like(yy, 230), (255 - yy * 6 - k) % 256,
+                        np.full_like(yy, 240 - k)], axis=2).astype(np.uint8)
+              for k in range(4)]
+    enc_a1 = [encode_jpeg(im, q=1) for im in imgs_a]
+    enc_a2 = [encode_jpeg(im, q=2, sub=(2, 2)) for im in imgs_a]  # re-encode
+    enc_b = [encode_jpeg(im, q=1) for im in imgs_b]
+    df = spark.createDataFrame([
+        Row(id=1, payload=avi_write(enc_a1, 16, 16, fps=10)),
+        Row(id=2, payload=avi_write(enc_a2, 16, 16, fps=10)),
+        Row(id=3, payload=avi_write(enc_b, 16, 16, fps=10)),
+    ])
+    frames = frame_sample_plan(df, "id", "payload", every_ms=100)
+    # mean-pool per-frame features into one signature per video (JVM-side:
+    # posexplode + groupBy avg, no Python)
+    pooled = (
+        frames.select("id", F.posexplode("features").alias("pos", "v"))
+        .groupBy("id", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select("id", F.expr("transform(s, x -> float(x.v))").alias("sig"))
+    )
+    pairs = cosine_neardup_pairs(pooled, "id", "sig", threshold=0.99)
+    got = {(r["l_id"], r["r_id"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_self_referencing_size_terminates():
     # a LIST whose size points at itself must hit the hop budget, not hang
     evil = b"RIFF" + struct.pack("<I", 1 << 20) + b"AVI "
