@@ -1,20 +1,24 @@
-"""Baseline JPEG (SOF0) decoder with ZERO external codec libraries.
+"""JPEG decoder (baseline, extended sequential, progressive) with ZERO
+external codec libraries.
 
-Baseline sequential JPEG is fully specified by ITU-T T.81: canonical Huffman
-entropy coding, zigzag run-length AC coefficients, uniform dequantization,
-and a separable 8x8 inverse DCT — all of which numpy + pure Python express
+Huffman JPEG is fully specified by ITU-T T.81: canonical Huffman entropy
+coding, zigzag run-length AC coefficients, uniform dequantization, and a
+separable 8x8 inverse DCT — all of which numpy + pure Python express
 exactly. This closes the largest remaining "needs an external codec" gap in
-``functions/codecs.py``: JPEG payloads now yield REAL pixels, so
+``functions/codecs.py``: JPEG payloads yield REAL pixels, so
 ``extract_media_features`` emits real image features for the dominant web
 image format instead of the md5 stub.
 
-Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3 components, any
-integer chroma subsampling (4:4:4, 4:2:2, 4:2:0, ...), restart markers,
-multiple DQT/DHT segments, fill bytes, and DHT-less streams (MJPEG frames
-inside AVI conventionally omit DHT and imply the T.81 Annex K typical
-tables — the fallback kicks in per missing table id). Rejected as ``None``
-(data, not errors): progressive/extended/lossless/arithmetic SOFs, 12-bit
-precision, 4-component (CMYK) scans, truncated or corrupt entropy data.
+Supported: baseline DCT (SOF0), extended sequential (SOF1), progressive
+(SOF2, full Annex G — spectral selection, successive approximation, DC/AC
+first + refinement scans, EOBRUN, per-scan restart markers), 8-bit
+precision, 1 or 3 components, any integer chroma subsampling (4:4:4,
+4:2:2, 4:2:0, ...), multiple DQT/DHT segments, fill bytes, and DHT-less
+streams (MJPEG frames inside AVI conventionally omit DHT and imply the
+T.81 Annex K typical tables — the fallback kicks in per missing table id).
+Rejected as ``None`` (data, not errors): lossless/arithmetic/hierarchical
+SOFs, 12-bit precision, 4-component (CMYK) scans, truncated or corrupt
+entropy data.
 
 Scale shape: the decoder runs inside the already-declared ``mapInPandas``
 batch stage of ``extract_media_features`` / ``frame_sample_plan`` — per-batch
@@ -168,9 +172,9 @@ def _default_huff(tc: int, th: int):
 
 def _entropy_segments(b: bytes, pos: int):
     """Split the entropy-coded data starting at ``pos`` into restart
-    segments (0xFF00 unstuffed, RSTn boundaries). Returns (segments, done)
-    where done=True iff a terminating marker (EOI or next header) was
-    seen."""
+    segments (0xFF00 unstuffed, RSTn boundaries). Returns (segments,
+    end_index) where end_index is the offset of the 0xFF of the marker
+    that terminated the scan; None when the data runs out first."""
     segs = []
     cur = bytearray()
     i = pos
@@ -193,7 +197,7 @@ def _entropy_segments(b: bytes, pos: int):
             i += 2
         else:  # real marker: EOI or any next header ends the scan
             segs.append(bytes(cur))
-            return segs
+            return segs, i
     return None
 
 
@@ -223,9 +227,232 @@ def _decode_block(reader, dc_table, ac_table, pred: int):
     return coeffs, pred
 
 
+class _ProgState:
+    """Accumulated progressive-scan state: one zigzag-indexed int32
+    coefficient array per component over the MCU-padded block grid, filled
+    in place scan by scan (T.81 Annex G successive approximation works on
+    these integers; dequantization + IDCT happen once at EOI)."""
+
+    def __init__(self, sof):
+        h, w, comps = sof
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if any(self.hmax % c[1] or self.vmax % c[2] for c in comps):
+            raise ValueError("non-integer upsampling ratio")
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coeffs = []
+        self.bw = []   # non-interleaved scan grid: ceil(comp_dim / 8),
+        self.bh = []   # NOT the MCU-padded grid (T.81 A.2.2)
+        for _, H, V, _ in comps:
+            self.coeffs.append(np.zeros(
+                (self.mcus_y * V, self.mcus_x * H, 64), dtype=np.int32))
+            cw = -(-w * H // self.hmax)   # component resolution: ceil
+            ch = -(-h * V // self.vmax)
+            self.bw.append(-(-cw // 8))
+            self.bh.append(-(-ch // 8))
+
+
+def _prog_dc_scan(st, segs, tables, ah, al, ri, ns):
+    """DC scan (Ss=Se=0): interleaved over MCUs when ns>1, else row-major
+    over the single component's block grid. First pass (Ah=0) decodes
+    diffs into bit position Al and up; refinement (Ah>0) appends bit Al."""
+    units = (st.mcus_x * st.mcus_y if ns > 1
+             else st.bw[tables[0][0]] * st.bh[tables[0][0]])
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = {j: 0 for j, _ in tables}
+    for m in range(units):
+        if ri and m and m % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = {j: 0 for j, _ in tables}
+        if ns > 1:
+            my, mx = divmod(m, st.mcus_x)
+            for j, t in tables:
+                _, H, V, _ = st.comps[j]
+                for v in range(V):
+                    for u in range(H):
+                        _dc_unit(st.coeffs[j], my * V + v, mx * H + u,
+                                 reader, t, preds, j, ah, al)
+        else:
+            j, t = tables[0]
+            by, bx = divmod(m, st.bw[j])
+            _dc_unit(st.coeffs[j], by, bx, reader, t, preds, j, ah, al)
+
+
+def _dc_unit(coeff, by, bx, reader, table, preds, j, ah, al):
+    if ah == 0:
+        s = reader.read_symbol(table)
+        if s > 11:
+            raise ValueError("bad DC category")
+        preds[j] += _extend(reader.read_bits(s), s) if s else 0
+        coeff[by, bx, 0] = preds[j] << al
+    elif reader.read_bit():
+        # the <<Al first pass left bit Al clear, so OR appends it exactly,
+        # negative values included (two's complement)
+        coeff[by, bx, 0] |= (1 << al)
+
+
+def _prog_ac_scan(st, segs, j, ac, ss, se, ah, al, ri):
+    """AC scan (Ss>0, single component). EOBRUN is scan-level state but
+    resets at restart boundaries."""
+    coeff = st.coeffs[j]
+    bw = st.bw[j]
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    eobrun = 0
+    for m in range(bw * st.bh[j]):
+        if ri and m and m % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            eobrun = 0
+        by, bx = divmod(m, bw)
+        blk = coeff[by, bx]
+        if ah == 0:
+            eobrun = _ac_first(reader, ac, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(reader, ac, blk, ss, se, al, eobrun)
+
+
+def _ac_first(reader, ac, blk, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)-1+bits MORE all-done blocks
+                return (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+            k += 16      # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac, blk, ss, se, al, eobrun):
+    """T.81 G.1.2.3 correction-bit pass: previously-significant
+    coefficients consume one bit each as they are passed over; the run
+    length r counts only zero-history positions."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    # the run INCLUDES the current block: its remaining
+                    # positions still consume correction bits below, then
+                    # the decrement counts it off
+                    eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, no new coeff
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # inside an EOB run only correction bits flow
+            if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(b, data_pos, sos, st, qt, huff, ri):
+    """Apply one progressive scan to ``st``; returns the byte offset of the
+    marker that terminated the scan (the walk resumes there), or None."""
+    if len(sos) < 1:
+        return None
+    ns = sos[0]
+    if len(sos) < 1 + 2 * ns + 3:
+        return None
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ah, al = sos[3 + 2 * ns] >> 4, sos[3 + 2 * ns] & 0x0F
+    sel = []
+    for i in range(ns):
+        cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
+        match = [j for j, (cid, _, _, _) in enumerate(st.comps) if cid == cs]
+        if not match:
+            return None
+        sel.append((match[0], tda))
+    res = _entropy_segments(b, data_pos)
+    if res is None or not res[0]:
+        return None
+    segs, end = res
+    if ss == 0:  # DC scan
+        if se != 0:
+            return None
+        tables = []
+        for j, tda in sel:
+            t = None
+            if ah == 0:
+                t = huff.get((0, tda >> 4)) or _default_huff(0, tda >> 4)
+                if t is None:
+                    return None
+            tables.append((j, t))
+        _prog_dc_scan(st, segs, tables, ah, al, ri, ns)
+    else:        # AC scan: single component only (T.81 B.2.3)
+        if ns != 1 or se > 63 or ss > se:
+            return None
+        j, tda = sel[0]
+        ac = huff.get((1, tda & 0x0F)) or _default_huff(1, tda & 0x0F)
+        if ac is None:
+            return None
+        _prog_ac_scan(st, segs, j, ac, ss, se, ah, al, ri)
+    return end
+
+
+def _finish_prog(st, qt):
+    """Dequantize + batched IDCT of the accumulated coefficient arrays,
+    then the shared upsample/convert tail."""
+    planes = []
+    for j, (_, H, V, tq) in enumerate(st.comps):
+        if tq not in qt:
+            return None
+        q = np.zeros(64, dtype=np.float64)
+        q[ZIGZAG] = qt[tq]
+        cf = st.coeffs[j].astype(np.float64)       # (BY, BX, 64) zigzag
+        nat = np.zeros_like(cf)
+        nat[..., ZIGZAG] = cf
+        blocks = nat.reshape(*cf.shape[:2], 8, 8) * q.reshape(8, 8)
+        spatial = _M @ blocks @ _M.T               # batched over (BY, BX)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            cf.shape[0] * 8, cf.shape[1] * 8) + 128.0
+        planes.append(plane.astype(np.float32))
+    return _assemble(planes, st.comps, st.h, st.w, st.hmax, st.vmax)
+
+
 def decode_jpeg(payload: bytes):
-    """uint8 pixel array [h, w, 3] (YCbCr->RGB) or [h, w, 1] (grayscale) for
-    a baseline-sequential 8-bit JPEG; None for anything else (progressive,
+    """uint8 pixel array [h, w, 3] (YCbCr->RGB) or [h, w, 1] (grayscale)
+    for an 8-bit Huffman JPEG — baseline (SOF0), extended sequential
+    (SOF1), or progressive (SOF2, full Annex G: spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOBRUN,
+    restart markers); None for anything else (hierarchical/lossless/
     arithmetic, 12-bit, CMYK, truncated, corrupt). Pure stdlib + numpy."""
     b = payload or b""
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
@@ -233,6 +460,8 @@ def decode_jpeg(payload: bytes):
     qt = {}      # table id -> float64[64] in zigzag order
     huff = {}    # (class 0|1, table id) -> canonical table
     sof = None   # (h, w, [(comp_id, H, V, tq)])
+    progressive = False
+    prog = None  # _ProgState once the first progressive scan starts
     restart_interval = 0
     pos = 2
     try:
@@ -246,8 +475,10 @@ def decode_jpeg(payload: bytes):
                 return None
             marker = b[pos]
             pos += 1
-            if marker == 0xD9:  # EOI before any scan
-                return None
+            if marker == 0xD9:  # EOI: progressive finishes here
+                if prog is not None:
+                    return _finish_prog(prog, qt)
+                return None  # sequential never reaches EOI (scan returns)
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
                 continue
             if pos + 2 > len(b):
@@ -289,7 +520,9 @@ def decode_jpeg(payload: bytes):
                         return None
                     huff[(tc, th)] = table
                     i += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF0 baseline / SOF1 extended sequential (identical
+                # Huffman coding process at 8-bit) / SOF2 progressive
                 if len(seg) < 6 or seg[0] != 8:
                     return None
                 h = int.from_bytes(seg[1:3], "big")
@@ -305,18 +538,28 @@ def decode_jpeg(payload: bytes):
                 if any(not (1 <= H <= 4 and 1 <= V <= 4) for _, H, V, _ in comps):
                     return None
                 sof = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF: unsupported, not an error
+                return None  # lossless/arithmetic/hierarchical SOFs
             elif marker == 0xDD:  # DRI
                 if len(seg) < 2:
                     return None
                 restart_interval = int.from_bytes(seg[0:2], "big")
-            elif marker == 0xDA:  # SOS: decode and return
+            elif marker == 0xDA:  # SOS
                 if sof is None:
                     return None
-                return _decode_scan(b, pos + seglen, seg, sof, qt, huff,
-                                    restart_interval)
+                if not progressive:  # sequential: one scan, decode + return
+                    return _decode_scan(b, pos + seglen, seg, sof, qt, huff,
+                                        restart_interval)
+                if prog is None:
+                    prog = _ProgState(sof)
+                nxt = _decode_prog_scan(b, pos + seglen, seg, prog, qt, huff,
+                                        restart_interval)
+                if nxt is None:
+                    return None
+                pos = nxt  # resume the walk at the scan-terminating marker
+                continue
             # APPn / COM / others: skip
             pos += seglen
         return None
@@ -359,9 +602,10 @@ def _decode_scan(b, data_pos, sos, sof, qt, huff, restart_interval):
         q = np.zeros(64, dtype=np.float64)
         q[ZIGZAG] = qt[tq]
         qtabs.append(q.reshape(8, 8))
-    segs = _entropy_segments(b, data_pos)
-    if not segs:
+    res = _entropy_segments(b, data_pos)
+    if res is None or not res[0]:
         return None
+    segs = res[0]
     seg_idx = 0
     reader = _BitReader(segs[0])
     preds = [0] * len(comps)
@@ -386,7 +630,12 @@ def _decode_scan(b, data_pos, sos, sof, qt, huff, restart_interval):
                     y0 = (my * V + v) * 8
                     x0 = (mx * H + u) * 8
                     planes[j][y0:y0 + 8, x0:x0 + 8] = spatial + 128.0
-    # upsample every component to the full-resolution grid, crop, stack
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to the full-resolution grid, crop to
+    (h, w), and convert to uint8 grayscale or YCbCr->RGB."""
     full = []
     for j, (_, H, V, _) in enumerate(comps):
         p = planes[j]

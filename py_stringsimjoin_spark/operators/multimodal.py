@@ -4,13 +4,15 @@ Media travel as opaque ``binary`` columns with a typed metadata struct; the
 decode / feature-extraction kernels are Arrow-batched ``mapInPandas`` stages.
 Decode coverage is format-tiered and honest about it:
 
-* REAL, zero external codec: container header metadata (PNG/GIF/JPEG dims,
-  WAV/MP4 duration — JVM expressions, functions/media.py), full pixel
-  decode of 8-bit PNGs (stdlib zlib + scanline unfiltering), GIF first
-  frames (pure-Python LZW, interlace supported), baseline-sequential JPEG
-  (canonical Huffman + IDCT, functions/jpeg.py), full waveform decode of
-  PCM WAV (numpy) — functions/codecs.py.
-* STUBBED: progressive JPEG and compressed audio/video need an external
+* REAL, zero external codec: container header metadata (PNG/GIF/JPEG/AVI
+  dims, WAV/MP4/AVI duration — JVM expressions, functions/media.py), full
+  pixel decode of 8/16-bit + Adam7 PNGs (stdlib zlib + scanline
+  unfiltering), GIF first frames (pure-Python LZW, interlace supported),
+  JPEG in all three Huffman processes — baseline, extended sequential,
+  progressive (functions/jpeg.py) — MJPEG-AVI frame demux
+  (functions/avi.py), full waveform decode of PCM WAV (numpy) —
+  functions/codecs.py.
+* STUBBED: compressed audio/video (H.264/VP9/AV1/MP3) need an external
   codec this container lacks; ``decode_fn=None`` routes those to a
   deterministic fake decoder so the Spark-side contract — schema, batch
   shape, partitioning, null routing — stays real and tested. Pass a real
@@ -87,11 +89,12 @@ def extract_media_features(
 ) -> DataFrame:
     """(id, features: array<float>, n_bytes). ``decode_fn(bytes)->np.ndarray``
     plugs in a real codec; the default decodes REAL pixels/waveforms for
-    codec-free containers (8-bit PNG via stdlib zlib, GIF via pure-Python
-    LZW, baseline JPEG via functions/jpeg.py, PCM WAV via numpy —
+    codec-free containers (PNG via stdlib zlib, GIF via pure-Python LZW,
+    baseline/extended/progressive JPEG via functions/jpeg.py, MJPEG-AVI
+    first frames via functions/avi.py, PCM WAV via numpy —
     functions/codecs.py) and falls back to the deterministic md5 stub for
-    formats that genuinely need an external codec (progressive JPEG,
-    compressed audio/video)."""
+    formats that genuinely need an external codec (compressed
+    audio/video)."""
     from ..functions.codecs import real_media_features
 
     id_type = df.schema[id_col].dataType

@@ -308,10 +308,12 @@ def test_single_block_and_odd_sizes():
         assert err.max() <= 4
 
 
-def test_rejects_progressive_and_friends():
+def test_rejects_malformed_and_friends():
     img = _rng_img(16, 16, 5, gray=True)
     good = encode_jpeg(img, q=1)
-    # rewrite SOF0 marker to SOF2 (progressive): must reject, not crash
+    # rewrite SOF0 to SOF2: the SEQUENTIAL scan header (Se=63) is malformed
+    # as a progressive DC scan — reject, not crash (real progressive
+    # streams are covered in test_jpeg_progressive.py)
     sof_at = good.find(b"\xff\xc0")
     assert sof_at > 0
     prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
