@@ -25,6 +25,7 @@ from .functions.avi import (
     parse_avi,
 )
 from .functions.codecs import (
+    decode_bmp,
     decode_gif,
     decode_png,
     decode_wav_pcm,
@@ -192,6 +193,7 @@ __all__ = [
     "py_container_duration_ms",
     "decode_png",
     "decode_gif",
+    "decode_bmp",
     "decode_jpeg",
     "parse_avi",
     "decode_avi_frame",

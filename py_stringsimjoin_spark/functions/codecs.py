@@ -1,10 +1,15 @@
 """Real media decoding with ZERO external codec libraries.
 
-Two container formats are fully decodable from the Python stdlib + numpy,
-which is all this environment (and many locked-down clusters) ships:
+These container formats are fully decodable from the Python stdlib +
+numpy, which is all this environment (and many locked-down clusters)
+ships:
 
-* **PCM WAV** — the data chunk IS the samples; ``numpy.frombuffer`` decodes
-  8/16-bit integer PCM to float in [-1, 1].
+* **WAV** — the data chunk IS the samples; ``numpy.frombuffer`` (plus the
+  closed-form G.711 expansions) decodes integer PCM (8/16/24/32-bit),
+  IEEE float (32/64-bit), and mu-law/A-law — WAVE_FORMAT_EXTENSIBLE
+  included — to float in [-1, 1].
+* **BMP** — uncompressed BI_RGB rows at fixed offsets (24/32-bit true
+  color, 8-bit palette, top-down or bottom-up).
 * **PNG** — IDAT is zlib (stdlib) over filtered scanlines; undoing the five
   RFC 2083 filters (None/Sub/Up/Average/Paeth) recovers exact pixels for
   8/16-bit gray/RGB/RGBA/palette images, sequential or Adam7-interlaced
@@ -39,9 +44,33 @@ from py_stringsimjoin_spark.functions.jpeg import decode_jpeg
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _expand_mulaw(u8: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion to int16-range floats."""
+    u = (~u8) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def _expand_alaw(u8: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion to int16-range floats. Post-XOR sign bit SET
+    means POSITIVE (opposite of mu-law's convention)."""
+    a = u8 ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.float32) / 32768.0
+
+
 def decode_wav_pcm(payload: bytes):
-    """(samples float32 [n, channels] in [-1,1], sample_rate) for integer
-    PCM WAV (8/16-bit); None when not such a payload. Walks the RIFF chunk
+    """(samples float32 [n, channels] in [-1,1], sample_rate) for WAV
+    payloads in the codec-free encodings: integer PCM (8/16/24/32-bit),
+    IEEE float (32/64-bit), G.711 mu-law/A-law, including the
+    WAVE_FORMAT_EXTENSIBLE wrapper; None otherwise. Walks the RIFF chunk
     chain like functions/media.py's JVM fold."""
     b = payload or b""
     if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -53,7 +82,7 @@ def decode_wav_pcm(payload: bytes):
         cid = b[off:off + 4]
         size = int.from_bytes(b[off + 4:off + 8], "little")
         if cid == b"fmt " and size >= 16 and fmt is None:
-            fmt = b[off + 8:off + 24]
+            fmt = b[off + 8:off + 8 + size]
         elif cid == b"data" and data is None:
             data = b[off + 8:off + 8 + size]
         if fmt is not None and data is not None:
@@ -65,14 +94,39 @@ def decode_wav_pcm(payload: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or channels < 1 or sample_rate < 1:
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code leads the SubFormat
+        # GUID (fmt offset 24)
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if channels < 1 or sample_rate < 1:
         return None
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         raw = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
                             dtype="<i2").astype(np.float32) / 32768.0
-    elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+    elif audio_format == 1 and bits == 8:  # 8-bit WAV is unsigned
         raw = (np.frombuffer(data[: len(data) - len(data) % channels],
                              dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        trim = data[: len(data) - len(data) % (3 * channels)]
+        u = np.frombuffer(trim, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        raw = v.astype(np.float32) / float(1 << 23)
+    elif audio_format == 1 and bits == 32:
+        raw = np.frombuffer(data[: len(data) - len(data) % (4 * channels)],
+                            dtype="<i4").astype(np.float32) / float(1 << 31)
+    elif audio_format == 3 and bits == 32:
+        raw = np.frombuffer(data[: len(data) - len(data) % (4 * channels)],
+                            dtype="<f4").astype(np.float32)
+    elif audio_format == 3 and bits == 64:
+        raw = np.frombuffer(data[: len(data) - len(data) % (8 * channels)],
+                            dtype="<f8").astype(np.float32)
+    elif audio_format == 7 and bits == 8:   # G.711 mu-law
+        raw = _expand_mulaw(np.frombuffer(
+            data[: len(data) - len(data) % channels], dtype=np.uint8))
+    elif audio_format == 6 and bits == 8:   # G.711 A-law
+        raw = _expand_alaw(np.frombuffer(
+            data[: len(data) - len(data) % channels], dtype=np.uint8))
     else:
         return None
     return raw.reshape(-1, channels), sample_rate
@@ -202,6 +256,53 @@ def decode_png(payload: bytes):
     return out
 
 
+def decode_bmp(payload: bytes):
+    """uint8 RGB array [h, w, 3] for uncompressed BI_RGB BMPs — 24/32-bit
+    true color or 8-bit palette, bottom-up or top-down rows, 4-byte row
+    padding; None otherwise (RLE/bitfield compression, 1/4-bit)."""
+    b = payload or b""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    planes = int.from_bytes(b[26:28], "little")
+    bits = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or planes != 1 or w <= 0 or h == 0 or bits not in (8, 24, 32):
+        return None
+    top_down = h < 0
+    ah = abs(h)
+    palette = None
+    if bits == 8:
+        ncol = int.from_bytes(b[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal_end = pal_off + 4 * ncol
+        if pal_end > len(b):
+            return None
+        palette = np.frombuffer(b[pal_off:pal_end], dtype=np.uint8)
+        palette = palette.reshape(-1, 4)[:, 2::-1]  # BGRX storage -> RGB
+    stride = ((w * bits // 8) + 3) & ~3  # rows pad to 4-byte multiples
+    need = data_off + stride * ah
+    if data_off < 14 or need > len(b):
+        return None
+    rows = np.frombuffer(b[data_off:need], dtype=np.uint8).reshape(ah, stride)
+    if bits == 8:
+        idx = rows[:, :w].astype(np.int64)
+        if np.any(idx >= len(palette)):
+            return None
+        img = palette[idx]
+    else:
+        px = rows[:, : w * (bits // 8)].reshape(ah, w, bits // 8)
+        img = px[..., 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up storage (positive height)
+    return np.ascontiguousarray(img)
+
+
 def image_features(pixels: np.ndarray, feat_dim: int = 16) -> np.ndarray:
     """Deterministic real-pixel feature vector: per-channel mean/std (RGBA-
     padded), overall luminance stats, an 8-bin luminance histogram — then
@@ -253,9 +354,9 @@ def _fit(v: np.ndarray, feat_dim: int) -> np.ndarray:
 
 
 def real_media_features(payload: bytes, feat_dim: int = 16):
-    """Real features when the payload is a decodable container (PCM WAV,
-    8-bit PNG, GIF, baseline JPEG, or an MJPEG AVI's first frame); None
-    otherwise — callers route None to their fallback."""
+    """Real features when the payload is a decodable container (WAV in any
+    codec-free encoding, PNG, GIF, Huffman JPEG, BMP, or an MJPEG AVI's
+    first frame); None otherwise — callers route None to their fallback."""
     from py_stringsimjoin_spark.functions.avi import decode_avi_frame, is_avi
 
     if is_avi(payload):
@@ -270,6 +371,9 @@ def real_media_features(payload: bytes, feat_dim: int = 16):
     jpg = decode_jpeg(payload)
     if jpg is not None:
         return image_features(jpg, feat_dim)
+    bmp = decode_bmp(payload)
+    if bmp is not None:
+        return image_features(bmp, feat_dim)
     wav = decode_wav_pcm(payload)
     if wav is not None:
         return audio_features(wav[0], wav[1], feat_dim)

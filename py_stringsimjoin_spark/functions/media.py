@@ -86,6 +86,26 @@ def _is_mp4(b: Column) -> Column:
     return (F.length(b) >= 16) & (F.substring(b, 5, 4).cast("string") == "ftyp")
 
 
+def _is_bmp(b: Column) -> Column:
+    # 'BM' is a weak 2-byte magic — also require a BITMAPINFOHEADER-sized
+    # info header and planes == 1 so text starting with "BM" doesn't sniff
+    # as an image; the file-size field is unchecked (writers get it wrong)
+    return (
+        (F.length(b) >= 30)
+        & (F.substring(b, 1, 2).cast("string") == "BM")
+        & (_le(b, 15, 4) >= 40)
+        & (_le(b, 27, 2) == 1)
+    )
+
+
+def _bmp_dim(b: Column, pos: int) -> Column:
+    """Signed i32 LE at 1-based ``pos``, absolute value (BMP height is
+    negative for top-down rows; width can technically be negative too in
+    malformed files — dims are magnitudes either way)."""
+    v = _le(b, pos, 4)
+    return F.when(v >= (1 << 31), (F.lit(1 << 32) - v)).otherwise(v)
+
+
 def _is_avi(b: Column) -> Column:
     """Canonical AVI layout: the hdrl LIST with its avih main header is the
     first chunk after the RIFF header (required by the spec), so every
@@ -267,6 +287,7 @@ def media_format_col(b: Column) -> Column:
         .when(_is_wav(b), F.lit("wav"))
         .when(_is_avi(b), F.lit("avi"))
         .when(_is_mp4(b), F.lit("mp4"))
+        .when(_is_bmp(b), F.lit("bmp"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -295,6 +316,7 @@ def media_dims_col(b: Column) -> Column:
         .when(_is_gif(b), (_be(b, 7, 1) + _be(b, 8, 1) * 256).cast("int"))
         .when(_is_jpeg(b), jd["w"])
         .when(_is_avi(b), _le(b, 65, 4).cast("int"))
+        .when(_is_bmp(b), _bmp_dim(b, 19).cast("int"))
         .otherwise(F.lit(None).cast("int"))
     )
     h = (
@@ -302,6 +324,7 @@ def media_dims_col(b: Column) -> Column:
         .when(_is_gif(b), (_be(b, 9, 1) + _be(b, 10, 1) * 256).cast("int"))
         .when(_is_jpeg(b), jd["h"])
         .when(_is_avi(b), _le(b, 69, 4).cast("int"))
+        .when(_is_bmp(b), _bmp_dim(b, 23).cast("int"))
         .otherwise(F.lit(None).cast("int"))
     )
     return F.struct(w.alias("width"), h.alias("height"))

@@ -115,12 +115,51 @@ def _png_encode_adam7(pixels):
 def _wav_pcm16(samples, rate):
     """samples: float [n, ch] in [-1,1] -> canonical PCM16 WAV bytes."""
     arr = np.clip(np.asarray(samples) * 32768.0, -32768, 32767).astype("<i2")
-    data = arr.tobytes()
-    ch = arr.shape[1]
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-    body = b"fmt " + struct.pack("<I", 16) + fmt
+    return _wav_raw(arr.tobytes(), 1, arr.shape[1], rate, 16)
+
+
+def _wav_raw(data, audio_format, ch, rate, bits, extensible=False):
+    block = ch * bits // 8
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: tag 0xFFFE, real code leads the SubFormat
+        fmt = struct.pack("<HHIIHH", 0xFFFE, ch, rate, rate * block, block,
+                          bits)
+        fmt += struct.pack("<HHI", 22, bits, 0)
+        fmt += struct.pack("<H", audio_format) + b"\x00" * 14
+    else:
+        fmt = struct.pack("<HHIIHH", audio_format, ch, rate, rate * block,
+                          block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _compress_mulaw(x16):
+    """Independent G.711 mu-law compressor (bit-position segment search,
+    the classic linear2ulaw shape — not the decoder's closed form)."""
+    out = []
+    for v in x16:
+        s = 0x80 if v < 0 else 0
+        m = min(abs(int(v)), 32635) + 0x84          # bias, then find seg
+        exp = m.bit_length() - 8                    # top bit at exp+7
+        mant = (m >> (exp + 3)) & 0x0F
+        out.append((~(s | (exp << 4) | mant)) & 0xFF)
+    return bytes(out)
+
+
+def _compress_alaw(x16):
+    """Independent G.711 A-law compressor (sign bit = positive, XOR 0x55)."""
+    out = []
+    for v in x16:
+        pos = 0x80 if v >= 0 else 0
+        a = min(abs(int(v)), 32767)
+        if a < 256:
+            exp, mant = 0, a >> 4
+        else:
+            exp = a.bit_length() - 8
+            mant = (a >> (exp + 3)) & 0x0F
+        out.append((pos | (exp << 4) | mant) ^ 0x55)
+    return bytes(out)
 
 
 RNG = np.random.RandomState(7)
@@ -168,10 +207,137 @@ def test_wav_pcm_roundtrip():
 
 def test_wav_rejects_non_pcm():
     b = bytearray(_wav_pcm16(np.zeros((10, 1)), 8000))
-    b[20:22] = b"\x03\x00"  # IEEE float format code
+    b[20:22] = b"\x03\x00"  # IEEE float tag but 16-bit: invalid combination
+    assert decode_wav_pcm(bytes(b)) is None
+    b[20:22] = b"\x11\x00"  # IMA ADPCM: genuinely needs a codec
     assert decode_wav_pcm(bytes(b)) is None
     assert decode_wav_pcm(b"RIFFxxxxWAVE") is None
     assert decode_wav_pcm(None) is None
+
+
+def test_wav_pcm_widths_and_float():
+    t = np.linspace(0, 1, 2000, endpoint=False)
+    wave = (0.7 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    cases = [
+        (np.clip(wave * (1 << 23), -(1 << 23), (1 << 23) - 1).astype("<i4"),
+         1, 24, 1 / (1 << 22), "i24"),
+        ((np.clip(wave, -1, 1) * ((1 << 31) - 1)).astype("<i4"),
+         1, 32, 1 / (1 << 24), "i32"),
+        (wave.astype("<f4"), 3, 32, 1e-6, "f32"),
+        (wave.astype("<f8"), 3, 64, 1e-6, "f64"),
+    ]
+    for arr, tag, bits, tol, name in cases:
+        if bits == 24:  # low 3 bytes of each i4, little-endian
+            data = arr.astype("<i4").tobytes()
+            data = b"".join(data[i:i + 3] for i in range(0, len(data), 4))
+        else:
+            data = arr.tobytes()
+        out = decode_wav_pcm(_wav_raw(data, tag, 1, 8000, bits))
+        assert out is not None, name
+        samples, rate = out
+        assert rate == 8000 and samples.shape == (2000, 1), name
+        assert np.max(np.abs(samples - wave)) < tol, name
+
+
+def test_wav_extensible_wrapper():
+    t = np.linspace(0, 0.25, 2000, endpoint=False)
+    wave = (0.5 * np.sin(2 * np.pi * 300 * t)).reshape(-1, 1)
+    data = np.clip(wave * 32768, -32768, 32767).astype("<i2").tobytes()
+    out = decode_wav_pcm(_wav_raw(data, 1, 1, 8000, 16, extensible=True))
+    assert out is not None
+    assert np.max(np.abs(out[0] - wave)) < 1 / 16384.0
+
+
+def test_wav_g711_companding():
+    rng = np.random.RandomState(3)
+    x16 = np.concatenate([
+        rng.randint(-32768, 32768, size=500),
+        [0, 1, -1, 8, -8, 255, -255, 32767, -32768],
+    ]).astype(np.int64)
+    # mu-law: compressor is the classic bit-search form; expansion must
+    # land within one top-segment quantization step (1024 in the 16-bit
+    # domain; the 32767 clip case lands 643 off at the mu-law max 32124)
+    out = decode_wav_pcm(_wav_raw(_compress_mulaw(x16), 7, 1, 8000, 8))
+    assert out is not None
+    err = np.abs(out[0][:, 0] * 32768.0 - x16)
+    assert err.max() <= 1024, err.max()
+    # exact anchors: 0xFF = +0, 0x7F = -0, 0x80 = +32124, 0x00 = -32124
+    anchors = decode_wav_pcm(
+        _wav_raw(bytes([0xFF, 0x7F, 0x80, 0x00]), 7, 1, 8000, 8))
+    a = np.round(anchors[0][:, 0] * 32768.0).astype(int)
+    assert list(a) == [0, 0, 32124, -32124]
+    # A-law
+    out = decode_wav_pcm(_wav_raw(_compress_alaw(x16), 6, 1, 8000, 8))
+    assert out is not None
+    err = np.abs(out[0][:, 0] * 32768.0 - x16)
+    assert err.max() <= 1024, err.max()  # seg-7 step is 1024 in A-law
+    # exact anchors: 0xD5 = +8, 0x55 = -8 (A-law has no true zero)
+    anchors = decode_wav_pcm(_wav_raw(bytes([0xD5, 0x55]), 6, 1, 8000, 8))
+    a = np.round(anchors[0][:, 0] * 32768.0).astype(int)
+    assert list(a) == [8, -8]
+
+
+def _bmp_encode(pixels, bits=24, top_down=False, palette=None):
+    """Independent BMP writer: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    4-byte-padded rows, bottom-up unless top_down."""
+    h, w = pixels.shape[:2]
+    stride = ((w * bits // 8) + 3) & ~3
+    pal = b""
+    if bits == 8:
+        pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+    data_off = 14 + 40 + len(pal)
+    rows = []
+    for y in range(h):
+        if bits == 8:
+            row = bytes(pixels[y, :w].astype(np.uint8))
+        else:
+            px = pixels[y]
+            row = b"".join(
+                bytes([int(p[2]), int(p[1]), int(p[0])]) +
+                (b"\xff" if bits == 32 else b"") for p in px)
+        rows.append(row + b"\x00" * (stride - len(row)))
+    if not top_down:
+        rows.reverse()
+    body = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1,
+                       bits, 0, len(body), 2835, 2835,
+                       len(palette) if bits == 8 else 0, 0)
+    head = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    return head + info + pal + body
+
+
+def test_bmp_roundtrip():
+    from py_stringsimjoin_spark.functions.codecs import decode_bmp
+
+    px = RNG.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for bits in (24, 32):
+        for td in (False, True):
+            got = decode_bmp(_bmp_encode(px, bits=bits, top_down=td))
+            assert got is not None, (bits, td)
+            np.testing.assert_array_equal(got, px)
+    # 8-bit palette
+    palette = [(250, 10, 30), (0, 255, 0), (12, 34, 56)]
+    idx = RNG.randint(0, 3, size=(6, 9))
+    got = decode_bmp(_bmp_encode(idx, bits=8, palette=palette))
+    np.testing.assert_array_equal(got, np.array(palette, dtype=np.uint8)[idx])
+    # rejects: RLE compression flag, truncation, junk
+    blob = bytearray(_bmp_encode(px))
+    blob[30] = 1  # BI_RLE8
+    assert decode_bmp(bytes(blob)) is None
+    assert decode_bmp(_bmp_encode(px)[:40]) is None
+    assert decode_bmp(b"BM but not a bitmap") is None
+    assert decode_bmp(None) is None
+
+
+def test_real_media_features_covers_bmp_and_law_wav():
+    px = RNG.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    feats = real_media_features(_bmp_encode(px), feat_dim=16)
+    assert feats is not None
+    expect = px.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.abs(feats[:3] - expect).max() < 1e-6
+    silence = _wav_raw(_compress_mulaw(np.zeros(100, dtype=int)), 7, 1, 8000, 8)
+    feats = real_media_features(silence, feat_dim=16)
+    assert feats is not None and feats[0] == 0.0  # mu-law 0 is exact
 
 
 def test_feature_vectors_deterministic_and_sized():

@@ -351,6 +351,32 @@ def test_synth_wav_matches_python_struct(spark):
     assert len(b) == 44 + 120
 
 
+def test_bmp_format_and_dims(spark):
+    from tests.test_codecs import _bmp_encode
+    import numpy as np
+
+    px = np.zeros((11, 7, 3), dtype=np.uint8)
+    cases = [
+        ("bmp_up", _bmp_encode(px), "bmp", 7, 11),
+        ("bmp_topdown", _bmp_encode(px, top_down=True), "bmp", 7, 11),
+        ("bmp_truncated", _bmp_encode(px)[:20], None, None, None),
+        ("bmp_text", b"BM but just text, no info header......", None, None, None),
+    ]
+    rows = [Row(name=n, payload=p) for n, p, _, _, _ in cases]
+    got = {
+        r["name"]: r
+        for r in spark.createDataFrame(rows).select(
+            "name",
+            media_format_col(F.col("payload")).alias("fmt"),
+            media_dims_col(F.col("payload")).alias("dims"),
+        ).collect()
+    }
+    for name, _, fmt, w, h in cases:
+        r = got[name]
+        assert r["fmt"] == fmt, (name, r["fmt"])
+        assert r["dims"]["width"] == w and r["dims"]["height"] == h, name
+
+
 def test_synth_avi_parses_back_and_counts(spark):
     """The JVM AVI fixture: 100 bytes, dims round-trip, duration = 40ms x
     frames, and the Python demux agrees there are zero movi frames."""
