@@ -27,8 +27,11 @@ from .functions.avi import (
 from .functions.codecs import (
     decode_bmp,
     decode_gif,
+    decode_gif_frames,
     decode_png,
     decode_wav_pcm,
+    gif_duration_ms,
+    gif_frame_at,
     real_media_features,
 )
 from .functions.jpeg import decode_jpeg
@@ -194,6 +197,9 @@ __all__ = [
     "decode_png",
     "decode_gif",
     "decode_bmp",
+    "decode_gif_frames",
+    "gif_duration_ms",
+    "gif_frame_at",
     "decode_jpeg",
     "parse_avi",
     "decode_avi_frame",

@@ -460,6 +460,159 @@ def decode_gif(payload: bytes):
     return table[raster.reshape(-1)].reshape(ih, iw, 3)
 
 
+def _gif_color_table(b: bytes, off: int, packed: int):
+    """(table or None, new offset) for a color-table flag+size in
+    ``packed``; ('short', off) sentinel via None-table when truncated."""
+    if not (packed & 0x80):
+        return None, off, True
+    n = 2 << (packed & 0x07)
+    t = np.frombuffer(b[off:off + 3 * n], dtype=np.uint8)
+    if len(t) < 3 * n:
+        return None, off, False
+    return t.reshape(n, 3), off + 3 * n, True
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 4096):
+    """(frames, delays_ms) for an animated (or single-frame) GIF with REAL
+    compositing: sub-rectangle frames painted onto the logical-screen
+    canvas, GCE transparency masks, disposal methods 0/1 (leave), 2
+    (restore background region), 3 (restore previous canvas). ``frames``
+    is a list of uint8 [h, w, 3] composited canvases; ``delays_ms`` the
+    per-frame display times (the browser convention maps a 0 delay to
+    100 ms). None for non-GIF / malformed payloads. The canvas starts
+    black (transparent background)."""
+    b = payload or b""
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    if not (w and h):
+        return None
+    gct, off, ok = _gif_color_table(b, 13, b[10])
+    if not ok:
+        return None
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames, delays = [], []
+    delay_cs, transp, disposal = 0, None, 0
+    while off < len(b) and len(frames) < max_frames:
+        marker = b[off]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if off + 2 > len(b):
+                return None
+            label = b[off + 1]
+            off += 2
+            if label == 0xF9 and off + 5 <= len(b) and b[off] >= 4:
+                # size(>=4) packed delay_lo delay_hi transparent_idx
+                packed = b[off + 1]
+                delay_cs = int.from_bytes(b[off + 2:off + 4], "little")
+                transp = b[off + 4] if packed & 0x01 else None
+                disposal = (packed >> 2) & 0x07
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+            continue
+        if marker != 0x2C:
+            return None
+        if off + 10 > len(b):
+            return None
+        left = int.from_bytes(b[off + 1:off + 3], "little")
+        top = int.from_bytes(b[off + 3:off + 5], "little")
+        iw = int.from_bytes(b[off + 5:off + 7], "little")
+        ih = int.from_bytes(b[off + 7:off + 9], "little")
+        ipacked = b[off + 9]
+        off += 10
+        table, off, ok = _gif_color_table(b, off, ipacked)
+        if not ok:
+            return None
+        if table is None:
+            table = gct
+        if (table is None or not (iw and ih)
+                or left + iw > w or top + ih > h or off >= len(b)):
+            return None
+        min_code = b[off]
+        off += 1
+        data = bytearray()
+        while off < len(b) and b[off] != 0:
+            ln = b[off]
+            data += b[off + 1:off + 1 + ln]
+            off += 1 + ln
+        off += 1  # block terminator
+        idx = _lzw_decode(bytes(data), min_code, iw * ih)
+        if idx is None:
+            return None
+        idx = np.asarray(idx, dtype=np.int64)
+        if np.any(idx >= len(table)):
+            return None
+        raster = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced sub-image
+            order = np.concatenate([np.arange(0, ih, 8), np.arange(4, ih, 8),
+                                    np.arange(2, ih, 4), np.arange(1, ih, 2)])
+            d = np.empty_like(raster)
+            d[order] = raster
+            raster = d
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + ih, left:left + iw]
+        rgb = table[raster.reshape(-1)].reshape(ih, iw, 3)
+        if transp is not None:
+            mask = raster != transp
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10 if delay_cs > 0 else 100)
+        if disposal == 2:      # restore the painted region to background
+            region[:] = 0      # transparent background renders black
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        delay_cs, transp, disposal = 0, None, 0
+    if not frames:
+        return None
+    return frames, delays
+
+
+# one-slot animated-GIF memo, same pattern as functions/avi.py: the
+# frame_sample_plan kernel probes duration then each timestamp with the
+# SAME payload object — decode the frame stack once per video
+_GIF_MEMO: list = [None, None]
+
+
+def _gif_frames_memo(payload: bytes):
+    if _GIF_MEMO[0] is payload:
+        return _GIF_MEMO[1]
+    res = decode_gif_frames(payload)
+    _GIF_MEMO[0], _GIF_MEMO[1] = payload, res
+    return res
+
+
+def gif_duration_ms(payload: bytes):
+    """Sum of frame delays for a multi-frame GIF; None for single-frame
+    (a still image, not a video) or undecodable payloads."""
+    res = _gif_frames_memo(payload)
+    if res is None or len(res[0]) < 2:
+        return None
+    return int(sum(res[1]))
+
+
+def gif_frame_at(payload: bytes, ts_ms: int):
+    """Composited uint8 [h, w, 3] frame whose display interval covers
+    ``ts_ms``; None when out of range / not a decodable GIF."""
+    res = _gif_frames_memo(payload)
+    if res is None:
+        return None
+    frames, delays = res
+    t = int(ts_ms)
+    if t < 0:
+        return None
+    acc = 0
+    for f, d in zip(frames, delays):
+        acc += d
+        if t < acc:
+            return f
+    return None
+
+
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int):
     """GIF-variant LZW: variable 3..12-bit codes, LSB-first bit packing,
     clear/end codes, dictionary growth. Returns index list or None."""

@@ -169,7 +169,7 @@ def frame_sample_plan(
     With real codecs available, pass both and nothing else changes.
     """
     from ..functions.avi import avi_duration_ms, decode_avi_frame, is_avi
-    from ..functions.codecs import image_features
+    from ..functions.codecs import gif_duration_ms, gif_frame_at, image_features
     from ..functions.media import py_container_duration_ms
 
     def _default_duration(b: bytes) -> int:
@@ -177,12 +177,19 @@ def frame_sample_plan(
             real = avi_duration_ms(b)
             if real is not None:
                 return max(real, 1)
+        real = gif_duration_ms(b)  # multi-frame (animated) GIFs only
+        if real is not None:
+            return max(real, 1)
         real = py_container_duration_ms(b)
         return real if real is not None else max(len(b) // 100, 1)
 
     def _default_frame_feat(b: bytes, ts: int) -> np.ndarray:
         if is_avi(b):
             px = decode_avi_frame(b, ts)
+            if px is not None:
+                return image_features(px, feat_dim)
+        elif gif_duration_ms(b) is not None:  # animated GIF "video"
+            px = gif_frame_at(b, ts)
             if px is not None:
                 return image_features(px, feat_dim)
         return _fake_decode((b or b"") + str(ts).encode(), feat_dim)

@@ -3,6 +3,7 @@ bit-exact through zlib + every RFC 2083 filter type, PCM WAV waveforms
 recovered sample-exact, and the default extract_media_features path emitting
 real (not md5-stub) features for decodable payloads."""
 
+import random
 import struct
 import zlib
 
@@ -473,6 +474,128 @@ def _gif_encode(indices2d, palette, with_gce=False):
         blk = data[i:i + 255]
         out += bytes([len(blk)]) + blk
     return out + b"\x00" + b"\x3b"
+
+
+def _gif_encode_animated(screen_wh, palette, frames):
+    """Animated GIF89a writer. ``frames`` entries:
+    (indices2d, left, top, delay_cs, transparent_idx_or_None, disposal)."""
+    w, h = screen_wh
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    table = (b"".join(bytes(c) for c in palette)
+             + b"\x00" * (3 * ((1 << bits) - n)))
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0])
+    out += table
+    for idx, left, top, delay_cs, transp, disposal in frames:
+        ih, iw = idx.shape
+        packed = (disposal << 2) | (1 if transp is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed]) + struct.pack("<H", delay_cs)
+        out += bytes([transp if transp is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, iw, ih) + b"\x00"
+        lzw_min = max(2, bits)
+        out += bytes([lzw_min])
+        data = _lzw_encode(idx.reshape(-1), lzw_min)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_animation_compositing():
+    from py_stringsimjoin_spark.functions.codecs import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    full = np.full((6, 8), 1)                      # red base frame
+    patch = np.full((2, 3), 2)                     # green sub-rectangle
+    overlay = np.array([[3, 0], [0, 3]])           # blue w/ transparent 0s
+    blob = _gif_encode_animated((8, 6), pal, [
+        (full, 0, 0, 5, None, 0),
+        (patch, 2, 1, 0, None, 1),                 # delay 0 -> 100ms
+        (overlay, 0, 0, 20, 0, 3),                 # transparency + restore
+        (np.full((1, 1), 2), 7, 5, 1, None, 2),    # dispose-to-background
+        (np.full((1, 1), 1), 0, 0, 1, None, 0),
+    ])
+    res = decode_gif_frames(blob)
+    assert res is not None
+    frames, delays = res
+    assert len(frames) == 5 and delays == [50, 100, 200, 10, 10]
+    f0, f1, f2, f3, f4 = frames
+    assert (f0 == [255, 0, 0]).all()
+    assert (f1[1:3, 2:5] == [0, 255, 0]).all()     # patch painted
+    assert (f1[0, 0] == [255, 0, 0]).all()         # rest untouched
+    assert (f2[0, 0] == [0, 0, 255]).all()         # overlay opaque px
+    assert (f2[0, 1] == [255, 0, 0]).all()         # transparent -> shows f1
+    assert (f2[1, 2] == [0, 255, 0]).all()         # patch survives under f2
+    assert (f3[0, 0] == [255, 0, 0]).all()         # disposal 3 restored f1
+    assert (f3[5, 7] == [0, 255, 0]).all()         # corner painted green
+    assert (f4[5, 7] == [0, 0, 0]).all()           # disposal 2 cleared it
+
+
+def test_gif_duration_and_frame_at():
+    from py_stringsimjoin_spark.functions.codecs import (
+        decode_gif,
+        gif_duration_ms,
+        gif_frame_at,
+    )
+
+    pal = [(9, 9, 9), (200, 30, 40)]
+    blob = _gif_encode_animated((4, 4), pal, [
+        (np.full((4, 4), 0), 0, 0, 10, None, 0),   # 100ms
+        (np.full((4, 4), 1), 0, 0, 30, None, 0),   # 300ms
+    ])
+    assert gif_duration_ms(blob) == 400
+    assert (gif_frame_at(blob, 0) == [9, 9, 9]).all()
+    assert (gif_frame_at(blob, 99) == [9, 9, 9]).all()
+    assert (gif_frame_at(blob, 100) == [200, 30, 40]).all()
+    assert (gif_frame_at(blob, 399) == [200, 30, 40]).all()
+    assert gif_frame_at(blob, 400) is None
+    # a single-frame GIF is a still image, not a video
+    still = _gif_encode(np.full((3, 3), 1), pal)
+    assert gif_duration_ms(still) is None
+    assert decode_gif(still) is not None  # still decodes as an image
+
+
+def test_gif_frames_fuzz_never_raises():
+    from py_stringsimjoin_spark.functions.codecs import decode_gif_frames
+
+    pal = [(0, 0, 0), (255, 255, 255), (1, 2, 3), (4, 5, 6)]
+    rng = np.random.RandomState(8)
+    good = _gif_encode_animated((10, 7), pal, [
+        (rng.randint(0, 4, size=(7, 10)), 0, 0, 5, 2, 0),
+        (rng.randint(0, 4, size=(3, 4)), 2, 2, 5, None, 3),
+        (rng.randint(0, 4, size=(7, 10)), 0, 0, 5, 1, 2),
+    ])
+    res = decode_gif_frames(good)
+    assert res is not None and len(res[0]) == 3
+    pyrnd = random.Random(21)
+    blobs = [good[:n] for n in range(0, len(good), 17)]
+    for _ in range(150):
+        mut = bytearray(good)
+        for _ in range(pyrnd.randint(1, 6)):
+            mut[pyrnd.randrange(len(mut))] = pyrnd.randrange(256)
+        blobs.append(bytes(mut))
+    for blob in blobs:
+        out = decode_gif_frames(blob)
+        assert out is None or isinstance(out, tuple)
+
+
+def test_frame_sample_plan_animated_gif(spark):
+    from py_stringsimjoin_spark.operators.multimodal import frame_sample_plan
+
+    pal = [(10, 20, 30), (200, 100, 50)]
+    blob = _gif_encode_animated((4, 4), pal, [
+        (np.full((4, 4), 0), 0, 0, 10, None, 0),
+        (np.full((4, 4), 1), 0, 0, 10, None, 0),
+    ])
+    df = spark.createDataFrame([Row(id=1, payload=blob)])
+    rows = sorted(frame_sample_plan(df, "id", "payload", every_ms=100).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in rows] == [0, 100]
+    np.testing.assert_allclose(rows[0]["features"][:3],
+                               np.array([10, 20, 30]) / 255.0, atol=1e-6)
+    np.testing.assert_allclose(rows[1]["features"][:3],
+                               np.array([200, 100, 50]) / 255.0, atol=1e-6)
 
 
 def test_lzw_codec_roundtrip_property():
