@@ -418,34 +418,38 @@ def q_fingerprint_docs(spark, sf_dir):
 
 def q_media_meta_docs(spark, sf_dir):
     """Media header metadata (functions/media.py): per-doc deterministic
-    PNG/GIF/JPEG/WAV/MP4/AVI container bytes are assembled JVM-side (unhex of a
-    hex layout derived from doc_id) and parsed back by the pure-expression
-    header walkers via attach_media_meta. The Spark side does REAL byte
-    parsing (the variable-length JPEG segment walk, the RIFF chunk chain
-    for WAV duration, the ISO-BMFF moov/mvhd box walk for MP4 duration,
-    the fixed-offset avih read for AVI dims + duration);
-    the oracle checks the dims/format/duration/byte-count arithmetic the
-    fixtures encode."""
+    PNG/GIF/JPEG/WAV/MP4/AVI/FLAC container bytes are assembled JVM-side
+    (unhex of a hex layout derived from doc_id) and parsed back by the
+    pure-expression header walkers via attach_media_meta. The Spark side
+    does REAL byte parsing (the variable-length JPEG segment walk, the RIFF
+    chunk chain for WAV duration, the ISO-BMFF moov/mvhd box walk for MP4
+    duration, the fixed-offset avih read for AVI dims + duration, the
+    fixed-offset STREAMINFO read for FLAC duration); the oracle checks the
+    dims/format/duration/byte-count arithmetic the fixtures encode."""
     from py_stringsimjoin_spark.functions.media import synth_media_bytes
     from py_stringsimjoin_spark.operators.multimodal import attach_media_meta
 
     d = F.col("doc_id")
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(d % 6 == 0, F.lit("png"))
-        .when(d % 6 == 1, F.lit("gif"))
-        .when(d % 6 == 2, F.lit("jpeg"))
-        .when(d % 6 == 3, F.lit("wav"))
-        .when(d % 6 == 4, F.lit("mp4"))
-        .otherwise(F.lit("avi"))
+        F.when(d % 7 == 0, F.lit("png"))
+        .when(d % 7 == 1, F.lit("gif"))
+        .when(d % 7 == 2, F.lit("jpeg"))
+        .when(d % 7 == 3, F.lit("wav"))
+        .when(d % 7 == 4, F.lit("mp4"))
+        .when(d % 7 == 5, F.lit("avi"))
+        .otherwise(F.lit("flac"))
         .alias("fmt"),
-        # wav: w = sample rate, h = data bytes; mp4: w = timescale, h = units
-        F.when(d % 6 == 3, (8000 + (d % 8) * 1000).cast("int"))
-        .when(d % 6 == 4, (1000 + (d % 7) * 100).cast("int"))
+        # wav/flac: w = sample rate, h = data bytes / total samples;
+        # mp4: w = timescale, h = units
+        F.when(d % 7 == 3, (8000 + (d % 8) * 1000).cast("int"))
+        .when(d % 7 == 4, (1000 + (d % 11) * 100).cast("int"))
+        .when(d % 7 == 6, (8000 + (d % 8) * 1000).cast("int"))
         .otherwise((1 + d % 640).cast("int"))
         .alias("w"),
-        F.when(d % 6 == 3, (d % 200).cast("int"))
-        .when(d % 6 == 4, (d % 5000).cast("int"))
+        F.when(d % 7 == 3, (d % 200).cast("int"))
+        .when(d % 7 == 4, (d % 5000).cast("int"))
+        .when(d % 7 == 6, (1 + d % 90000).cast("int"))
         .otherwise((1 + d % 480).cast("int"))
         .alias("h"),
         # jpeg: COM padding; mp4: free-box padding; avi: avih frame count
@@ -471,22 +475,25 @@ def q_media_meta_docs(spark, sf_dir):
 
 _MEDIA_META_SQL = """
 SELECT doc_id,
-  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
-       WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' ELSE 'avi' END AS format,
-  CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+  CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+       WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' WHEN 5 THEN 'avi'
+       ELSE 'flac' END AS format,
+  CASE WHEN doc_id % 7 IN (3, 4, 6) THEN NULL
        ELSE CAST(1 + doc_id % 640 AS INTEGER) END AS width,
-  CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+  CASE WHEN doc_id % 7 IN (3, 4, 6) THEN NULL
        ELSE CAST(1 + doc_id % 480 AS INTEGER) END AS height,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 3 THEN CAST(FLOOR(
       (doc_id % 200) * 1000.0 / (2 * (8000 + (doc_id % 8) * 1000))) AS BIGINT)
     WHEN 4 THEN CAST(FLOOR(
-      (doc_id % 5000) * 1000.0 / (1000 + (doc_id % 7) * 100)) AS BIGINT)
+      (doc_id % 5000) * 1000.0 / (1000 + (doc_id % 11) * 100)) AS BIGINT)
     WHEN 5 THEN CAST(40 * (doc_id % 32) AS BIGINT)
+    WHEN 6 THEN CAST(FLOOR(
+      (1 + doc_id % 90000) * 1000.0 / (8000 + (doc_id % 8) * 1000)) AS BIGINT)
     ELSE NULL END AS duration_ms,
-  CAST(CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 10 WHEN 2 THEN 25 + doc_id % 32
+  CAST(CASE doc_id % 7 WHEN 0 THEN 33 WHEN 1 THEN 10 WHEN 2 THEN 25 + doc_id % 32
        WHEN 3 THEN 44 + doc_id % 200 WHEN 4 THEN 140 + doc_id % 32
-       ELSE 100 END AS BIGINT) AS n_bytes
+       WHEN 5 THEN 100 ELSE 42 END AS BIGINT) AS n_bytes
 FROM documents
 """
 

@@ -331,7 +331,8 @@ def audio_features(samples: np.ndarray, sample_rate: int,
         return _fit(np.zeros(4, dtype=np.float32), feat_dim)
     rms = float(np.sqrt(np.mean(mono ** 2)))
     peak = float(np.max(np.abs(mono)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+    zcr = (float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+           if n > 1 else 0.0)  # 1-sample clips have no crossings, not NaN
     dur = min(n / float(sample_rate), 1.0)
     ch_rms = np.sqrt((samples ** 2).mean(axis=0))
     ch2 = np.zeros(2, dtype=np.float32)
@@ -355,9 +356,11 @@ def _fit(v: np.ndarray, feat_dim: int) -> np.ndarray:
 
 def real_media_features(payload: bytes, feat_dim: int = 16):
     """Real features when the payload is a decodable container (WAV in any
-    codec-free encoding, PNG, GIF, Huffman JPEG, BMP, or an MJPEG AVI's
-    first frame); None otherwise — callers route None to their fallback."""
+    codec-free encoding, FLAC, PNG, GIF, Huffman JPEG, BMP, or an MJPEG
+    AVI's first frame); None otherwise — callers route None to their
+    fallback."""
     from py_stringsimjoin_spark.functions.avi import decode_avi_frame, is_avi
+    from py_stringsimjoin_spark.functions.flac import decode_flac
 
     if is_avi(payload):
         frame = decode_avi_frame(payload, 0)
@@ -377,6 +380,9 @@ def real_media_features(payload: bytes, feat_dim: int = 16):
     wav = decode_wav_pcm(payload)
     if wav is not None:
         return audio_features(wav[0], wav[1], feat_dim)
+    fl = decode_flac(payload)
+    if fl is not None:
+        return audio_features(fl[0], fl[1], feat_dim)
     return None
 
 

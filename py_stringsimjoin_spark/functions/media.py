@@ -106,6 +106,29 @@ def _bmp_dim(b: Column, pos: int) -> Column:
     return F.when(v >= (1 << 31), (F.lit(1 << 32) - v)).otherwise(v)
 
 
+def _is_flac(b: Column) -> Column:
+    """'fLaC' magic + the mandatory leading STREAMINFO block (RFC 9639 §8.2
+    requires STREAMINFO first, so every field sits at a FIXED offset — no
+    fold needed): block type 0 (last-flag bit masked), size ≥ 34."""
+    return (
+        (F.length(b) >= 42)
+        & (F.substring(b, 1, 4).cast("string") == "fLaC")
+        & (_be(b, 5, 1) % 128 == 0)
+        & (_be(b, 6, 3) >= 34)
+    )
+
+
+def _flac_duration_ms(b: Column) -> Column:
+    """total_samples(36b)/sample_rate(20b) from the fixed-offset STREAMINFO
+    (data at byte 8; rate spans data bytes 10-12, total spans 13-17). NULL
+    when the rate is 0 (invalid) or the stream length is unknown (0)."""
+    rate = _be(b, 19, 1) * 4096 + _be(b, 20, 1) * 16 + F.floor(_be(b, 21, 1) / 16)
+    total = (_be(b, 22, 1) % 16) * F.lit(4294967296).cast("long") + _be(b, 23, 4)
+    return F.when((rate > 0) & (total > 0), F.floor(total * 1000 / rate)).otherwise(
+        F.lit(None)
+    )
+
+
 def _is_avi(b: Column) -> Column:
     """Canonical AVI layout: the hdrl LIST with its avih main header is the
     first chunk after the RIFF header (required by the spec), so every
@@ -279,12 +302,14 @@ def _jpeg_dims(b: Column, max_hops: int = JPEG_MAX_HOPS) -> Column:
 
 
 def media_format_col(b: Column) -> Column:
-    """'png' | 'gif' | 'jpeg' | 'wav' | NULL from the payload's magic bytes."""
+    """'png'|'gif'|'jpeg'|'wav'|'flac'|'avi'|'mp4'|'bmp'|NULL from the
+    payload's magic bytes."""
     return (
         F.when(_is_png(b), F.lit("png"))
         .when(_is_gif(b), F.lit("gif"))
         .when(_is_jpeg(b), F.lit("jpeg"))
         .when(_is_wav(b), F.lit("wav"))
+        .when(_is_flac(b), F.lit("flac"))
         .when(_is_avi(b), F.lit("avi"))
         .when(_is_mp4(b), F.lit("mp4"))
         .when(_is_bmp(b), F.lit("bmp"))
@@ -293,13 +318,15 @@ def media_format_col(b: Column) -> Column:
 
 
 def media_duration_col(b: Column) -> Column:
-    """duration_ms (long) from the WAV fmt byte-rate + data chunk size, or
-    the MP4 moov/mvhd timescale + duration; NULL for non-a/v / malformed /
-    zero-rate payloads."""
+    """duration_ms (long) from the WAV fmt byte-rate + data chunk size, the
+    FLAC STREAMINFO total-samples/rate, the AVI avih frame period x count,
+    or the MP4 moov/mvhd timescale + duration; NULL for non-a/v /
+    malformed / zero-rate payloads."""
     info = _wav_info(b)
     br, ds = info["byte_rate"], info["data_size"]
     return (
         F.when(_is_wav(b) & (br > 0) & ds.isNotNull(), F.floor(ds * 1000 / br))
+        .when(_is_flac(b), _flac_duration_ms(b))
         .when(_is_avi(b), _avi_duration_ms(b))
         .when(_is_mp4(b), _mp4_duration_ms(b))
         .otherwise(F.lit(None))
@@ -409,6 +436,25 @@ def synth_wav_hex(sample_rate: Column, data_size: Column) -> Column:
     )
 
 
+def synth_flac_hex(sample_rate: Column, total_samples: Column) -> Column:
+    """42-byte FLAC stream head: 'fLaC' + the (last-flag) STREAMINFO block,
+    mono 16-bit, zero MD5/framesize fields: n_bytes = 42, duration_ms =
+    floor(total_samples*1000 / sample_rate)."""
+    rate = sample_rate.cast("long")
+    total = total_samples.cast("long")
+    # 64-bit field: rate(20) | channels-1(3) | bits-1(5) | total(36)
+    hi = rate * 4096 + F.lit(15 * 16) + F.floor(total / F.lit(4294967296)).cast("long")
+    lo = total % F.lit(4294967296)
+    return F.concat(
+        F.lit("664C6143" + "80" + "000022"),  # 'fLaC', last STREAMINFO, 34
+        F.lit("1000" + "1000"),               # min/max blocksize 4096
+        F.lit("000000" + "000000"),           # min/max framesize unknown
+        _hex_be(hi, 4),
+        _hex_be(lo, 4),
+        F.lit("00" * 16),                     # md5 unset
+    )
+
+
 def synth_mp4_hex(timescale: Column, duration: Column, pad: Column) -> Column:
     """ftyp + a ``pad``-byte free box (forces the walker to skip a
     variable-size sibling) + moov[mvhd v0] with the given timescale and
@@ -449,14 +495,16 @@ def synth_avi_hex(w: Column, h: Column, frames: Column) -> Column:
 
 
 def synth_media_bytes(fmt: Column, w: Column, h: Column, pad: Column) -> Column:
-    """binary PNG/GIF/JPEG/WAV/MP4/AVI header per the ``fmt`` column; for
-    'wav', ``w`` is the sample rate and ``h`` the data-chunk byte count; for
-    'mp4', ``w`` is the mvhd timescale and ``h`` the duration in units; for
-    'avi', ``pad`` is the avih frame count (dims stay w x h)."""
+    """binary PNG/GIF/JPEG/WAV/FLAC/MP4/AVI header per the ``fmt`` column;
+    for 'wav', ``w`` is the sample rate and ``h`` the data-chunk byte count;
+    for 'flac', ``w`` is the sample rate and ``h`` the total sample count;
+    for 'mp4', ``w`` is the mvhd timescale and ``h`` the duration in units;
+    for 'avi', ``pad`` is the avih frame count (dims stay w x h)."""
     return F.unhex(
         F.when(fmt == "png", synth_png_hex(w, h))
         .when(fmt == "gif", synth_gif_hex(w, h))
         .when(fmt == "wav", synth_wav_hex(w, h))
+        .when(fmt == "flac", synth_flac_hex(w, h))
         .when(fmt == "mp4", synth_mp4_hex(w, h, pad))
         .when(fmt == "avi", synth_avi_hex(w, h, pad))
         .otherwise(synth_jpeg_hex(w, h, pad))
@@ -480,9 +528,29 @@ def py_container_duration_ms(payload: bytes) -> int | None:
         return _py_wav_ms(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _py_avi_ms(payload)
+    if (
+        payload[:4] == b"fLaC"
+        and len(payload) >= 42
+        and (payload[4] & 0x7F) == 0
+        and int.from_bytes(payload[5:8], "big") >= 34
+    ):
+        # exactly _is_flac, tested BEFORE _is_mp4 like the JVM CASE (a
+        # payload can carry both magics: 'fLaC' at 0, 'ftyp' at 4); when
+        # _is_flac matches the CASE stops even if the duration is NULL,
+        # when it fails the blob falls through to the ftyp check
+        return _py_flac_ms(payload)
     if payload[4:8] == b"ftyp":
         return _py_mp4_ms(payload)
     return None
+
+
+def _py_flac_ms(b: bytes) -> int | None:
+    """Mirror of the JVM fixed-offset STREAMINFO read (NOT functions/flac.py's
+    block walk — RFC 9639 mandates STREAMINFO first, so the fixed read is
+    spec-complete). Caller has already checked the _is_flac structure."""
+    rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+    total = ((b[21] & 0x0F) << 32) | int.from_bytes(b[22:26], "big")
+    return (total * 1000) // rate if rate > 0 and total > 0 else None
 
 
 def _py_avi_ms(b: bytes) -> int | None:

@@ -5,14 +5,15 @@ decode / feature-extraction kernels are Arrow-batched ``mapInPandas`` stages.
 Decode coverage is format-tiered and honest about it:
 
 * REAL, zero external codec: container header metadata (PNG/GIF/JPEG/AVI
-  dims, WAV/MP4/AVI duration — JVM expressions, functions/media.py), full
-  pixel decode of 8/16-bit + Adam7 PNGs (stdlib zlib + scanline
+  dims, WAV/FLAC/MP4/AVI duration — JVM expressions, functions/media.py),
+  full pixel decode of 8/16-bit + Adam7 PNGs (stdlib zlib + scanline
   unfiltering), GIF first frames (pure-Python LZW, interlace supported),
   JPEG in all three Huffman processes — baseline, extended sequential,
   progressive (functions/jpeg.py) — MJPEG-AVI frame demux
-  (functions/avi.py), full waveform decode of PCM WAV (numpy) —
-  functions/codecs.py.
-* STUBBED: compressed audio/video (H.264/VP9/AV1/MP3) need an external
+  (functions/avi.py), full waveform decode of PCM WAV (numpy,
+  functions/codecs.py) and of FLAC — a fully-specified integer codec, so
+  pure Python reconstructs samples bit-exactly (functions/flac.py).
+* STUBBED: lossy audio/video (H.264/VP9/AV1/MP3) need an external
   codec this container lacks; ``decode_fn=None`` routes those to a
   deterministic fake decoder so the Spark-side contract — schema, batch
   shape, partitioning, null routing — stays real and tested. Pass a real
@@ -92,9 +93,9 @@ def extract_media_features(
     codec-free containers (PNG via stdlib zlib, GIF via pure-Python LZW,
     baseline/extended/progressive JPEG via functions/jpeg.py, MJPEG-AVI
     first frames via functions/avi.py, PCM WAV via numpy —
-    functions/codecs.py) and falls back to the deterministic md5 stub for
-    formats that genuinely need an external codec (compressed
-    audio/video)."""
+    functions/codecs.py — and FLAC bit-exactly via functions/flac.py) and
+    falls back to the deterministic md5 stub for formats that genuinely
+    need an external codec (lossy audio/video)."""
     from ..functions.codecs import real_media_features
 
     id_type = df.schema[id_col].dataType
