@@ -7,7 +7,9 @@ ships:
 * **WAV** — the data chunk IS the samples; ``numpy.frombuffer`` (plus the
   closed-form G.711 expansions) decodes integer PCM (8/16/24/32-bit),
   IEEE float (32/64-bit), and mu-law/A-law — WAVE_FORMAT_EXTENSIBLE
-  included — to float in [-1, 1].
+  included — to float in [-1, 1]. IMA ADPCM (0x11) and MS ADPCM (0x02)
+  are fully-specified integer state machines, decoded exactly by pure
+  Python loops (tests/test_adpcm.py holds the independent-encoder oracle).
 * **BMP** — uncompressed BI_RGB rows at fixed offsets (24/32-bit true
   color, 8-bit palette, top-down or bottom-up).
 * **PNG** — IDAT is zlib (stdlib) over filtered scanlines; undoing the five
@@ -66,12 +68,130 @@ def _expand_alaw(u8: np.ndarray) -> np.ndarray:
     return np.where(sign, mag, -mag).astype(np.float32) / 32768.0
 
 
+# IMA ADPCM (WAV fmt 0x11) tables — IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility" (1992), public spec
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+# MS ADPCM (WAV fmt 0x02) adaptation table + the 7 standard coef pairs
+# (Microsoft "New Multimedia Data Types and Data Techniques", public spec)
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+MS_ADPCM_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                  (460, -208), (392, -232)]
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _ima_step(pred: int, index: int, nib: int):
+    """One IMA ADPCM state update: (new_pred, new_index). Exact integer
+    math from the spec's reference flow (step>>3 base + bit-gated adds)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = _clamp16(pred - diff if nib & 8 else pred + diff)
+    index = index + int(_IMA_INDEX[nib & 7])
+    return pred, (0 if index < 0 else (88 if index > 88 else index))
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
+    """int16 samples [n, channels] from IMA ADPCM blocks: per-channel
+    4-byte headers (int16 predictor, uint8 step index), then 4-byte
+    nibble groups interleaved per channel, LOW nibble first."""
+    if block_align < 4 * channels or (block_align - 4 * channels) % (4 * channels):
+        return None
+    out = [[] for _ in range(channels)]
+    for boff in range(0, len(data) - 4 * channels + 1, block_align):
+        block = data[boff:boff + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            h = block[4 * c:4 * c + 4]
+            pred = int.from_bytes(h[0:2], "little", signed=True)
+            index = h[2]
+            if index > 88:
+                return None
+            preds.append(pred)
+            idxs.append(index)
+            out[c].append(pred)  # the header sample IS sample 0
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                for byte in block[pos + 4 * c:pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[c].append(preds[c])
+            pos += 4 * channels
+    if not out[0]:
+        return None
+    n = min(len(c) for c in out)
+    return np.array([c[:n] for c in out], dtype=np.int32).T
+
+
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int):
+    """int16 samples [n, channels] from MS ADPCM blocks: per-channel
+    headers (uint8 coef-pair index, int16 idelta, int16 sample1, int16
+    sample2), then nibbles HIGH-first, channel-interleaved per nibble."""
+    hdr = 7 * channels
+    if block_align < hdr + channels:
+        return None
+    out = [[] for _ in range(channels)]
+    for boff in range(0, len(data) - hdr + 1, block_align):
+        block = data[boff:boff + block_align]
+        coef1, coef2, delta, s1, s2 = [], [], [], [], []
+        for c in range(channels):
+            ci = block[c]
+            if ci >= len(MS_ADPCM_COEFS):
+                return None
+            coef1.append(MS_ADPCM_COEFS[ci][0])
+            coef2.append(MS_ADPCM_COEFS[ci][1])
+        for c in range(channels):
+            o = channels + 2 * c
+            delta.append(int.from_bytes(block[o:o + 2], "little", signed=True))
+        for c in range(channels):
+            o = 3 * channels + 2 * c
+            s1.append(int.from_bytes(block[o:o + 2], "little", signed=True))
+        for c in range(channels):
+            o = 5 * channels + 2 * c
+            s2.append(int.from_bytes(block[o:o + 2], "little", signed=True))
+        for c in range(channels):
+            out[c].extend([s2[c], s1[c]])  # oldest first
+        ch = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                signed = nib - 16 if nib >= 8 else nib
+                pred = _clamp16(((s1[ch] * coef1[ch] + s2[ch] * coef2[ch]) >> 8)
+                                + signed * delta[ch])
+                s2[ch], s1[ch] = s1[ch], pred
+                delta[ch] = max(16, (_MS_ADAPT[nib] * delta[ch]) >> 8)
+                out[ch].append(pred)
+                ch = (ch + 1) % channels
+    if not out[0]:
+        return None
+    n = min(len(c) for c in out)
+    return np.array([c[:n] for c in out], dtype=np.int32).T
+
+
 def decode_wav_pcm(payload: bytes):
     """(samples float32 [n, channels] in [-1,1], sample_rate) for WAV
     payloads in the codec-free encodings: integer PCM (8/16/24/32-bit),
-    IEEE float (32/64-bit), G.711 mu-law/A-law, including the
-    WAVE_FORMAT_EXTENSIBLE wrapper; None otherwise. Walks the RIFF chunk
-    chain like functions/media.py's JVM fold."""
+    IEEE float (32/64-bit), G.711 mu-law/A-law, IMA ADPCM (0x11) and MS
+    ADPCM (0x02) — both fully-specified integer codecs, decoded exactly —
+    including the WAVE_FORMAT_EXTENSIBLE wrapper; None otherwise. Walks
+    the RIFF chunk chain like functions/media.py's JVM fold."""
     b = payload or b""
     if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -127,6 +247,18 @@ def decode_wav_pcm(payload: bytes):
     elif audio_format == 6 and bits == 8:   # G.711 A-law
         raw = _expand_alaw(np.frombuffer(
             data[: len(data) - len(data) % channels], dtype=np.uint8))
+    elif audio_format == 0x11 and bits == 4:  # IMA ADPCM
+        block_align = int.from_bytes(fmt[12:14], "little")
+        ints = _decode_ima_adpcm(data, channels, block_align)
+        if ints is None:
+            return None
+        return ints.astype(np.float32) / 32768.0, sample_rate
+    elif audio_format == 2 and bits == 4:     # MS ADPCM
+        block_align = int.from_bytes(fmt[12:14], "little")
+        ints = _decode_ms_adpcm(data, channels, block_align)
+        if ints is None:
+            return None
+        return ints.astype(np.float32) / 32768.0, sample_rate
     else:
         return None
     return raw.reshape(-1, channels), sample_rate
