@@ -1679,6 +1679,70 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_star_cluster_part(spark, sf_dir):
+    """Star clustering (operators/star_clustering.py): the non-transitive
+    clustering alternative — local hub centers + one-hop attachment — over
+    the same jaccard match pairs connected_components_part clusters
+    transitively. Oracle recomputes the deterministic definition in plain
+    SQL (degree DESC, id ASC dominance; no recursion needed)."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+    from py_stringsimjoin_spark.operators.star_clustering import star_clustering
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    return star_clustering(pairs, "_l_key", "_r_key")
+
+
+def _star_cluster_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), match_pairs AS (
+  SELECT l_id, r_id FROM pairs WHERE {_J_SCORE} >= 0.5
+), e AS (
+  SELECT l_id AS src, r_id AS dst FROM match_pairs
+  UNION SELECT r_id, l_id FROM match_pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), nb AS (
+  SELECT e.src, e.dst, d.deg AS ddeg FROM e JOIN deg d ON d.src = e.dst
+), rb AS (
+  SELECT src, dst, ddeg,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY ddeg DESC, dst ASC) AS rn
+  FROM nb
+), flags AS (
+  SELECT d.src, d.deg,
+         (b.ddeg < d.deg OR (b.ddeg = d.deg AND b.dst > d.src)) AS is_center
+  FROM deg d JOIN rb b ON b.src = d.src AND b.rn = 1
+), cb AS (
+  SELECT nb.src, nb.dst, nb.ddeg,
+         row_number() OVER (PARTITION BY nb.src
+                            ORDER BY nb.ddeg DESC, nb.dst ASC) AS rn
+  FROM nb JOIN flags f ON f.src = nb.dst AND f.is_center
+), chosen AS (
+  SELECT src, dst AS ctr FROM cb WHERE rn = 1
+)
+SELECT f.src AS node,
+       CASE WHEN f.is_center THEN f.src
+            ELSE coalesce(c.ctr, f.src) END AS cluster
+FROM flags f LEFT JOIN chosen c ON c.src = f.src
+"""
+
+
 def q_cc_incremental_part(spark, sf_dir):
     """Incremental clustering: the jaccard match pairs are split
     deterministically into a base batch (~80%) and a delta batch
@@ -3184,10 +3248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_blocking_part": q_snm_blocking_part,
         "snm_two_tables_part": q_snm_two_tables_part,
         "bcubed_part": q_bcubed_part,
-        # -- 20-21: new in round 5 (never driver-verified) -------------------
+        # -- 20-22: new in round 5 (never driver-verified) -------------------
         "media_meta_docs": q_media_meta_docs,
         "stream_dedup_replay": q_stream_dedup_replay,
-        # -- 22-29: last driver-verified in rounds 1-3 ----------------------
+        "star_cluster_part": q_star_cluster_part,
+        # -- 23-30: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3196,7 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_pairs_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_emb,
-        # -- 30-50: canary kernels (r04 green) ------------------------------
+        # -- 31-50: canary kernels (r04 green) ------------------------------
         "jaccard_part": _set_sim_part("jaccard", 0.5),
         "cosine_part": _set_sim_part("cosine", 0.7),
         "dice_part": _set_sim_part("dice", 0.6),
@@ -3337,4 +3402,5 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_part": _bcubed_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
+        "star_cluster_part": _star_cluster_sql(),
     }

@@ -59,6 +59,7 @@ from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
+from .operators.star_clustering import star_clustering
 from .operators.evaluation import (
     blocking_metrics,
     evaluate_blocking,
@@ -149,6 +150,7 @@ __all__ = [
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",
+    "star_clustering",
     "update_components",
     "agreement_vectors",
     "pattern_counts",
