@@ -515,6 +515,12 @@ def real_media_features(payload: bytes, feat_dim: int = 16):
     fl = decode_flac(payload)
     if fl is not None:
         return audio_features(fl[0], fl[1], feat_dim)
+    if (payload or b"")[:4] == b"OggS":
+        from py_stringsimjoin_spark.functions.ogg import decode_ogg_flac
+
+        of = decode_ogg_flac(payload)
+        if of is not None:
+            return audio_features(of[0], of[1], feat_dim)
     return None
 
 

@@ -313,6 +313,12 @@ def media_format_col(b: Column) -> Column:
         .when(_is_avi(b), F.lit("avi"))
         .when(_is_mp4(b), F.lit("mp4"))
         .when(_is_bmp(b), F.lit("bmp"))
+        # Ogg is magic-tagged only: duration needs the unbounded page walk
+        # (functions/ogg.py, Python probe) that a JVM fold can't express
+        .when(
+            (F.length(b) >= 27) & (F.substring(b, 1, 4).cast("string") == "OggS"),
+            F.lit("ogg"),
+        )
         .otherwise(F.lit(None).cast("string"))
     )
 

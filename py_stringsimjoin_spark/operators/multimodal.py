@@ -181,6 +181,12 @@ def frame_sample_plan(
         real = gif_duration_ms(b)  # multi-frame (animated) GIFs only
         if real is not None:
             return max(real, 1)
+        if (b or b"")[:4] == b"OggS":  # Vorbis/Opus/FLAC page-walk granule
+            from ..functions.ogg import ogg_duration_ms
+
+            real = ogg_duration_ms(b)
+            if real is not None:
+                return max(real, 1)
         real = py_container_duration_ms(b)
         return real if real is not None else max(len(b) // 100, 1)
 
