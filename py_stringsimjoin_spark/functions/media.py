@@ -313,11 +313,24 @@ def media_format_col(b: Column) -> Column:
         .when(_is_avi(b), F.lit("avi"))
         .when(_is_mp4(b), F.lit("mp4"))
         .when(_is_bmp(b), F.lit("bmp"))
-        # Ogg is magic-tagged only: duration needs the unbounded page walk
-        # (functions/ogg.py, Python probe) that a JVM fold can't express
+        # Ogg/WebM/MP3 are magic-tagged only: their durations need the
+        # unbounded page/EBML/sync walks (functions/ogg.py, webm.py,
+        # mp3.py — Python probes) that a JVM fold can't express
         .when(
             (F.length(b) >= 27) & (F.substring(b, 1, 4).cast("string") == "OggS"),
             F.lit("ogg"),
+        )
+        .when(
+            (F.length(b) >= 8) & (F.hex(F.substring(b, 1, 4)) == "1A45DFA3"),
+            F.lit("webm"),
+        )
+        .when(
+            (F.length(b) >= 10) & (F.substring(b, 1, 3).cast("string") == "ID3"),
+            F.lit("mp3"),
+        )
+        .when(
+            (F.length(b) >= 4) & (_be(b, 1, 1) == 255) & (_be(b, 2, 1) >= 224),
+            F.lit("mp3"),
         )
         .otherwise(F.lit(None).cast("string"))
     )

@@ -187,6 +187,17 @@ def frame_sample_plan(
             real = ogg_duration_ms(b)
             if real is not None:
                 return max(real, 1)
+        if (b or b"")[:4] == b"\x1a\x45\xdf\xa3":  # WebM/Matroska EBML walk
+            from ..functions.webm import webm_duration_ms
+
+            real = webm_duration_ms(b)
+            if real is not None:
+                return max(real, 1)
+        from ..functions.mp3 import mp3_duration_ms
+
+        real = mp3_duration_ms(b)  # Xing frame count / CBR header math
+        if real is not None:
+            return max(real, 1)
         real = py_container_duration_ms(b)
         return real if real is not None else max(len(b) // 100, 1)
 
