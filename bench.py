@@ -371,6 +371,7 @@ def main() -> int:
         "cpus": cpus,
         "extras": extras,
     }
+    _append_bench_md(out)
     print(json.dumps(out))
     return 0
 
