@@ -2650,6 +2650,57 @@ FROM ng n LEFT JOIN tops t USING (doc_id)
 """
 
 
+def q_substring_dedup_docs(spark, sf_dir):
+    """Lee-et-al-style exact substring dedup at arbitrary offsets
+    (operators/textclean.py dedup_substrings, keep='first'): every word
+    inside a duplicated >=10-word run, at ANY alignment, is removed except
+    in the run's globally-first window occurrences. Catches the planted
+    near-duplicates' shared runs that the non-overlapping 5-word grid of
+    span_dedup only clips approximately (~5% of corpus words at every sf)."""
+    from py_stringsimjoin_spark.operators.textclean import dedup_substrings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_substrings(docs, "doc_id", "text", min_words=10, keep="first")
+
+
+_SUBSTRING_DEDUP_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), o AS (
+  SELECT doc_id, i::INT AS s,
+         md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS h
+  FROM d, unnest(range(1, len(ws) - 10 + 2)) AS t(i)
+  WHERE text IS NOT NULL AND len(ws) >= 10
+), m AS (
+  SELECT doc_id, s,
+    count(*) OVER (PARTITION BY h) AS cnt,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM o
+), cov AS (
+  SELECT DISTINCT doc_id, s + j AS pos
+  FROM m, unnest(range(0, 10)) AS u(j)
+  WHERE cnt >= 2 AND rn > 1
+), w AS (
+  SELECT doc_id, i::INT AS pos, ws[i] AS word
+  FROM d, unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE text IS NOT NULL
+), k AS (
+  SELECT w.doc_id,
+    string_agg(CASE WHEN cov.pos IS NULL THEN word END, ' ' ORDER BY w.pos) AS clean,
+    sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed
+  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(k.clean, '') END AS clean_text,
+  CASE WHEN d.text IS NULL THEN 0 ELSE len(d.ws) END::BIGINT AS n_words,
+  coalesce(k.n_removed, 0)::BIGINT AS n_removed
+FROM d LEFT JOIN k USING (doc_id)
+"""
+
+
 def q_span_dedup_docs(spark, sf_dir):
     """C4-style corpus-level removal of repeated 5-word spans
     (operators/textclean.py dedup_spans, keep='first'): any exact span seen
@@ -3252,7 +3303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": q_media_meta_docs,
         "stream_dedup_replay": q_stream_dedup_replay,
         "star_cluster_part": q_star_cluster_part,
-        # -- 23-30: last driver-verified in rounds 1-3 ----------------------
+        "substring_dedup_docs": q_substring_dedup_docs,
+        # -- 24-31: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3364,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_docs": _url_canon_docs_sql(),
         "repetition_docs": _REPETITION_DOCS_SQL,
         "span_dedup_docs": _SPAN_DEDUP_DOCS_SQL,
+        "substring_dedup_docs": _SUBSTRING_DEDUP_DOCS_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
         "pii_docs": _pii_docs_sql(),
         "metablock_wep_part": _METABLOCK_WEP_SQL,

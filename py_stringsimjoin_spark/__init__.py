@@ -98,7 +98,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
 from .operators.splits import assign_splits
-from .operators.textclean import remove_boilerplate_lines
+from .operators.textclean import dedup_substrings, remove_boilerplate_lines
 from .operators.textstats import top_tokens, unigram_cross_entropy
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
@@ -186,6 +186,7 @@ __all__ = [
     "redact_pii",
     "redact_pii_expr",
     "pii_counts",
+    "dedup_substrings",
     "remove_boilerplate_lines",
     "unigram_cross_entropy",
     "top_tokens",

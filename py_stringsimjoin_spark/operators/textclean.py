@@ -290,6 +290,118 @@ def dedup_lines(
     )
 
 
+def dedup_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-document exact substring dedup at ARBITRARY offsets (the
+    "Deduplicating Training Data Makes Language Models Better" operation,
+    Lee et al. 2022): remove every word that lies inside a duplicated run of
+    at least ``min_words`` consecutive words, anywhere in the corpus.
+
+    ``dedup_spans`` only catches duplicates that land on its non-overlapping
+    window grid; this operator slides a stride-1 window, so a duplicated
+    substring is detected at ANY alignment: a duplicated run of M >=
+    ``min_words`` words produces M-min_words+1 duplicated windows that
+    together cover all M words, and nothing outside the run is covered.
+
+    Semantics (exactly reproducible in ANSI SQL — driver oracle
+    ``substring_dedup_docs``): a window occurrence is *duplicate* iff its
+    text occurs >= 2 times corpus-wide and (with ``keep="first"``) it is not
+    the globally first occurrence (min (id, start)); a word position is
+    removed iff ANY duplicate occurrence covers it. ``keep="unique"`` drops
+    all copies. Note ``keep="first"`` guarantees one surviving copy of each
+    duplicated *window*, not of each maximal run: a word inside the first
+    occurrence of window A is still removed when a different, overlapping
+    duplicated window B covers it — the same edge behavior as the
+    reference suffix-array formulation. Returns (id, clean_text, n_words,
+    n_removed); NULL text stays NULL; rebuilt text is space-joined (the
+    same whitespace normalization as ``dedup_spans``).
+
+    Scale shape (the suffix-array alternative is single-node; this is the
+    shuffle-native equivalent): window hashes are computed INSIDE the
+    per-row array (slice-before-explode), so the word array is never
+    replicated per window and the exploded stream is O(total words) rows of
+    (id, start, md5) — O(n*min_words) bytes read per document to hash, one
+    partial-aggregated GROUP BY md5 for counts + first occurrence, one
+    1:1-per-occurrence rejoin (output proportional to input, so AQE's
+    skew-join split handles a Zipf-head boilerplate window), one bounded
+    explode (exactly min_words positions per duplicate occurrence) and two
+    id-keyed aggregates for the rebuild. Nothing collects to the driver.
+    """
+    if min_words < 1:
+        raise ValueError("min_words must be >= 1")
+    if keep not in ("first", "unique"):
+        raise ValueError("keep must be 'first' or 'unique'")
+    ln = int(min_words)
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        _words(t).alias("_w"),
+        F.when(t.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(_words(t)).cast("long"))
+        .alias("_n"),
+    )
+    # md5 of each stride-1 window, computed inside the array so the explode
+    # carries only (id, start, 32-byte hash)
+    starts = F.when(
+        F.size("_w") >= ln, F.sequence(F.lit(1), F.size("_w") - ln + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda s: F.md5(F.array_join(F.slice(F.col("_w"), s, ln), " "))
+    )
+    occ = base.select(F.col(id_col), F.posexplode(grams).alias("_i", "_h")).select(
+        F.col(id_col), (F.col("_i") + 1).alias("_s"), "_h"
+    )
+    summary = occ.groupBy("_h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_s").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    dup = occ.join(summary, "_h").where(F.col("_cnt") >= 2)
+    if keep == "first":
+        dup = dup.where(
+            ~((F.col("_first.i") == F.col(id_col)) & (F.col("_first.p") == F.col("_s")))
+        )
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_s"), F.col("_s") + ln - 1)).alias("_pos"),
+    ).distinct()
+    wstream = base.select(
+        F.col(id_col), F.posexplode("_w").alias("_i", "_word")
+    ).select(F.col(id_col), (F.col("_i") + 1).alias("_pos"), "_word")
+    kept = wstream.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_word"))),
+                lambda s: s["_word"],
+            ),
+            " ",
+        ).alias("_clean")
+    )
+    removed = covered.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_removed")
+    )
+    return (
+        base.select(id_col, "_n")
+        .join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_n").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            .alias("clean_text"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -366,6 +478,7 @@ __all__ = [
     "repetition_stats",
     "dedup_spans",
     "dedup_lines",
+    "dedup_substrings",
     "gopher_quality_filter",
 ]
 
