@@ -2539,6 +2539,51 @@ FROM s
 """
 
 
+def q_ari_part(spark, sf_dir):
+    """Rand Index + Adjusted Rand Index of the p_brand clustering of part
+    against p_type ground truth (operators/evaluation.py rand_metrics) —
+    the partition-agreement metrics next to B-cubed. Combination sums stay
+    integer (decimal(38,0) / HUGEINT) until one final double division, so
+    Spark and DuckDB agree bit-exactly with no ordered folds."""
+    from py_stringsimjoin_spark.operators.evaluation import rand_metrics
+
+    part = _read(spark, sf_dir, "part")
+    return rand_metrics(part, "p_partkey", "p_brand", "p_type")
+
+
+_ARI_PART_SQL = """
+WITH a AS (
+  SELECT p_brand AS c, p_type AS t FROM part
+  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+), ct AS (
+  SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS s_ct, sum(n)::BIGINT AS n_total
+  FROM (SELECT count(*) AS n FROM a GROUP BY c, t)
+), cs AS (
+  SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS s_a
+  FROM (SELECT count(*) AS n FROM a GROUP BY c)
+), ts AS (
+  SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS s_b
+  FROM (SELECT count(*) AS n FROM a GROUP BY t)
+), x AS (
+  SELECT coalesce(s_ct, 0)::DOUBLE / 2.0 AS sc,
+         coalesce(s_a, 0)::DOUBLE / 2.0 AS sa,
+         coalesce(s_b, 0)::DOUBLE / 2.0 AS sb,
+         coalesce(n_total, 0)::BIGINT AS n,
+         (CAST(coalesce(n_total, 0) AS HUGEINT)
+            * (coalesce(n_total, 0) - 1))::DOUBLE / 2.0 AS tt
+  FROM ct, cs, ts
+)
+SELECT
+  CASE WHEN tt > 0.0 THEN (tt + 2.0 * sc - sa - sb) / tt END AS rand_index,
+  CASE WHEN tt > 0.0 THEN
+    CASE WHEN (sa + sb) / 2.0 - sa * sb / tt = 0.0 THEN 1.0
+         ELSE (sc - sa * sb / tt) / ((sa + sb) / 2.0 - sa * sb / tt) END
+  END AS adjusted_rand_index,
+  n AS n_records
+FROM x
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -3304,7 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": q_stream_dedup_replay,
         "star_cluster_part": q_star_cluster_part,
         "substring_dedup_docs": q_substring_dedup_docs,
-        # -- 24-31: last driver-verified in rounds 1-3 ----------------------
+        "ari_part": q_ari_part,
+        # -- 25-32: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3453,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_blocking_part": _snm_blocking_sql(),
         "snm_two_tables_part": _snm_two_tables_sql(),
         "bcubed_part": _bcubed_sql(),
+        "ari_part": _ARI_PART_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

@@ -61,9 +61,11 @@ from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
 from .operators.star_clustering import star_clustering
 from .operators.evaluation import (
+    bcubed_metrics,
     blocking_metrics,
     evaluate_blocking,
     pr_curve,
+    rand_metrics,
     sample_pairs_for_review,
 )
 from .operators.edit_distance_join import disk_edit_distance_join, edit_distance_join
@@ -135,6 +137,7 @@ __all__ = [
     "PositionFilter",
     "SuffixFilter",
     "apply_matcher",
+    "bcubed_metrics",
     "blocking_metrics",
     "canonicalize_clusters",
     "golden_record",
@@ -181,6 +184,7 @@ __all__ = [
     "metablock_pairs_two_tables",
     "token_blocks",
     "pr_curve",
+    "rand_metrics",
     "pii_stats",
     "assign_splits",
     "redact_pii",

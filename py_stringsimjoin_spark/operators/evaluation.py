@@ -294,6 +294,83 @@ def sample_pairs_for_review(
     )
 
 
+def rand_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+) -> DataFrame:
+    """Rand Index and Adjusted Rand Index (Hubert & Arabie) — lazy one-row
+    DataFrame, the partition-agreement metrics next to ``bcubed_metrics``.
+
+    With contingency counts n_ct over (pred, true) blocks, cluster sizes
+    n_c, truth sizes n_t and n records total:
+
+        RI  = (C(n,2) + 2·ΣC(n_ct,2) − ΣC(n_c,2) − ΣC(n_t,2)) / C(n,2)
+        ARI = (ΣC(n_ct,2) − E) / ((ΣC(n_c,2)+ΣC(n_t,2))/2 − E),
+              E = ΣC(n_c,2)·ΣC(n_t,2) / C(n,2)
+
+    Exactness across engines without ordered folds: every ΣC(·,2) is an
+    INTEGER, summed in decimal(38,0) (DuckDB oracle: HUGEINT — headroom to
+    ~10^19 records, far past the 10^12 target where int64 pair counts
+    already overflow), and both engines round once, identically, at the
+    final double division. Scale shape: three partial-aggregated hash
+    aggregations (by (pred,true), pred, true), each folded to one row —
+    no joins at all, the three scalar rows combine via 1-row cross joins.
+
+    Conventions: rows with NULL pred or true are excluded (no defined
+    assignment); n < 2 yields NULL metrics (no pairs); a zero ARI
+    denominator (both partitions trivial — all singletons or one cluster —
+    and equal) yields ARI = 1.0, the scikit-learn convention. Output:
+    ``rand_index``, ``adjusted_rand_index``, ``n_records``.
+    """
+    base = assignments.select(
+        F.col(key_attr).alias("_k"),
+        F.col(pred_attr).alias("_c"),
+        F.col(true_attr).alias("_t"),
+    ).where(F.col("_c").isNotNull() & F.col("_t").isNotNull())
+
+    def _pairs2(cnt):  # n*(n-1) in decimal(38,0) — exact integer mass
+        d = cnt.cast("decimal(19,0)")
+        return (d * (d - 1)).cast("decimal(38,0)")
+
+    ct = (
+        base.groupBy("_c", "_t")
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.sum(_pairs2(F.col("_n"))).alias("_s_ct"),
+            F.sum("_n").alias("_n_total"),
+        )
+    )
+    cs = (
+        base.groupBy("_c")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.sum(_pairs2(F.col("_n"))).alias("_s_a"))
+    )
+    ts = (
+        base.groupBy("_t")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.sum(_pairs2(F.col("_n"))).alias("_s_b"))
+    )
+    one = ct.crossJoin(cs).crossJoin(ts)
+    # all ×(n−1) masses halve to pair counts only at the double stage —
+    # one rounding, same op order as the SQL oracle
+    sc = F.coalesce(F.col("_s_ct").cast("double"), F.lit(0.0)) / 2.0
+    sa = F.coalesce(F.col("_s_a").cast("double"), F.lit(0.0)) / 2.0
+    sb = F.coalesce(F.col("_s_b").cast("double"), F.lit(0.0)) / 2.0
+    n = F.coalesce(F.col("_n_total"), F.lit(0)).cast("decimal(19,0)")
+    tt = (n * (n - 1)).cast("decimal(38,0)").cast("double") / 2.0
+    e = sa * sb / tt
+    denom = (sa + sb) / 2.0 - e
+    return one.select(
+        F.when(tt > 0.0, (tt + 2.0 * sc - sa - sb) / tt).alias("rand_index"),
+        F.when(tt > 0.0,
+               F.when(denom == 0.0, F.lit(1.0)).otherwise((sc - e) / denom))
+        .alias("adjusted_rand_index"),
+        F.coalesce(F.col("_n_total"), F.lit(0)).cast("long").alias("n_records"),
+    )
+
+
 def pr_curve(
     scored: DataFrame,
     l_key: str,
