@@ -2584,6 +2584,60 @@ FROM x
 """
 
 
+def q_nmi_part(spark, sf_dir):
+    """Normalized Mutual Information of the p_brand clustering of part vs
+    p_type ground truth (operators/evaluation.py nmi_metrics,
+    exact_order=True): the information-theoretic cluster metric completing
+    the pairwise-F1 / B-cubed / ARI / NMI evaluation set. Bit-exact across
+    engines via ln (libm-stable) + sorted left folds of the block terms."""
+    from py_stringsimjoin_spark.operators.evaluation import nmi_metrics
+
+    part = _read(spark, sf_dir, "part")
+    return nmi_metrics(part, "p_partkey", "p_brand", "p_type",
+                       exact_order=True)
+
+
+_NMI_PART_SQL = """
+WITH a AS (
+  SELECT p_brand AS c, p_type AS t FROM part
+  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+), ct AS (SELECT c, t, count(*) AS n_ct FROM a GROUP BY 1, 2),
+cs AS (SELECT c, count(*) AS n_c FROM a GROUP BY 1),
+ts AS (SELECT t, count(*) AS n_t FROM a GROUP BY 1),
+nn AS (SELECT sum(n_c)::BIGINT AS n, count(*)::BIGINT AS k_c FROM cs),
+kt AS (SELECT count(*)::BIGINT AS k_t FROM ts),
+mi AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_ct::DOUBLE / n::DOUBLE)
+        * ln((n::DOUBLE * n_ct::DOUBLE) / (n_c::DOUBLE * n_t::DOUBLE))
+      ORDER BY ct.c, ct.t), 'sum'), 0.0) AS mi
+  FROM ct JOIN cs USING (c) JOIN ts USING (t), nn
+),
+hc AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_c::DOUBLE / n::DOUBLE) * ln(n_c::DOUBLE / n::DOUBLE)
+      ORDER BY c), 'sum'), 0.0) AS hcs
+  FROM cs, nn
+),
+ht AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_t::DOUBLE / n::DOUBLE) * ln(n_t::DOUBLE / n::DOUBLE)
+      ORDER BY t), 'sum'), 0.0) AS hts
+  FROM ts, nn
+)
+SELECT
+  CASE WHEN n IS NULL OR n <= 0 THEN NULL
+       WHEN k_c = 1 AND k_t = 1 THEN 1.0
+       WHEN ((-hcs) + (-hts)) / 2.0 = 0.0 THEN 0.0
+       ELSE mi / (((-hcs) + (-hts)) / 2.0) END AS nmi,
+  CASE WHEN n > 0 THEN mi END AS mutual_info,
+  CASE WHEN n > 0 THEN -hcs END AS entropy_pred,
+  CASE WHEN n > 0 THEN -hts END AS entropy_true,
+  coalesce(n, 0)::BIGINT AS n_records
+FROM nn, kt, mi, hc, ht
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -3350,7 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_cluster_part": q_star_cluster_part,
         "substring_dedup_docs": q_substring_dedup_docs,
         "ari_part": q_ari_part,
-        # -- 25-32: last driver-verified in rounds 1-3 ----------------------
+        "nmi_part": q_nmi_part,
+        # -- 26-33: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3500,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_two_tables_part": _snm_two_tables_sql(),
         "bcubed_part": _bcubed_sql(),
         "ari_part": _ARI_PART_SQL,
+        "nmi_part": _NMI_PART_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

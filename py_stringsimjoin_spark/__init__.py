@@ -64,6 +64,7 @@ from .operators.evaluation import (
     bcubed_metrics,
     blocking_metrics,
     evaluate_blocking,
+    nmi_metrics,
     pr_curve,
     rand_metrics,
     sample_pairs_for_review,
@@ -183,6 +184,7 @@ __all__ = [
     "metablock_pairs",
     "metablock_pairs_two_tables",
     "token_blocks",
+    "nmi_metrics",
     "pr_curve",
     "rand_metrics",
     "pii_stats",

@@ -371,6 +371,93 @@ def rand_metrics(
     )
 
 
+def nmi_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+    exact_order: bool = False,
+) -> DataFrame:
+    """Normalized Mutual Information (arithmetic-mean normalization, the
+    scikit-learn default) between the predicted and true partitions — lazy
+    one-row DataFrame completing the cluster-metric set (pairwise F1,
+    B-cubed, Rand/ARI, NMI — the four ER papers report).
+
+        MI  = Σ_ct (n_ct/n)·ln(n·n_ct/(n_c·n_t))        (nats)
+        H_C = −Σ_c (n_c/n)·ln(n_c/n),  H_T analogous
+        NMI = MI / ((H_C + H_T)/2)
+
+    Conventions: NULL pred/true rows are excluded; empty input → NULL
+    metrics; both partitions trivial (one cluster each) → NMI 1.0; one
+    side trivial → MI 0 and NMI 0 (all scikit-learn's conventions).
+
+    Bit-exactness across engines (same trade as ``bcubed_metrics`` /
+    ``unigram_cross_entropy``): terms use ``ln`` (libm-stable, unlike
+    log2) and ``exact_order=True`` folds them sequentially in cluster-id
+    order — identical to a DuckDB ``list_aggregate(list(t ORDER BY ...),
+    'sum')`` — at the cost of collecting the block-term list into one row;
+    the default distributed SUM is the production configuration. Scale
+    shape: the bcubed plan — three hash aggregations, two joins on
+    cluster ids, nothing quadratic, nothing driver-side by default.
+    """
+    base = assignments.select(
+        F.col(key_attr).alias("_k"),
+        F.col(pred_attr).alias("_c"),
+        F.col(true_attr).alias("_t"),
+    ).where(F.col("_c").isNotNull() & F.col("_t").isNotNull())
+    ct = base.groupBy("_c", "_t").agg(F.count("*").alias("_n_ct"))
+    cs = base.groupBy("_c").agg(F.count("*").alias("_n_c"))
+    ts = base.groupBy("_t").agg(F.count("*").alias("_n_t"))
+    n_row = cs.agg(
+        F.sum("_n_c").alias("_n"), F.count("*").alias("_k_c")
+    ).crossJoin(ts.agg(F.count("*").alias("_k_t")))
+    n_d = F.col("_n").cast("double")
+
+    def _fold(df, term, order_cols, alias):
+        """Σ term — sorted left fold (exact_order) or distributed sum."""
+        if exact_order:
+            return df.agg(
+                F.array_sort(
+                    F.collect_list(F.struct(*order_cols, term.alias("_v")))
+                ).alias("_xs")
+            ).select(
+                F.aggregate("_xs", F.lit(0.0), lambda a, x: a + x["_v"]).alias(
+                    alias
+                )
+            )
+        return df.agg(F.coalesce(F.sum(term), F.lit(0.0)).alias(alias))
+
+    terms = ct.join(cs, "_c").join(ts, "_t").crossJoin(F.broadcast(n_row))
+    nct_d = F.col("_n_ct").cast("double")
+    mi_term = (nct_d / n_d) * F.log(
+        (n_d * nct_d) / (F.col("_n_c").cast("double") * F.col("_n_t").cast("double"))
+    )
+    mi = _fold(terms, mi_term, [F.col("_c"), F.col("_t")], "_mi")
+    hc_term = (F.col("_n_c").cast("double") / n_d) * F.log(
+        F.col("_n_c").cast("double") / n_d
+    )
+    hc = _fold(cs.crossJoin(F.broadcast(n_row)), hc_term, [F.col("_c")], "_hcs")
+    ht_term = (F.col("_n_t").cast("double") / n_d) * F.log(
+        F.col("_n_t").cast("double") / n_d
+    )
+    ht = _fold(ts.crossJoin(F.broadcast(n_row)), ht_term, [F.col("_t")], "_hts")
+    one = n_row.crossJoin(mi).crossJoin(hc).crossJoin(ht)
+    h_c = -F.col("_hcs")
+    h_t = -F.col("_hts")
+    denom = (h_c + h_t) / 2.0
+    return one.select(
+        F.when(F.col("_n").isNull() | (F.col("_n") <= 0), F.lit(None))
+        .when((F.col("_k_c") == 1) & (F.col("_k_t") == 1), F.lit(1.0))
+        .when(denom == 0.0, F.lit(0.0))
+        .otherwise(F.col("_mi") / denom)
+        .alias("nmi"),
+        F.when(F.col("_n") > 0, F.col("_mi")).alias("mutual_info"),
+        F.when(F.col("_n") > 0, h_c).alias("entropy_pred"),
+        F.when(F.col("_n") > 0, h_t).alias("entropy_true"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_records"),
+    )
+
+
 def pr_curve(
     scored: DataFrame,
     l_key: str,
