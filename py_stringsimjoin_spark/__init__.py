@@ -54,7 +54,7 @@ from .operators.multimodal import (
     extract_media_features,
     frame_sample_plan,
 )
-from .operators.dedup import canonical_url_groups
+from .operators.dedup import canonical_url_groups, plan_lsh_params
 from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
@@ -174,6 +174,7 @@ __all__ = [
     "url_host_expr",
     "url_registrable_domain_expr",
     "canonical_url_groups",
+    "plan_lsh_params",
     "dataframe_column_to_str",
     "get_spark",
     "engine_cache_scope",

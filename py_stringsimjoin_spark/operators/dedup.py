@@ -427,3 +427,60 @@ def canonical_url_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         .where(F.col("group_size") > 1)
         .select("id", "canonical_url", "group_id", "group_size")
     )
+
+
+def plan_lsh_params(
+    threshold: float,
+    num_perm: int = 128,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    grid: int = 1000,
+) -> dict:
+    """Choose (bands, rows) for ``minhash_lsh_pairs`` at a target Jaccard
+    threshold — the datasketch-style S-curve optimizer, restricted to band
+    counts that divide ``num_perm`` (the banding layout
+    ``band_bucket_exprs`` requires).
+
+    For b bands of r rows, P(candidate | jaccard=s) = 1 − (1 − s^r)^b.
+    The planner integrates the curve numerically (midpoint rule, ``grid``
+    cells): FP mass = ∫_0^t P(s) ds, FN mass = ∫_t^1 (1 − P(s)) ds, and
+    picks the divisor pair minimizing fp_weight·FP + fn_weight·FN.
+    Skew-aware deployments up-weight ``fp_weight``: at corpus scale false
+    positives cost verify work on every candidate, while false negatives
+    only cost recall.
+
+    Returns {"bands", "rows", "fp", "fn", "s50"} where s50 = (1/b)^(1/r)
+    is the similarity at 50% candidate probability — the curve's midpoint,
+    which lands near ``threshold`` for the chosen pair. Pure plan-time
+    arithmetic: no Spark job, no data touched.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        fp /= grid
+        fn /= grid
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {
+        "bands": b,
+        "rows": r,
+        "fp": fp,
+        "fn": fn,
+        "s50": (1.0 / b) ** (1.0 / r),
+    }
