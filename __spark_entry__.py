@@ -2638,6 +2638,46 @@ FROM nn, kt, mi, hc, ht
 """
 
 
+def q_containment_part(spark, sf_dir):
+    """Asymmetric containment join |tok(l) ∩ tok(r)| / |tok(l)| >= 0.75 on
+    p_name, self-join with ordered-pair semantics (operators/
+    containment_join.py — left prefix filter, full right explode, salted
+    token join, JVM array_intersect verify)."""
+    from py_stringsimjoin_spark.operators.containment_join import (
+        containment_join_pairs,
+    )
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = containment_join_pairs(
+        part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.75, exclude_self_pairs=True,
+    )
+    return pairs.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def _containment_part_sql(threshold: float = 0.75) -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov, any_value(a.sz) AS ls
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT l_id AS l_p_partkey, r_id AS r_p_partkey, ov::DOUBLE / ls AS sim
+FROM pairs WHERE ov::DOUBLE / ls >= {threshold}
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -3405,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": q_substring_dedup_docs,
         "ari_part": q_ari_part,
         "nmi_part": q_nmi_part,
+        "containment_part": q_containment_part,
         # -- 26-33: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -3556,6 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_part": _bcubed_sql(),
         "ari_part": _ARI_PART_SQL,
         "nmi_part": _NMI_PART_SQL,
+        "containment_part": _containment_part_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

@@ -97,6 +97,7 @@ from .operators.metablocking import (
     metablock_pairs_two_tables,
     token_blocks,
 )
+from .operators.containment_join import containment_join, containment_join_pairs
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
@@ -126,6 +127,8 @@ __all__ = [
     "dice_join",
     "overlap_join",
     "overlap_coefficient_join",
+    "containment_join",
+    "containment_join_pairs",
     "edit_distance_join",
     "disk_edit_distance_join",
     "load_books_dataset",

@@ -24,6 +24,8 @@ def sim_on_sets(measure: str, l_toks: list[str], r_toks: list[str]) -> float:
         return 2 * o / (len(ls) + len(rs))
     if measure == "overlap_coefficient":
         return o / min(len(ls), len(rs))
+    if measure == "containment":
+        return o / len(ls)
     raise ValueError(measure)
 
 
