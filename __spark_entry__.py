@@ -2638,6 +2638,58 @@ FROM nn, kt, mi, hc, ht
 """
 
 
+def q_vi_part(spark, sf_dir):
+    """Variation of Information (Meilă 2007) of the p_brand clustering of
+    part vs p_type ground truth (operators/evaluation.py vi_metrics,
+    exact_order=True): VI = H(C)+H(T)−2MI is a true metric on partitions —
+    the distance companion to nmi_part's similarity. Bit-exact across
+    engines via ln + sorted left folds (same trade as nmi/bcubed)."""
+    from py_stringsimjoin_spark.operators.evaluation import vi_metrics
+
+    part = _read(spark, sf_dir, "part")
+    return vi_metrics(part, "p_partkey", "p_brand", "p_type",
+                      exact_order=True)
+
+
+_VI_PART_SQL = """
+WITH a AS (
+  SELECT p_brand AS c, p_type AS t FROM part
+  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+), ct AS (SELECT c, t, count(*) AS n_ct FROM a GROUP BY 1, 2),
+cs AS (SELECT c, count(*) AS n_c FROM a GROUP BY 1),
+ts AS (SELECT t, count(*) AS n_t FROM a GROUP BY 1),
+nn AS (SELECT sum(n_c)::BIGINT AS n FROM cs),
+mi AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_ct::DOUBLE / n::DOUBLE)
+        * ln((n::DOUBLE * n_ct::DOUBLE) / (n_c::DOUBLE * n_t::DOUBLE))
+      ORDER BY ct.c, ct.t), 'sum'), 0.0) AS mi
+  FROM ct JOIN cs USING (c) JOIN ts USING (t), nn
+),
+hc AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_c::DOUBLE / n::DOUBLE) * ln(n_c::DOUBLE / n::DOUBLE)
+      ORDER BY c), 'sum'), 0.0) AS hcs
+  FROM cs, nn
+),
+ht AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_t::DOUBLE / n::DOUBLE) * ln(n_t::DOUBLE / n::DOUBLE)
+      ORDER BY t), 'sum'), 0.0) AS hts
+  FROM ts, nn
+)
+SELECT
+  CASE WHEN n IS NULL OR n <= 0 THEN NULL
+       ELSE (-hcs) + (-hts) - 2 * mi END AS vi,
+  CASE WHEN n > 1 THEN ((-hcs) + (-hts) - 2 * mi) / ln(n::DOUBLE) END AS nvi,
+  CASE WHEN n > 0 THEN mi END AS mutual_info,
+  CASE WHEN n > 0 THEN -hcs END AS entropy_pred,
+  CASE WHEN n > 0 THEN -hts END AS entropy_true,
+  coalesce(n, 0)::BIGINT AS n_records
+FROM nn, mi, hc, ht
+"""
+
+
 def q_containment_part(spark, sf_dir):
     """Asymmetric containment join |tok(l) ∩ tok(r)| / |tok(l)| >= 0.75 on
     p_name, self-join with ordered-pair semantics (operators/
@@ -3445,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": q_substring_dedup_docs,
         "ari_part": q_ari_part,
         "nmi_part": q_nmi_part,
+        "vi_part": q_vi_part,
         "containment_part": q_containment_part,
         # -- 26-33: last driver-verified in rounds 1-3 ----------------------
         "verify_pairs_part": q_verify_pairs_part,
@@ -3597,6 +3650,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_part": _bcubed_sql(),
         "ari_part": _ARI_PART_SQL,
         "nmi_part": _NMI_PART_SQL,
+        "vi_part": _VI_PART_SQL,
         "containment_part": _containment_part_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,

@@ -65,6 +65,7 @@ from .operators.evaluation import (
     blocking_metrics,
     evaluate_blocking,
     nmi_metrics,
+    vi_metrics,
     pr_curve,
     rand_metrics,
     sample_pairs_for_review,
@@ -189,6 +190,7 @@ __all__ = [
     "metablock_pairs_two_tables",
     "token_blocks",
     "nmi_metrics",
+    "vi_metrics",
     "pr_curve",
     "rand_metrics",
     "pii_stats",

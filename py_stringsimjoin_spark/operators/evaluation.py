@@ -371,35 +371,18 @@ def rand_metrics(
     )
 
 
-def nmi_metrics(
+def _partition_info_plan(
     assignments: DataFrame,
     key_attr: str,
     pred_attr: str,
     true_attr: str,
-    exact_order: bool = False,
+    exact_order: bool,
 ) -> DataFrame:
-    """Normalized Mutual Information (arithmetic-mean normalization, the
-    scikit-learn default) between the predicted and true partitions — lazy
-    one-row DataFrame completing the cluster-metric set (pairwise F1,
-    B-cubed, Rand/ARI, NMI — the four ER papers report).
-
-        MI  = Σ_ct (n_ct/n)·ln(n·n_ct/(n_c·n_t))        (nats)
-        H_C = −Σ_c (n_c/n)·ln(n_c/n),  H_T analogous
-        NMI = MI / ((H_C + H_T)/2)
-
-    Conventions: NULL pred/true rows are excluded; empty input → NULL
-    metrics; both partitions trivial (one cluster each) → NMI 1.0; one
-    side trivial → MI 0 and NMI 0 (all scikit-learn's conventions).
-
-    Bit-exactness across engines (same trade as ``bcubed_metrics`` /
-    ``unigram_cross_entropy``): terms use ``ln`` (libm-stable, unlike
-    log2) and ``exact_order=True`` folds them sequentially in cluster-id
-    order — identical to a DuckDB ``list_aggregate(list(t ORDER BY ...),
-    'sum')`` — at the cost of collecting the block-term list into one row;
-    the default distributed SUM is the production configuration. Scale
-    shape: the bcubed plan — three hash aggregations, two joins on
-    cluster ids, nothing quadratic, nothing driver-side by default.
-    """
+    """Shared information-theoretic plan for nmi_metrics / vi_metrics: one
+    row with _n (non-NULL records), _k_c/_k_t (cluster counts), _mi (mutual
+    information, nats), _hcs/_hts (signed entropy sums Σ p·ln p). Three hash
+    aggregations + two cluster-id joins; ``exact_order`` trades the
+    distributed SUM for a sorted left fold (DuckDB-bit-exact)."""
     base = assignments.select(
         F.col(key_attr).alias("_k"),
         F.col(pred_attr).alias("_c"),
@@ -441,7 +424,41 @@ def nmi_metrics(
         F.col("_n_t").cast("double") / n_d
     )
     ht = _fold(ts.crossJoin(F.broadcast(n_row)), ht_term, [F.col("_t")], "_hts")
-    one = n_row.crossJoin(mi).crossJoin(hc).crossJoin(ht)
+    return n_row.crossJoin(mi).crossJoin(hc).crossJoin(ht)
+
+
+def nmi_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+    exact_order: bool = False,
+) -> DataFrame:
+    """Normalized Mutual Information (arithmetic-mean normalization, the
+    scikit-learn default) between the predicted and true partitions — lazy
+    one-row DataFrame completing the cluster-metric set (pairwise F1,
+    B-cubed, Rand/ARI, NMI — the four ER papers report).
+
+        MI  = Σ_ct (n_ct/n)·ln(n·n_ct/(n_c·n_t))        (nats)
+        H_C = −Σ_c (n_c/n)·ln(n_c/n),  H_T analogous
+        NMI = MI / ((H_C + H_T)/2)
+
+    Conventions: NULL pred/true rows are excluded; empty input → NULL
+    metrics; both partitions trivial (one cluster each) → NMI 1.0; one
+    side trivial → MI 0 and NMI 0 (all scikit-learn's conventions).
+
+    Bit-exactness across engines (same trade as ``bcubed_metrics`` /
+    ``unigram_cross_entropy``): terms use ``ln`` (libm-stable, unlike
+    log2) and ``exact_order=True`` folds them sequentially in cluster-id
+    order — identical to a DuckDB ``list_aggregate(list(t ORDER BY ...),
+    'sum')`` — at the cost of collecting the block-term list into one row;
+    the default distributed SUM is the production configuration. Scale
+    shape: the bcubed plan — three hash aggregations, two joins on
+    cluster ids, nothing quadratic, nothing driver-side by default.
+    """
+    one = _partition_info_plan(
+        assignments, key_attr, pred_attr, true_attr, exact_order
+    )
     h_c = -F.col("_hcs")
     h_t = -F.col("_hts")
     denom = (h_c + h_t) / 2.0
@@ -451,6 +468,50 @@ def nmi_metrics(
         .when(denom == 0.0, F.lit(0.0))
         .otherwise(F.col("_mi") / denom)
         .alias("nmi"),
+        F.when(F.col("_n") > 0, F.col("_mi")).alias("mutual_info"),
+        F.when(F.col("_n") > 0, h_c).alias("entropy_pred"),
+        F.when(F.col("_n") > 0, h_t).alias("entropy_true"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_records"),
+    )
+
+
+def vi_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+    exact_order: bool = False,
+) -> DataFrame:
+    """Variation of Information (Meilă 2007) between the predicted and true
+    partitions — the metric-space companion to NMI (VI is a true metric on
+    partitions; NMI is not), reported by ER/clustering papers alongside it.
+
+        VI  = H(C) + H(T) − 2·MI                          (nats)
+        NVI = VI / ln(n)    for n > 1  (Meilă's bound VI ≤ ln n → [0, 1])
+
+    Conventions match ``nmi_metrics``: NULL pred/true rows are excluded;
+    empty input → NULL metrics; identical partitions → VI 0 exactly (the
+    algebra cancels term-by-term only when summed in the same order, so
+    the perfect case is special-cased on _k_c == _k_t == #distinct (c,t)
+    pairs being unnecessary — VI 0 falls out because MI = H(C) = H(T));
+    n == 1 → NVI NULL (ln 1 = 0 denominator), VI 0.
+
+    Same plan and scale shape as ``nmi_metrics`` (shared
+    ``_partition_info_plan``): three hash aggregations, two cluster-id
+    joins, nothing quadratic, one-row lazy result.
+    """
+    one = _partition_info_plan(
+        assignments, key_attr, pred_attr, true_attr, exact_order
+    )
+    h_c = -F.col("_hcs")
+    h_t = -F.col("_hts")
+    vi = h_c + h_t - 2.0 * F.col("_mi")
+    n_d = F.col("_n").cast("double")
+    return one.select(
+        F.when(F.col("_n").isNull() | (F.col("_n") <= 0), F.lit(None))
+        .otherwise(vi)
+        .alias("vi"),
+        F.when(F.col("_n") > 1, vi / F.log(n_d)).alias("nvi"),
         F.when(F.col("_n") > 0, F.col("_mi")).alias("mutual_info"),
         F.when(F.col("_n") > 0, h_c).alias("entropy_pred"),
         F.when(F.col("_n") > 0, h_t).alias("entropy_true"),
