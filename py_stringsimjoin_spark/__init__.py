@@ -99,6 +99,10 @@ from .operators.metablocking import (
     token_blocks,
 )
 from .operators.containment_join import containment_join, containment_join_pairs
+from .operators.containment_lsh import (
+    containment_index_rows,
+    containment_lsh_search,
+)
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
@@ -130,6 +134,8 @@ __all__ = [
     "overlap_coefficient_join",
     "containment_join",
     "containment_join_pairs",
+    "containment_index_rows",
+    "containment_lsh_search",
     "edit_distance_join",
     "disk_edit_distance_join",
     "load_books_dataset",
