@@ -2861,6 +2861,82 @@ FROM ov WHERE ov::DOUBLE / nq >= {t}
 """
 
 
+def q_bm25_docs(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/bm25.py): queries = the first-6-word
+    prefix of every 53rd document, corpus = all documents, whitespace bag
+    tokens. Driver-oracle configuration per the module's determinism notes:
+    idf_kind="rational" (the log-free odds-ratio idf — Java Math.log is 1
+    ulp off libm on some inputs, so the ln form is pytest-validated instead)
+    and exact_order=True (ascending-value fold), making scores bit-identical
+    to the DuckDB replica; rank ties break on doc id."""
+    from py_stringsimjoin_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    queries = docs.where(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(words, 1, 6), " ").alias("q_text"),
+    )
+    out = bm25_topk(
+        queries, docs, "q_id", "q_text", "doc_id", "text", 10,
+        idf_kind="rational", exact_order=True,
+    )
+    return out.select(
+        F.col("q_id").alias("q_doc_id"),
+        F.col("x_id").alias("x_doc_id"),
+        "score",
+        "rank",
+    )
+
+
+def _bm25_docs_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    # constants embedded via repr so both engines see identical doubles
+    k1r, k1p1 = repr(float(k1)), repr(float(k1) + 1.0)
+    br, omb = repr(float(b)), repr(1.0 - float(b))
+    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    qtext = f"array_to_string(list_slice({words}, 1, 6), ' ')"
+    qwords = "list_filter(string_split_regex(trim(qt), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id AS xid, {words} AS toks FROM documents WHERE text IS NOT NULL
+), xnz AS (
+  SELECT xid, toks, len(toks) AS dl FROM base WHERE len(toks) > 0
+), post AS (
+  SELECT xid, tok AS term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT xid, dl, unnest(toks) AS tok FROM xnz) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM post GROUP BY 1
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM xnz
+), qsrc AS (
+  SELECT doc_id AS qid, {qtext} AS qt FROM documents
+  WHERE text IS NOT NULL AND doc_id % 53 = 0
+), qterms AS (
+  SELECT DISTINCT qid, tok AS term
+  FROM (SELECT qid, unnest(list_distinct({qwords})) AS tok FROM qsrc)
+), hits AS (
+  SELECT q.qid, p.xid,
+    ((s.n - d.df + 0.5) / (d.df + 0.5))
+      * (p.tf::DOUBLE * {k1p1})
+      / (p.tf::DOUBLE + {k1r} * ({omb} + {br} * p.dl::DOUBLE / s.avgdl)) AS c
+  FROM qterms q
+  JOIN post p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  CROSS JOIN stats s
+), scores AS (
+  SELECT qid, xid, list_aggregate(list(c ORDER BY c), 'sum') AS score
+  FROM hits GROUP BY 1, 2
+), ranked AS (
+  SELECT qid, xid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, xid ASC) AS rank
+  FROM scores
+)
+SELECT qid AS q_doc_id, xid AS x_doc_id, score, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -3631,7 +3707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_part": q_vi_part,
         "containment_part": q_containment_part,
         "containment_search_docs": q_containment_search_docs,
-        # -- 26-33: last driver-verified in rounds 1-3 ----------------------
+        "bm25_docs": q_bm25_docs,
+        # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
         "profile_part": q_profile_part,
@@ -3785,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "vi_part": _VI_PART_SQL,
         "containment_part": _containment_part_sql(),
         "containment_search_docs": _containment_search_sql(),
+        "bm25_docs": _bm25_docs_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),
