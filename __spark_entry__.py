@@ -2937,6 +2937,56 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof_join.py): attach to every purchase event
+    the same user's latest preceding click within one hour — backward
+    direction, by=user_id, tolerance=3600s, over exact epoch MICROSECONDS
+    (Spark unix_micros ≡ DuckDB epoch_us; integer compares/subtraction, so
+    the match set and all values are bit-identical cross-engine). The click
+    amount rides along as a value attr; unmatched purchases keep NULLs."""
+    from py_stringsimjoin_spark.operators.asof_join import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is UTC, so casting to the
+    # tz'd type then unix_micros matches DuckDB's naive epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us"), "value"
+    )
+    return asof_join(
+        purchases, clicks, "event_id", "event_id", "ts_us", "ts_us",
+        "user_id", "user_id", direction="backward",
+        tolerance=3_600_000_000, r_value_attrs=["value"],
+    )
+
+
+_ASOF_JOIN_EVENTS_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+), m AS (
+  SELECT p.event_id AS pk, c.event_id AS r_event_id, c.ts_us AS r_ts_us,
+         c.value AS r_value,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts_us DESC, c.event_id DESC
+         ) AS rn
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts_us <= p.ts_us
+   AND p.ts_us - c.ts_us <= 3600000000
+)
+SELECT p.event_id AS l_event_id, p.ts_us AS l_ts_us, p.user_id,
+       m.r_event_id, m.r_ts_us, m.r_value
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.pk = p.event_id
+"""
+
+
 def q_snm_two_tables_part(spark, sf_dir):
     """R≠S sorted-neighborhood: even- vs odd-keyed parts merged into ONE
     sort order on p_name's first 8 chars, window-5 cross-table candidates
@@ -3708,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_part": q_containment_part,
         "containment_search_docs": q_containment_search_docs,
         "bm25_docs": q_bm25_docs,
+        "asof_join_events": q_asof_join_events,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -3863,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_part": _containment_part_sql(),
         "containment_search_docs": _containment_search_sql(),
         "bm25_docs": _bm25_docs_sql(),
+        "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

@@ -99,6 +99,7 @@ from .operators.metablocking import (
     token_blocks,
 )
 from .operators.containment_join import containment_join, containment_join_pairs
+from .operators.asof_join import asof_join
 from .operators.bm25 import bm25_topk, build_bm25_postings
 from .operators.containment_lsh import (
     containment_index_rows,
@@ -139,6 +140,7 @@ __all__ = [
     "containment_lsh_search",
     "bm25_topk",
     "build_bm25_postings",
+    "asof_join",
     "edit_distance_join",
     "disk_edit_distance_join",
     "load_books_dataset",
