@@ -2690,6 +2690,67 @@ FROM nn, mi, hc, ht
 """
 
 
+def q_vmeasure_part(spark, sf_dir):
+    """Homogeneity / completeness / V-measure (Rosenberg–Hirschberg 2007)
+    of the p_brand clustering of part vs p_type ground truth
+    (operators/evaluation.py v_measure_metrics, exact_order=True): the
+    conditional-entropy split of the nmi_part signal — over-merge vs
+    over-split attribution. Bit-exact via the shared sorted-fold info plan
+    (the mi/hcs/hts values are the very ones nmi_part already hash-matches)."""
+    from py_stringsimjoin_spark.operators.evaluation import v_measure_metrics
+
+    part = _read(spark, sf_dir, "part")
+    return v_measure_metrics(part, "p_partkey", "p_brand", "p_type",
+                             exact_order=True)
+
+
+_VMEASURE_PART_SQL = """
+WITH a AS (
+  SELECT p_brand AS c, p_type AS t FROM part
+  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+), ct AS (SELECT c, t, count(*) AS n_ct FROM a GROUP BY 1, 2),
+cs AS (SELECT c, count(*) AS n_c FROM a GROUP BY 1),
+ts AS (SELECT t, count(*) AS n_t FROM a GROUP BY 1),
+nn AS (SELECT sum(n_c)::BIGINT AS n, count(*)::BIGINT AS k_c FROM cs),
+kt AS (SELECT count(*)::BIGINT AS k_t FROM ts),
+mi AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_ct::DOUBLE / n::DOUBLE)
+        * ln((n::DOUBLE * n_ct::DOUBLE) / (n_c::DOUBLE * n_t::DOUBLE))
+      ORDER BY ct.c, ct.t), 'sum'), 0.0) AS mi
+  FROM ct JOIN cs USING (c) JOIN ts USING (t), nn
+),
+hc AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_c::DOUBLE / n::DOUBLE) * ln(n_c::DOUBLE / n::DOUBLE)
+      ORDER BY c), 'sum'), 0.0) AS hcs
+  FROM cs, nn
+),
+ht AS (
+  SELECT coalesce(list_aggregate(list(
+      (n_t::DOUBLE / n::DOUBLE) * ln(n_t::DOUBLE / n::DOUBLE)
+      ORDER BY t), 'sum'), 0.0) AS hts
+  FROM ts, nn
+),
+hcm AS (
+  SELECT
+    CASE WHEN n > 0 THEN
+      CASE WHEN k_t = 1 THEN 1.0 ELSE mi / (-hts) END END AS homogeneity,
+    CASE WHEN n > 0 THEN
+      CASE WHEN k_c = 1 THEN 1.0 ELSE mi / (-hcs) END END AS completeness,
+    n
+  FROM nn, kt, mi, hc, ht
+)
+SELECT homogeneity, completeness,
+  CASE WHEN n IS NULL OR n <= 0 THEN NULL
+       WHEN homogeneity + completeness = 0.0 THEN 0.0
+       ELSE 2.0 * homogeneity * completeness / (homogeneity + completeness)
+  END AS v_measure,
+  coalesce(n, 0)::BIGINT AS n_records
+FROM hcm
+"""
+
+
 def q_containment_part(spark, sf_dir):
     """Asymmetric containment join |tok(l) ∩ tok(r)| / |tok(l)| >= 0.75 on
     p_name, self-join with ordered-pair semantics (operators/
@@ -3759,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_search_docs": q_containment_search_docs,
         "bm25_docs": q_bm25_docs,
         "asof_join_events": q_asof_join_events,
+        "vmeasure_part": q_vmeasure_part,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -3915,6 +3977,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_search_docs": _containment_search_sql(),
         "bm25_docs": _bm25_docs_sql(),
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
+        "vmeasure_part": _VMEASURE_PART_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

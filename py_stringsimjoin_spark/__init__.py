@@ -65,6 +65,7 @@ from .operators.evaluation import (
     blocking_metrics,
     evaluate_blocking,
     nmi_metrics,
+    v_measure_metrics,
     vi_metrics,
     pr_curve,
     rand_metrics,
@@ -201,6 +202,7 @@ __all__ = [
     "metablock_pairs_two_tables",
     "token_blocks",
     "nmi_metrics",
+    "v_measure_metrics",
     "vi_metrics",
     "pr_curve",
     "rand_metrics",

@@ -519,6 +519,56 @@ def vi_metrics(
     )
 
 
+def v_measure_metrics(
+    assignments: DataFrame,
+    key_attr: str,
+    pred_attr: str,
+    true_attr: str,
+    exact_order: bool = False,
+) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg,
+    EMNLP 2007) between the predicted and true partitions — the
+    conditional-entropy pair NMI blends away: homogeneity says "each
+    predicted cluster holds one true entity" (over-merge detector),
+    completeness says "each true entity lands in one predicted cluster"
+    (over-split detector); V is their harmonic mean.
+
+        homogeneity  = 1 − H(T|C)/H(T) = MI / H(T)    (1.0 when H(T)=0)
+        completeness = 1 − H(C|T)/H(C) = MI / H(C)    (1.0 when H(C)=0)
+        V            = 2hc/(h+c)                      (0.0 when h+c=0)
+
+    Conventions are scikit-learn's (single-cluster sides score 1.0 on
+    their axis) except empty input → NULL metrics, matching nmi_metrics.
+    Same shared plan and scale shape as nmi/vi (``_partition_info_plan``):
+    three hash aggregations, two cluster-id joins, one-row lazy result;
+    ``exact_order=True`` is the bit-exact driver-oracle configuration.
+    """
+    one = _partition_info_plan(
+        assignments, key_attr, pred_attr, true_attr, exact_order
+    )
+    h_c = -F.col("_hcs")  # entropy of the PREDICTED partition
+    h_t = -F.col("_hts")  # entropy of the TRUE partition
+    hom = F.when(F.col("_k_t") == 1, F.lit(1.0)).otherwise(F.col("_mi") / h_t)
+    com = F.when(F.col("_k_c") == 1, F.lit(1.0)).otherwise(F.col("_mi") / h_c)
+    two = one.select(
+        "_n",
+        F.when(F.col("_n") > 0, hom).alias("homogeneity"),
+        F.when(F.col("_n") > 0, com).alias("completeness"),
+    )
+    hc_sum = F.col("homogeneity") + F.col("completeness")
+    return two.select(
+        "homogeneity",
+        "completeness",
+        F.when(F.col("_n").isNull() | (F.col("_n") <= 0), F.lit(None))
+        .when(hc_sum == 0.0, F.lit(0.0))
+        .otherwise(
+            2.0 * F.col("homogeneity") * F.col("completeness") / hc_sum
+        )
+        .alias("v_measure"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_records"),
+    )
+
+
 def pr_curve(
     scored: DataFrame,
     l_key: str,
