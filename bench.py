@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "cosine_pairs_embeddings",
     "tokenstats_docs",
     "connected_components_part",
+    "bm25_docs",
 ]
 
 # $SPARK_GRAFT_BENCH_QUERIES (comma-separated) overrides the list — used by
