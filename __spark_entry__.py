@@ -3033,6 +3033,45 @@ FROM ov WHERE ov::DOUBLE / nq >= {t}
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Training-chunk windowing (operators/chunking.py): every document cut
+    into 40-token chunks stepping by 32 (8-token overlap), remainder tails
+    kept unless fully contained in the previous window. Map-only JVM
+    sequence/slice plan — zero shuffles; all string ops, so the oracle is
+    an exact integer-arithmetic replica (no float anywhere)."""
+    from py_stringsimjoin_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", 40, 8)
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+), st AS (
+  SELECT doc_id, toks, n,
+         list_filter(range(0, n, 32),
+                     s -> NOT (s > 0 AND s - 32 + 40 >= n)) AS starts
+  FROM nz
+), ex AS (
+  SELECT doc_id, toks, n,
+         unnest(list_transform(range(1, len(starts) + 1),
+                i -> struct_pack(ci := i - 1, s := starts[i]))) AS u
+  FROM st
+)
+SELECT doc_id,
+       u.ci::BIGINT AS chunk_index,
+       array_to_string(list_slice(toks, u.s + 1, u.s + 40), ' ') AS chunk_text,
+       least(40, n - u.s)::BIGINT AS n_tokens
+FROM ex
+"""
+
+
 def q_bm25_docs(spark, sf_dir):
     """BM25 top-10 retrieval (operators/bm25.py): queries = the first-6-word
     prefix of every 53rd document, corpus = all documents, whitespace bag
@@ -3934,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vmeasure_part": q_vmeasure_part,
         "cluster_stats_part": q_cluster_stats_part,
         "hard_negatives_part": q_hard_negatives_part,
+        "chunk_docs": q_chunk_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4093,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "vmeasure_part": _VMEASURE_PART_SQL,
         "cluster_stats_part": _cluster_stats_sql(),
         "hard_negatives_part": _hard_negatives_sql(),
+        "chunk_docs": _CHUNK_DOCS_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),
