@@ -1679,6 +1679,58 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_merge_center_part(spark, sf_dir):
+    """MERGE-CENTER clustering (operators/star_clustering.py,
+    merge_center_clustering): star clusters whose centers are bridged
+    (adjacent or sharing a neighbor) merge via CC over the contracted
+    center graph — the Hassanzadeh–Miller middle ground between star and
+    full transitive closure, over the same jaccard ≥ 0.5 match pairs.
+    Oracle composes the star SQL + the bridge relation + a recursive CTE."""
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+    from py_stringsimjoin_spark.operators.star_clustering import (
+        merge_center_clustering,
+    )
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    return merge_center_clustering(pairs, "_l_key", "_r_key")
+
+
+def _merge_center_sql() -> str:
+    star = _star_cluster_sql().strip()
+    head, final_sel = star.rsplit("SELECT f.src AS node", 1)
+    head = head.removeprefix("WITH ")
+    return f"""
+WITH RECURSIVE {head}, star AS (
+  SELECT f.src AS node{final_sel}
+), ctrs AS (
+  SELECT DISTINCT cluster AS c FROM star
+), adjeq AS (
+  SELECT e.src AS u, e.dst AS c FROM e JOIN ctrs ON ctrs.c = e.dst
+  UNION SELECT c, c FROM ctrs
+), bridges AS (
+  SELECT a.c AS c1, b.c AS c2
+  FROM adjeq a JOIN adjeq b ON a.u = b.u AND a.c < b.c
+  GROUP BY 1, 2
+), bedges AS (
+  SELECT c1 AS a, c2 AS b FROM bridges UNION SELECT c2, c1 FROM bridges
+), bnodes AS (
+  SELECT DISTINCT a AS n FROM bedges
+), reach2(n, comp) AS (
+  SELECT n, n FROM bnodes
+  UNION
+  SELECT be.b, r.comp FROM reach2 r JOIN bedges be ON be.a = r.n
+), bcomp AS (
+  SELECT n, min(comp) AS component FROM reach2 GROUP BY n
+)
+SELECT s.node, coalesce(c.component, s.cluster) AS cluster
+FROM star s LEFT JOIN bcomp c ON c.n = s.cluster
+"""
+
+
 def q_cluster_stats_part(spark, sf_dir):
     """Cluster-size histogram (operators/cluster_stats.py) of the SAME
     transitive clustering connected_components_part verifies: jaccard ≥ 0.5
@@ -3974,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats_part": q_cluster_stats_part,
         "hard_negatives_part": q_hard_negatives_part,
         "chunk_docs": q_chunk_docs,
+        "merge_center_part": q_merge_center_part,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4134,6 +4187,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_stats_part": _cluster_stats_sql(),
         "hard_negatives_part": _hard_negatives_sql(),
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "merge_center_part": _merge_center_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

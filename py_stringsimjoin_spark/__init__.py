@@ -59,7 +59,10 @@ from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
-from .operators.star_clustering import star_clustering
+from .operators.star_clustering import (
+    merge_center_clustering,
+    star_clustering,
+)
 from .operators.evaluation import (
     bcubed_metrics,
     blocking_metrics,
@@ -176,6 +179,7 @@ __all__ = [
     "profile_table_for_join",
     "connected_components",
     "star_clustering",
+    "merge_center_clustering",
     "update_components",
     "agreement_vectors",
     "pattern_counts",

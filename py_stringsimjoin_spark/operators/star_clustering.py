@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .connected_components import connected_components
+
 
 def star_clustering(pairs: DataFrame, l_col: str, r_col: str) -> DataFrame:
     """(node, cluster) — one row per node appearing in ``pairs``; cluster
@@ -91,4 +93,61 @@ def star_clustering(pairs: DataFrame, l_col: str, r_col: str) -> DataFrame:
         F.when(F.col("is_center"), F.col("src"))
         .otherwise(F.coalesce(F.col("ctr.nid"), F.col("src")))
         .alias("cluster"),
+    )
+
+
+def merge_center_clustering(
+    pairs: DataFrame, l_col: str, r_col: str
+) -> DataFrame:
+    """MERGE-CENTER clustering (Hassanzadeh & Miller, "Creating
+    probabilistic databases from duplicated data", VLDB J 2009): star
+    clusters, then clusters whose centers are BRIDGED merge — the middle
+    ground between star (never merges, can over-split a dumbbell entity)
+    and transitive CC (merges every chain).
+
+    The classic algorithm is a sequential greedy scan (merge when a node
+    adjacent to an existing center is reached from another center); this
+    deterministic parallel variant replaces scan order with a declarative
+    bridge relation: centers c1, c2 merge iff some node u satisfies
+    (u = c1 or u ~ c1) AND (u = c2 or u ~ c2) — i.e. the centers are
+    adjacent, or share any common neighbor. Merged clusters take the
+    minimum member-center id (the CC convention), so output is
+    reproducible and engine-independent.
+
+    Scale shape: star's bounded DAG + one (node → adjacent-center)
+    semi-join, one self-join on the bridging node (fan-out bounded by a
+    node's ADJACENT-CENTER count, far below its degree), then CC over the
+    center graph only — orders of magnitude smaller than the input graph,
+    so the iterative stage runs on the contracted problem (same trick as
+    update_components' contracted-graph CC).
+    """
+    e = pairs.select(F.col(l_col).alias("src"), F.col(r_col).alias("dst")).where(
+        F.col(l_col) != F.col(r_col)
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    star = star_clustering(pairs, l_col, r_col)
+    centers = star.select(F.col("cluster").alias("_c")).distinct()
+    # adjacent-or-equal: (u, center) for u ~ center, plus (center, center)
+    adjeq = sym.join(
+        centers, sym["dst"] == centers["_c"]
+    ).select(F.col("src").alias("_u"), "_c").unionByName(
+        centers.select(F.col("_c").alias("_u"), "_c")
+    )
+    bridges = (
+        adjeq.alias("a")
+        .join(adjeq.alias("b"), F.col("a._u") == F.col("b._u"))
+        .where(F.col("a._c") < F.col("b._c"))
+        .select(F.col("a._c").alias("_c1"), F.col("b._c").alias("_c2"))
+        .distinct()
+    )
+    comp = connected_components(bridges, "_c1", "_c2")
+    return star.join(
+        comp.select(F.col("node").alias("cluster"), "component"),
+        "cluster",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("component"), F.col("cluster")).alias("cluster"),
     )
