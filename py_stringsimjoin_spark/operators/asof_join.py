@@ -19,13 +19,15 @@ and UNION the two inputs, then one window pass per ``by`` group ordered by
 mirrored ``first`` over unbounded-following — forward). Left rows read the
 carried struct; rows farther than ``tolerance`` null it out (merge_asof
 semantics: the nearest candidate is the ONLY candidate — tolerance filters
-it, it never reaches past it). Right-side ties on the ordering value are
-pre-collapsed per ``(by, on)`` to the max-key row by one hash aggregation,
-so the result is deterministic and the window never sees equal-key runs.
+it, it never reaches past it). Right-side ties on the ordering value
+resolve to the max-key row WITHOUT a pre-aggregation: the right payload
+struct (key leading) is the window's third sort key, so the winning tie
+sorts adjacent to the reading side and ``last``/``first`` picks it — the
+tie rule costs zero extra plan nodes.
 
-Scale shape (100 TB test): one hash aggregation (right tie-collapse) + one
-union + ONE window shuffle partitioned by ``by`` — both sides move once;
-no replication, no range probing. Entity-keyed workloads (url, user_id)
+Scale shape (100 TB test): one union + ONE window shuffle partitioned by
+``by`` — the entire operator is a single exchange; both sides move once;
+no replication, no range probing, no join. Entity-keyed workloads (url, user_id)
 give millions of small groups — ideal window parallelism; a skewed hot
 entity degrades to single-task sorting of that entity only. WITHOUT ``by``
 keys Spark's window moves everything to one partition — fine for dimension
@@ -101,15 +103,14 @@ def asof_join(
     )
     if r_by_attr:
         r = r.where(F.col("_by").isNotNull())
-    # collapse right ties per (by, on): max-key row wins (struct order —
-    # key first, payload follows it)
+    # right payload struct — key FIRST, so struct order resolves ties on
+    # the ordering value to the max-key row
     rs = F.struct(
         F.col("_rk").alias("k"),
         F.col("_on").alias("o"),
         *[F.col(f"_v_{a}").alias(f"v_{a}") for a in vals],
     )
-    grp = (["_by"] if r_by_attr else []) + ["_on"]
-    r = r.groupBy(*grp).agg(F.max(rs).alias("_rs"))
+    r = r.select(*(["_by"] if r_by_attr else []), "_on", rs.alias("_rs"))
 
     byc = ["_by"] if l_by_attr else []
     lu = l.select(
@@ -125,7 +126,16 @@ def asof_join(
     )
     u = lu.unionByName(ru)
 
-    w = Window.partitionBy(*byc).orderBy(F.col("_on").asc(), F.col("_tag").asc())
+    # ONE shuffle total: right-side ties on _on are NOT pre-aggregated —
+    # the _rs struct rides as the window's third sort key, so among tied
+    # right rows the max-key row sorts last (backward, asc → picked by
+    # last()) / first (forward, desc → picked by first()). Left rows carry
+    # NULL _rs and never share a _tag with right rows, so the extra key
+    # cannot reorder across sides.
+    rs_order = F.col("_rs").asc() if direction == "backward" else F.col("_rs").desc()
+    w = Window.partitionBy(*byc).orderBy(
+        F.col("_on").asc(), F.col("_tag").asc(), rs_order
+    )
     if direction == "backward":
         carried = F.last("_rs", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
