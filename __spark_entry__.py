@@ -1679,6 +1679,49 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_session_stats_events(spark, sf_dir):
+    """Sessionization (operators/sessionize.py): each user's event stream
+    split at >30-minute inactivity gaps over exact epoch micros, one row
+    per session with start/end/count/duration — ONE window shuffle + one
+    hash agg. Integer arithmetic only, bit-identical to the DuckDB lag +
+    running-sum replica."""
+    from py_stringsimjoin_spark.operators.sessionize import session_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return session_stats(ev, "event_id", "user_id", "ts_us", 1_800_000_000)
+
+
+_SESSION_STATS_EVENTS_SQL = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), lagged AS (
+  SELECT eid, uid, ts_us,
+         lag(ts_us) OVER (PARTITION BY uid ORDER BY ts_us, eid) AS prev
+  FROM base
+), flagged AS (
+  SELECT eid, uid, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+              THEN 1 ELSE 0 END AS opener
+  FROM lagged
+), sessions AS (
+  SELECT uid, ts_us,
+         sum(opener) OVER (
+           PARTITION BY uid ORDER BY ts_us, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS session_index
+  FROM flagged
+)
+SELECT uid AS user_id, session_index::BIGINT AS session_index,
+       min(ts_us) AS session_start, max(ts_us) AS session_end,
+       count(*) AS n_events, max(ts_us) - min(ts_us) AS duration
+FROM sessions GROUP BY 1, 2
+"""
+
+
 def q_merge_center_part(spark, sf_dir):
     """MERGE-CENTER clustering (operators/star_clustering.py,
     merge_center_clustering): star clusters whose centers are bridged
@@ -4027,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_part": q_hard_negatives_part,
         "chunk_docs": q_chunk_docs,
         "merge_center_part": q_merge_center_part,
+        "session_stats_events": q_session_stats_events,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4188,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_part": _hard_negatives_sql(),
         "chunk_docs": _CHUNK_DOCS_SQL,
         "merge_center_part": _merge_center_sql(),
+        "session_stats_events": _SESSION_STATS_EVENTS_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),
