@@ -1679,6 +1679,114 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_mutual_best_part(spark, sf_dir):
+    """Reciprocal-top-1 one-to-one assignment (operators/matching_utils.py
+    mutual_best_match) over jaccard ≥ 0.3 candidates on p_name: kept pairs
+    are each other's single best candidate (clean-clean ER's distributed
+    surrogate for bipartite matching). Scores are exact rationals; ties
+    break on partner key — bit-identical double-window DuckDB replica."""
+    from py_stringsimjoin_spark.operators.matching_utils import mutual_best_match
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.3, allow_empty=False, self_join_dedup=True,
+    )
+    out = mutual_best_match(pairs, "_l_key", "_r_key", "_sim_score")
+    return out.select(
+        F.col("_l_key").alias("l_p_partkey"),
+        F.col("_r_key").alias("r_p_partkey"),
+        F.col("_sim_score").alias("sim"),
+    )
+
+
+def _mutual_best_sql() -> str:
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT l_id, r_id, {_J_SCORE} AS sim FROM pairs WHERE {_J_SCORE} >= 0.3
+), bl AS (
+  SELECT l_id, r_id, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY l_id ORDER BY sim DESC, r_id ASC) AS rn FROM scored
+  ) WHERE rn = 1
+), br AS (
+  SELECT l_id, r_id, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY r_id ORDER BY sim DESC, l_id ASC) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT bl.l_id AS l_p_partkey, bl.r_id AS r_p_partkey, bl.sim
+FROM bl JOIN br USING (l_id, r_id, sim)
+"""
+
+
+def q_score_hist_part(spark, sf_dir):
+    """Fixed-width score histogram (operators/matching_utils.py
+    score_histogram, 20 bins) of the jaccard ≥ 0.3 candidate scores — the
+    threshold-picking view. Bin boundaries derive from one global (min,
+    max) scalar in identical IEEE op order, so bins AND boundaries hash-
+    match the DuckDB replica exactly."""
+    from py_stringsimjoin_spark.operators.matching_utils import score_histogram
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.3, allow_empty=False, self_join_dedup=True,
+    )
+    return score_histogram(pairs, "_sim_score", 20)
+
+
+def _score_hist_sql(n_bins: int = 20) -> str:
+    toks = _WS.duckdb_sql("p_name")
+    nb = float(n_bins)
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT {_J_SCORE} AS s FROM pairs WHERE {_J_SCORE} >= 0.3
+), ext AS (
+  SELECT min(s) AS lo, max(s) AS hi FROM scored
+), binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+         ELSE least({n_bins - 1},
+                    floor((s - lo) / ((hi - lo) / {nb!r}))::INT) END AS bin,
+         lo, hi
+  FROM scored, ext
+), hist AS (
+  SELECT bin, count(*) AS n_pairs, any_value(lo) AS lo, any_value(hi) AS hi
+  FROM binned GROUP BY 1
+)
+SELECT bin::BIGINT AS bin,
+       lo + bin::DOUBLE * ((hi - lo) / {nb!r}) AS bin_lo,
+       lo + (bin + 1)::DOUBLE * ((hi - lo) / {nb!r}) AS bin_hi,
+       n_pairs
+FROM hist
+"""
+
+
 def q_session_stats_events(spark, sf_dir):
     """Sessionization (operators/sessionize.py): each user's event stream
     split at >30-minute inactivity gaps over exact epoch micros, one row
@@ -4071,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "merge_center_part": q_merge_center_part,
         "session_stats_events": q_session_stats_events,
+        "mutual_best_part": q_mutual_best_part,
+        "score_hist_part": q_score_hist_part,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4233,6 +4343,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _CHUNK_DOCS_SQL,
         "merge_center_part": _merge_center_sql(),
         "session_stats_events": _SESSION_STATS_EVENTS_SQL,
+        "mutual_best_part": _mutual_best_sql(),
+        "score_hist_part": _score_hist_sql(),
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),

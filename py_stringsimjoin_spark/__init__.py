@@ -114,6 +114,7 @@ from .operators.containment_lsh import (
 from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
+from .operators.matching_utils import mutual_best_match, score_histogram
 from .operators.sessionize import session_stats, sessionize
 from .operators.splits import assign_splits
 from .operators.textclean import dedup_substrings, remove_boilerplate_lines
@@ -183,6 +184,8 @@ __all__ = [
     "merge_center_clustering",
     "sessionize",
     "session_stats",
+    "mutual_best_match",
+    "score_histogram",
     "update_components",
     "agreement_vectors",
     "pattern_counts",
