@@ -1679,6 +1679,61 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_stream_sessionize_replay(spark, sf_dir):
+    """Batch replay of the STREAMING sessionizer
+    (streaming/stream_sessionize.py): the closed-session table the
+    append-mode applyInPandasWithState query emits after consuming events
+    in per-user (ts, id) order — batch session_stats minus each user's
+    still-open last session (pytest proves streaming ≡ this replay across
+    micro-batches and restarts). 30-min gap over exact epoch micros."""
+    from py_stringsimjoin_spark.streaming.stream_sessionize import (
+        session_stats_closed_replay,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return session_stats_closed_replay(
+        ev, "event_id", "user_id", "ts_us", 1_800_000_000
+    )
+
+
+_STREAM_SESSIONIZE_REPLAY_SQL = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), lagged AS (
+  SELECT eid, uid, ts_us,
+         lag(ts_us) OVER (PARTITION BY uid ORDER BY ts_us, eid) AS prev
+  FROM base
+), flagged AS (
+  SELECT eid, uid, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+              THEN 1 ELSE 0 END AS opener
+  FROM lagged
+), sessions AS (
+  SELECT uid, ts_us,
+         sum(opener) OVER (
+           PARTITION BY uid ORDER BY ts_us, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS session_index
+  FROM flagged
+), stats AS (
+  SELECT uid, session_index,
+         min(ts_us) AS session_start, max(ts_us) AS session_end,
+         count(*) AS n_events, max(ts_us) - min(ts_us) AS duration
+  FROM sessions GROUP BY 1, 2
+)
+SELECT uid AS key, session_index::BIGINT AS session_index,
+       session_start, session_end, n_events, duration
+FROM stats
+WHERE session_index < (
+  SELECT max(session_index) FROM stats s2 WHERE s2.uid = stats.uid
+)
+"""
+
+
 def q_mutual_best_part(spark, sf_dir):
     """Reciprocal-top-1 one-to-one assignment (operators/matching_utils.py
     mutual_best_match) over jaccard ≥ 0.3 candidates on p_name: kept pairs
@@ -4181,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "mutual_best_part": q_mutual_best_part,
         "score_hist_part": q_score_hist_part,
+        "stream_sessionize_replay": q_stream_sessionize_replay,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4345,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": _SESSION_STATS_EVENTS_SQL,
         "mutual_best_part": _mutual_best_sql(),
         "score_hist_part": _score_hist_sql(),
+        "stream_sessionize_replay": _STREAM_SESSIONIZE_REPLAY_SQL,
         "media_meta_docs": _MEDIA_META_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_REPLAY_SQL,
         "star_cluster_part": _star_cluster_sql(),
