@@ -106,7 +106,11 @@ from .operators.containment_join import containment_join, containment_join_pairs
 from .operators.asof_join import asof_join
 from .operators.bm25 import bm25_topk, build_bm25_postings
 from .operators.chunking import chunk_documents
-from .operators.cluster_stats import cluster_stats, hard_negatives
+from .operators.cluster_stats import (
+    cluster_stats,
+    hard_negatives,
+    random_negative_pairs,
+)
 from .operators.containment_lsh import (
     containment_index_rows,
     containment_lsh_search,
@@ -151,6 +155,7 @@ __all__ = [
     "asof_join",
     "cluster_stats",
     "hard_negatives",
+    "random_negative_pairs",
     "chunk_documents",
     "edit_distance_join",
     "disk_edit_distance_join",

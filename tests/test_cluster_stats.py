@@ -65,6 +65,38 @@ def test_hard_negatives(spark, symmetric):
     assert {(r.l, r.r): (r.score, r.rank) for r in got} == want
 
 
+def test_random_negative_pairs(spark):
+    import hashlib
+
+    keys = [3, 7, 11, 20, 21, 40, 55]
+    df = spark.createDataFrame([(x,) for x in keys] + [(None,), (7,)], "k long")
+    got = {(r.l_k, r.draw): r.r_k
+           for r in __import__("py_stringsimjoin_spark").random_negative_pairs(
+               df, "k", 3).collect()}
+    sk = sorted(keys)
+    rank = {x: i for i, x in enumerate(sk)}
+    n = len(sk)
+    want = {}
+    for x in keys:
+        for j in range(3):
+            h = int(hashlib.md5(f"neg|{x}|{j}".encode()).hexdigest()[:15], 16)
+            p = h % (n - 1)
+            if p >= rank[x]:
+                p += 1
+            want[(x, j)] = sk[p]
+    assert got == want
+    # l != r always; exactly N*k rows
+    assert all(l != r for (l, _), r in got.items())
+    assert len(got) == len(keys) * 3
+
+
+def test_random_negative_pairs_tiny(spark):
+    # a single record has no possible partner -> empty output, no crash
+    df = spark.createDataFrame([(1,)], "k long")
+    from py_stringsimjoin_spark import random_negative_pairs
+    assert random_negative_pairs(df, "k", 2).count() == 0
+
+
 def test_hard_negatives_validation(spark):
     sdf = spark.createDataFrame([(1, 2, 0.5)], "l long, r long, score double")
     ldf = spark.createDataFrame([(1, 2)], "l long, r long")
