@@ -2488,6 +2488,80 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <=
 """
 
 
+def q_semdedup_emb(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al. 2023)
+    in the SQL-replicable configuration: 16 sample-rule centroids (first 16
+    vectors in md5(id) order — the ivf_topk_embeddings rule), expr-method
+    assignment + within-cell pair scan (sequential-fold float64 cosines,
+    DuckDB-identical op order), the paper's centroid-ascending rank. Every
+    comparison (nearest cell, rank, threshold) is bit-identical cross-
+    engine, so cell / csim / keep all hash-match. The production path
+    (kmeans centroids + per-cell chunked-Gram pandas kernel) is
+    pytest-mirrored in tests/test_semdedup.py."""
+    from py_stringsimjoin_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, threshold=0.4, num_cells=16, centroids="sample",
+        method="expr", order_by="centroid",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round("csim", 4).alias("csim"),
+        "keep",
+    )
+
+
+def _semdedup_sql(threshold: float = 0.4, num_cells: int = 16, dim: int = 64) -> str:
+    """Mirror of semdedup(method="expr", centroids="sample",
+    order_by="centroid"): same centroid rule / assignment CTEs as
+    _ivf_topk_sql, then the rank-based EXISTS drop rule."""
+    dot_ec = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> e[i]::DOUBLE * c[i]::DOUBLE), 'sum')"
+    ).format(d=dim)
+    nrm = (
+        "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS e FROM embeddings
+), cent AS (
+  SELECT cell, c FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+           embedding AS c
+    FROM embeddings
+  ) WHERE cell < {num_cells}
+), cell_scores AS (
+  SELECT v.id, cent.cell,
+         {dot_ec} / ({nrm.format(v='e')} * {nrm.format(v='c')}) AS s
+  FROM v CROSS JOIN cent
+), assign AS (
+  SELECT id, cell, s AS csim FROM (
+    SELECT id, cell, s,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rn
+    FROM cell_scores
+  ) WHERE rn = 1
+), mem AS (
+  SELECT a.id, a.cell, a.csim, v.e FROM assign a JOIN v USING (id)
+), dropped AS (
+  SELECT DISTINCT r.id AS did
+  FROM mem l
+  JOIN mem r ON l.cell = r.cell
+   AND ((l.csim < r.csim) OR (l.csim = r.csim AND l.id < r.id))
+  WHERE (
+    list_aggregate(list_transform(range(1, {dim} + 1),
+      i -> l.e[i]::DOUBLE * r.e[i]::DOUBLE), 'sum')
+    / ({nrm.format(v='l.e')} * {nrm.format(v='r.e')})
+  ) >= {threshold!r}
+)
+SELECT m.id AS vec_id, m.cell::INTEGER AS cell, round(m.csim, 4) AS csim,
+       d.did IS NULL AS keep
+FROM mem m LEFT JOIN dropped d ON m.id = d.did
+"""
+
+
 def q_overlap_filter_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.filters import OverlapFilter
 
@@ -4275,6 +4349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_hist_part": q_score_hist_part,
         "stream_sessionize_replay": q_stream_sessionize_replay,
         "random_negatives_part": q_random_negatives_part,
+        # -- new in round-5 session 12 (never driver-verified) ---------------
+        "semdedup_embeddings": q_semdedup_emb,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4413,6 +4489,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _simhash_pairs_sql(),
         "lsh_topk_embeddings": _lsh_topk_sql(),
         "ivf_topk_embeddings": _ivf_topk_sql(),
+        "semdedup_embeddings": _semdedup_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -119,6 +119,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
 from .operators.matching_utils import mutual_best_match, score_histogram
+from .operators.semdedup import semdedup
 from .operators.sessionize import session_stats, sessionize
 from .operators.splits import assign_splits
 from .operators.textclean import dedup_substrings, remove_boilerplate_lines
@@ -187,6 +188,7 @@ __all__ = [
     "connected_components",
     "star_clustering",
     "merge_center_clustering",
+    "semdedup",
     "sessionize",
     "session_stats",
     "mutual_best_match",
