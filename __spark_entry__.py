@@ -2562,6 +2562,95 @@ FROM mem m LEFT JOIN dropped d ON m.id = d.did
 """
 
 
+def q_hybrid_rrf_docs(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/fusion.py,
+    Cormack et al. SIGIR'09): fuse the BM25 top-10 (sparse list — the
+    bm25_docs configuration: rational idf + ascending-order fold, prefix
+    queries = every 53rd doc) with the exact dense cosine top-10 over the
+    same ids' embeddings (expr_cosine_topk — sequential-fold cosine,
+    DuckDB-identical op order). Self-hits are filtered from both lists
+    (after ranking, mirrored in SQL). Each RRF contribution is a single
+    correctly-rounded division of an integer rank; the fused sum folds
+    ascending — bit-identical cross-engine end to end."""
+    from py_stringsimjoin_spark.operators.ann import expr_cosine_topk
+    from py_stringsimjoin_spark.operators.bm25 import bm25_topk
+    from py_stringsimjoin_spark.operators.fusion import rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    queries = docs.where(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(words, 1, 6), " ").alias("q_text"),
+    )
+    sparse = (
+        bm25_topk(
+            queries, docs, "q_id", "q_text", "doc_id", "text", 10,
+            idf_kind="rational", exact_order=True,
+        )
+        .where(F.col("q_id") != F.col("x_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("x_id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    dense = expr_cosine_topk(
+        emb, emb.where(F.col("vec_id") % 53 == 0), k=10, exclude_self=True
+    )
+    fused = rrf_fuse([sparse, dense], k=10)
+    return fused.select(
+        F.col("query_id").alias("q_doc_id"),
+        F.col("neighbor_id").alias("x_doc_id"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        "score",
+        "rank",
+    )
+
+
+def _hybrid_rrf_sql(k: int = 10, rrf_k: float = 60.0, dim: int = 64) -> str:
+    """Mirror of q_hybrid_rrf_docs: the bm25_docs oracle as a subquery,
+    a brute-force dense top-10 (sequential-fold cosine), self-hits dropped
+    from both, then the ascending-fold RRF sum + (score DESC, id) rank."""
+    nrm = (
+        "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    dot = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')"
+    ).format(d=dim)
+    return f"""
+WITH bm AS (
+  SELECT * FROM ({_bm25_docs_sql()}) WHERE q_doc_id <> x_doc_id
+), dn_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='c.embedding')}) AS cos
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id % 53 = 0 AND q.vec_id <> c.vec_id
+), dn AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM dn_scored
+  ) WHERE rank <= 10
+), u AS (
+  SELECT q_doc_id AS q, x_doc_id AS x, 1.0 / ({rrf_k!r} + rank::DOUBLE) AS c FROM bm
+  UNION ALL
+  SELECT query_id, neighbor_id, 1.0 / ({rrf_k!r} + rank::DOUBLE) FROM dn
+), s AS (
+  SELECT q, x, list_aggregate(list(c ORDER BY c), 'sum') AS score,
+         count(*) AS n_lists
+  FROM u GROUP BY 1, 2
+), r AS (
+  SELECT q, x, n_lists, score,
+         row_number() OVER (PARTITION BY q ORDER BY score DESC, x) AS rank
+  FROM s
+)
+SELECT q AS q_doc_id, x AS x_doc_id, n_lists, score, rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def q_overlap_filter_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.filters import OverlapFilter
 
@@ -4351,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_negatives_part": q_random_negatives_part,
         # -- new in round-5 session 12 (never driver-verified) ---------------
         "semdedup_embeddings": q_semdedup_emb,
+        "hybrid_rrf_docs": q_hybrid_rrf_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4490,6 +4580,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_sql(),
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "semdedup_embeddings": _semdedup_sql(),
+        "hybrid_rrf_docs": _hybrid_rrf_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -119,6 +119,8 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
 from .operators.matching_utils import mutual_best_match, score_histogram
+from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
+from .operators.fusion import rrf_fuse
 from .operators.semdedup import semdedup
 from .operators.sessionize import session_stats, sessionize
 from .operators.splits import assign_splits
@@ -188,6 +190,10 @@ __all__ = [
     "connected_components",
     "star_clustering",
     "merge_center_clustering",
+    "brute_force_topk",
+    "expr_cosine_topk",
+    "lsh_topk",
+    "rrf_fuse",
     "semdedup",
     "sessionize",
     "session_stats",

@@ -324,3 +324,46 @@ def cosine_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("l_id", "r_id", "cosine")
     )
+
+
+def expr_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k with JVM sequential-fold expressions — the
+    SQL-oracle-parity twin of ``brute_force_topk`` (whose numpy matmul uses
+    blocked summation, bit-different from a sequential fold). Queries are
+    broadcast and cross-joined against the corpus: use only when queries are
+    few (the brute-force contract) or when cross-engine bit-exactness is the
+    point; the dot product / norms here fold left-to-right in index order,
+    exactly DuckDB's ``list_aggregate(list_transform(...), 'sum')``."""
+    from .ivf import _dot_col, _norm_col
+
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine",
+        _dot_col(F.col("_qv"), F.col("_cv"))
+        / (_norm_col(F.col("_qv")) * _norm_col(F.col("_cv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
