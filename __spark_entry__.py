@@ -2651,6 +2651,45 @@ FROM r WHERE rank <= {k}
 """
 
 
+def q_winnow_docs(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnowing.py, Schleimer et al.
+    SIGMOD'03): char-8-gram md5-prefix hashes, window w=8, rightmost-min
+    selection via the packed fixed-width (hash, 10^9−pos) key — the window
+    argmin is ONE string min() both engines order identically (ASCII hex),
+    so positions and fingerprints hash-match with no float anywhere."""
+    from py_stringsimjoin_spark.operators.winnowing import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = winnow_fingerprints(docs, "doc_id", "text", k=8, w=8)
+    return out.select(F.col("id").alias("doc_id"), "pos", "fp")
+
+
+def _winnow_sql(k: int = 8, w: int = 8) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, text AS t,
+         length(text) - {k} + 1 AS ng,
+         greatest(1, length(text) - {k} + 1 - {w} + 1) AS nw
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {k}
+), kg AS (
+  SELECT id, nw, p, substr(md5(substr(t, p, {k})), 1, 16) AS h
+  FROM (SELECT id, t, nw, unnest(range(1, ng + 1)) AS p FROM base)
+), ws AS (
+  SELECT id, p, h,
+         unnest(range(greatest(1, p - {w} + 1), least(p, nw) + 1)) AS wi
+  FROM kg
+), sel AS (
+  SELECT id, wi,
+         min(h || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0')) AS key
+  FROM ws GROUP BY 1, 2
+)
+SELECT DISTINCT id AS doc_id,
+       1000000000 - CAST(substr(key, 17, 10) AS BIGINT) AS pos,
+       substr(key, 1, 16) AS fp
+FROM sel
+"""
+
+
 def q_overlap_filter_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.filters import OverlapFilter
 
@@ -4441,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round-5 session 12 (never driver-verified) ---------------
         "semdedup_embeddings": q_semdedup_emb,
         "hybrid_rrf_docs": q_hybrid_rrf_docs,
+        "winnow_docs": q_winnow_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4581,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _ivf_topk_sql(),
         "semdedup_embeddings": _semdedup_sql(),
         "hybrid_rrf_docs": _hybrid_rrf_sql(),
+        "winnow_docs": _winnow_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

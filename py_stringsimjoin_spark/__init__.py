@@ -122,6 +122,7 @@ from .operators.matching_utils import mutual_best_match, score_histogram
 from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
 from .operators.fusion import rrf_fuse
 from .operators.semdedup import semdedup
+from .operators.winnowing import fingerprint_matches, winnow_fingerprints
 from .operators.sessionize import session_stats, sessionize
 from .operators.splits import assign_splits
 from .operators.textclean import dedup_substrings, remove_boilerplate_lines
@@ -196,6 +197,8 @@ __all__ = [
     "rrf_fuse",
     "semdedup",
     "sessionize",
+    "fingerprint_matches",
+    "winnow_fingerprints",
     "session_stats",
     "mutual_best_match",
     "score_histogram",
