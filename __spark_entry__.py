@@ -2690,6 +2690,108 @@ FROM sel
 """
 
 
+def q_collocations_docs(spark, sf_dir):
+    """Top-50 PMI/lift bigram collocations (operators/collocations.py,
+    Church & Hanks CL'90) over whitespace bag tokens, min_count=5. The
+    oracle compares ``lift`` (pure integer-count arithmetic in one fixed
+    float64 op order — bit-identical) rather than pmi=ln(lift), per the
+    module's Java-Math.log 1-ulp note (pmi is pytest-validated at 1e-12)."""
+    from py_stringsimjoin_spark.operators.collocations import top_collocations
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = top_collocations(docs, "doc_id", "text", k=50, min_count=5)
+    return out.select("w1", "w2", "pair_count", "lift", "rank")
+
+
+def _collocations_sql(k: int = 50, min_count: int = 5) -> str:
+    words = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT {words} AS toks FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT toks FROM base WHERE len(toks) > 0
+), uni AS (
+  SELECT tok AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM nz) GROUP BY 1
+), tot AS (
+  SELECT sum(len(toks)) AS nw, sum(greatest(len(toks) - 1, 0)) AS nb FROM nz
+), bi AS (
+  SELECT w1, w2, count(*) AS pair_count FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+          FROM nz WHERE len(toks) >= 2)
+  ) GROUP BY 1, 2 HAVING count(*) >= {min_count}
+), scored AS (
+  SELECT w1, w2, pair_count,
+    ((pair_count::DOUBLE * nw::DOUBLE) * nw::DOUBLE)
+      / ((nb::DOUBLE * u1.c::DOUBLE) * u2.c::DOUBLE) AS lift
+  FROM bi
+  JOIN uni u1 ON u1.w = bi.w1
+  JOIN uni u2 ON u2.w = bi.w2
+  CROSS JOIN tot
+)
+SELECT w1, w2, pair_count, lift, rank FROM (
+  SELECT w1, w2, pair_count, lift,
+         row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_domain_mix_docs(spark, sf_dir):
+    """Temperature-weighted domain mixing (operators/mixing.py, XLM/T5
+    alpha-sampling): 200 documents apportioned over the skewed ``lang``
+    domains at alpha=0.5 (sqrt weights — one correctly-rounded op, the
+    oracle-exact configuration), largest-remainder quotas, per-domain
+    md5(seed|id)-order draws. Weight total folds in ascending order, so
+    every share/floor/remainder comparison is bit-identical cross-engine."""
+    from py_stringsimjoin_spark.operators.mixing import domain_mix_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = domain_mix_sample(docs, "doc_id", "lang", 200, alpha=0.5, seed=7)
+    return out.select(F.col("id").alias("doc_id"), "domain", "draw_rank")
+
+
+def _domain_mix_sql(n_target: int = 200, seed: int = 7) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang AS domain, count(*) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+), wtd AS (
+  SELECT domain, n_docs, sqrt(n_docs::DOUBLE) AS weight FROM counts
+), tot AS (
+  SELECT list_aggregate(list(weight ORDER BY weight), 'sum') AS w_total FROM wtd
+), based AS (
+  SELECT domain, n_docs, weight,
+         ({float(n_target)!r} * weight) / w_total AS share
+  FROM wtd CROSS JOIN tot
+), b2 AS (
+  SELECT domain, n_docs, share,
+         CAST(floor(share) AS BIGINT) AS base,
+         share - CAST(CAST(floor(share) AS BIGINT) AS DOUBLE) AS rem
+  FROM based
+), leftover AS (
+  SELECT {n_target} - sum(base) AS lo FROM b2
+), q AS (
+  SELECT domain,
+         least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, domain) <= lo
+                           THEN 1 ELSE 0 END,
+               n_docs) AS quota
+  FROM b2 CROSS JOIN leftover
+), ranked AS (
+  SELECT doc_id, lang AS domain,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{seed}|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS draw_rank
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.doc_id, r.domain, r.draw_rank
+FROM ranked r JOIN q USING (domain)
+WHERE r.draw_rank <= q.quota
+"""
+
+
 def q_overlap_filter_part(spark, sf_dir):
     from py_stringsimjoin_spark.operators.filters import OverlapFilter
 
@@ -4481,6 +4583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": q_semdedup_emb,
         "hybrid_rrf_docs": q_hybrid_rrf_docs,
         "winnow_docs": q_winnow_docs,
+        "collocations_docs": q_collocations_docs,
+        "domain_mix_docs": q_domain_mix_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4622,6 +4726,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": _semdedup_sql(),
         "hybrid_rrf_docs": _hybrid_rrf_sql(),
         "winnow_docs": _winnow_sql(),
+        "collocations_docs": _collocations_sql(),
+        "domain_mix_docs": _domain_mix_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -121,6 +121,8 @@ from .operators.pii import pii_stats
 from .operators.matching_utils import mutual_best_match, score_histogram
 from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
 from .operators.fusion import rrf_fuse
+from .operators.collocations import top_collocations
+from .operators.mixing import domain_mix_sample, domain_quotas
 from .operators.semdedup import semdedup
 from .operators.winnowing import fingerprint_matches, winnow_fingerprints
 from .operators.sessionize import session_stats, sessionize
@@ -197,7 +199,10 @@ __all__ = [
     "rrf_fuse",
     "semdedup",
     "sessionize",
+    "domain_mix_sample",
+    "domain_quotas",
     "fingerprint_matches",
+    "top_collocations",
     "winnow_fingerprints",
     "session_stats",
     "mutual_best_match",
