@@ -4475,6 +4475,61 @@ FROM documents d LEFT JOIN a USING (doc_id)
 """
 
 
+def q_bigram_entropy_docs(spark, sf_dir):
+    """Second-order corpus-LM quality signal (operators/textstats.py
+    bigram_cross_entropy): per-document cross-entropy vs a Jelinek–Mercer
+    interpolated bigram LM (lam=0.75) trained on the corpus itself — the
+    word-ORDER-sensitive CCNet-style gate next to unigram_entropy_docs.
+    Driver-oracle configuration per the module's determinism note:
+    kind="mean_prob" (log-free — the interpolated probabilities hit inputs
+    where Java Math.log is 1 ulp off libm, measured on this very corpus;
+    the log2 entropy form is pytest-validated instead, the bm25 idf
+    split). Fixed probability op order + sorted fold ⇒ bit-identical."""
+    from py_stringsimjoin_spark.operators.textstats import bigram_cross_entropy
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_cross_entropy(docs, "doc_id", "text", lam=0.75, kind="mean_prob")
+
+
+_BIGRAM_ENTROPY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), f AS (
+  SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w
+), tot AS (
+  SELECT sum(c)::BIGINT AS total FROM f
+), occ AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS cxy FROM occ GROUP BY 1, 2
+), lp AS (
+  SELECT occ.doc_id,
+         0.75 * (big.cxy::DOUBLE / c1.c::DOUBLE)
+           + 0.25 * (c2.c::DOUBLE / tot.total::DOUBLE) AS lp
+  FROM occ
+  JOIN big USING (w1, w2)
+  JOIN f c1 ON c1.w = occ.w1
+  JOIN f c2 ON c2.w = occ.w2
+  CROSS JOIN tot
+), a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_reduce(list_sort(list(lp)), (x, y) -> x + y) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+  a.s / a.n_bigrams::DOUBLE AS mean_prob
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_split_docs(spark, sf_dir):
     """Deterministic leakage-safe train/val/test assignment
     (operators/splits.py assign_splits): md5-hash draw per doc_id,
@@ -4585,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": q_winnow_docs,
         "collocations_docs": q_collocations_docs,
         "domain_mix_docs": q_domain_mix_docs,
+        "bigram_entropy_docs": q_bigram_entropy_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4728,6 +4784,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": _winnow_sql(),
         "collocations_docs": _collocations_sql(),
         "domain_mix_docs": _domain_mix_sql(),
+        "bigram_entropy_docs": _BIGRAM_ENTROPY_SQL,
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

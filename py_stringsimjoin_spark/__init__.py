@@ -128,7 +128,11 @@ from .operators.winnowing import fingerprint_matches, winnow_fingerprints
 from .operators.sessionize import session_stats, sessionize
 from .operators.splits import assign_splits
 from .operators.textclean import dedup_substrings, remove_boilerplate_lines
-from .operators.textstats import top_tokens, unigram_cross_entropy
+from .operators.textstats import (
+    bigram_cross_entropy,
+    top_tokens,
+    unigram_cross_entropy,
+)
 from .operators.prepared import PreparedSetSimCorpus
 from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
@@ -249,6 +253,7 @@ __all__ = [
     "pii_counts",
     "dedup_substrings",
     "remove_boilerplate_lines",
+    "bigram_cross_entropy",
     "unigram_cross_entropy",
     "top_tokens",
     "attach_media_meta",

@@ -172,6 +172,100 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.75,
+    kind: str = "log2",
+) -> DataFrame:
+    """Per-document cross-entropy vs an interpolated bigram corpus LM —
+    the second-order CCNet-style quality signal next to
+    ``unigram_cross_entropy`` (word-ORDER sensitivity: shuffled boilerplate
+    and bag-identical spam separate only at the bigram level).
+
+    Model (Jelinek–Mercer interpolation, the standard no-OOV-smoothing-
+    needed form when trained on the scoring corpus itself):
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * c(w_i) / N
+        H(d) = -(1 / (|d| - 1)) * Σ_{i=2..|d|} log2 p(w_i | w_{i-1})
+
+    with c(·) corpus occurrence counts and N total tokens (history counts
+    use the plain unigram count — the usual practical convention).
+    Returns ``(id_col, n_bigrams, cross_entropy)``; documents with < 2
+    tokens get ``n_bigrams = 0`` and NULL entropy.
+
+    Determinism: one fixed op order inside the probability (two divisions,
+    one lam-weighted sum), log2 as ln/ln2, per-doc sum as a sorted left
+    fold. Unlike the unigram module, the interpolated probabilities DO hit
+    inputs where Java's ``Math.log`` intrinsic is 1 ulp off libm (the
+    operators/bm25.py idf story), so ``kind="log2"`` is pytest-validated
+    rather than hash-oracled; ``kind="mean_prob"`` drops the log and
+    returns the mean interpolated bigram probability (column
+    ``mean_prob``, higher = more predictable text) — division and the
+    sorted fold are correctly rounded everywhere, so that form is
+    bit-identical cross-engine and is the driver-oracle configuration.
+
+    Scale shape: map-only bigram extraction (index explode, no self-join);
+    (bigram)- and (word)-keyed partial-aggregated counts; three joins back
+    on those keys (vocabulary tables are JOINED, never broadcast — only
+    the 1-row total broadcasts); one per-doc aggregation. Zero Python.
+    """
+    if not (0.0 <= lam <= 1.0):
+        raise AssertionError("lam must be in [0, 1]")
+    if kind not in ("log2", "mean_prob"):
+        raise AssertionError(f"unknown kind {kind!r}")
+    toks = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_toks")
+    ).where(F.col("_toks").isNotNull())
+    words = toks.select(id_col, F.explode("_toks").alias("_w"))
+    uni = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = uni.agg(F.sum("_c").alias("_total"))
+    occ = (
+        toks.where(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.element_at("_toks", F.col("_i")).alias("_w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("_w2"),
+        )
+    )
+    big = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cxy"))
+    c1 = uni.select(F.col("_w").alias("_w1"), F.col("_c").alias("_cx"))
+    c2 = uni.select(F.col("_w").alias("_w2"), F.col("_c").alias("_cy"))
+    p = (
+        F.lit(float(lam))
+        * (F.col("_cxy").cast("double") / F.col("_cx").cast("double"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("_cy").cast("double") / F.col("_total").cast("double"))
+    )
+    val = (F.log(p) / F.log(F.lit(2.0))) if kind == "log2" else p
+    lp = (
+        occ.join(big, ["_w1", "_w2"])
+        .join(c1, "_w1")
+        .join(c2, "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, val.alias("_lp"))
+    )
+    agg = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_lp")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    out_col = "cross_entropy" if kind == "log2" else "mean_prob"
+    sign = -F.col("_sum") if kind == "log2" else F.col("_sum")
+    return df.select(id_col).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        (sign / F.col("n_bigrams").cast("double")).alias(out_col),
+    )
+
+
 def top_tokens(
     df: DataFrame,
     id_col: str,
