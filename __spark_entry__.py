@@ -4530,6 +4530,27 @@ FROM documents d LEFT JOIN a USING (doc_id)
 """
 
 
+def q_bpe_train_docs(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py, Sennrich ACL'16): the
+    first 16 learned merges over the documents corpus. The training loop
+    (pair-count argmax + merge-every-occurrence rewrite per iteration) is
+    replayed by GENERATED SQL — one CTE stage per merge — because the
+    symbol sequences are flat SEP-delimited strings whose greedy rewrite
+    is a single replace() both engines scan identically; counts are
+    integers, ties break (count DESC, lhs, rhs). An iterative algorithm
+    with a closed-form hash-matching oracle."""
+    from py_stringsimjoin_spark.operators.bpe import train_bpe_df
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return train_bpe_df(docs, "text", num_merges=16, min_pair_count=2)
+
+
+def _bpe_train_sql(num_merges: int = 16) -> str:
+    from py_stringsimjoin_spark.operators.bpe import train_bpe_oracle_sql
+
+    return train_bpe_oracle_sql("SELECT text FROM documents", "text", num_merges)
+
+
 def q_split_docs(spark, sf_dir):
     """Deterministic leakage-safe train/val/test assignment
     (operators/splits.py assign_splits): md5-hash draw per doc_id,
@@ -4641,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": q_collocations_docs,
         "domain_mix_docs": q_domain_mix_docs,
         "bigram_entropy_docs": q_bigram_entropy_docs,
+        "bpe_train_docs": q_bpe_train_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4785,6 +4807,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": _collocations_sql(),
         "domain_mix_docs": _domain_mix_sql(),
         "bigram_entropy_docs": _BIGRAM_ENTROPY_SQL,
+        "bpe_train_docs": _bpe_train_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

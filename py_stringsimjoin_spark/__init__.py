@@ -121,6 +121,7 @@ from .operators.pii import pii_stats
 from .operators.matching_utils import mutual_best_match, score_histogram
 from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
 from .operators.fusion import rrf_fuse
+from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
 from .operators.collocations import top_collocations
 from .operators.mixing import domain_mix_sample, domain_quotas
 from .operators.semdedup import semdedup
@@ -253,7 +254,10 @@ __all__ = [
     "pii_counts",
     "dedup_substrings",
     "remove_boilerplate_lines",
+    "apply_bpe",
     "bigram_cross_entropy",
+    "train_bpe",
+    "train_bpe_df",
     "unigram_cross_entropy",
     "top_tokens",
     "attach_media_meta",
