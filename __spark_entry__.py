@@ -4545,6 +4545,55 @@ def q_bpe_train_docs(spark, sf_dir):
     return train_bpe_df(docs, "text", num_merges=16, min_pair_count=2)
 
 
+def q_contamination_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py, the GPT-3
+    appendix-C 13-gram rule): every 7th document plays the eval set, the
+    rest the training corpus; per eval doc, distinct lowercased word
+    13-grams also present anywhere in training. Set semantics, md5 n-gram
+    keys, one exact division — all hash-exact cross-engine."""
+    from py_stringsimjoin_spark.operators.contamination import contamination_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    return contamination_report(
+        train, bench, "doc_id", "text", "doc_id", "text", n=13
+    )
+
+
+def _contamination_sql(n: int = 13) -> str:
+    words = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i + {n} - 1], ' ')) AS g
+  FROM (SELECT doc_id, {words} AS toks
+        FROM documents WHERE text IS NOT NULL),
+       unnest(range(1, len(toks) - {n} + 2)) t(i)
+  WHERE len(toks) >= {n}
+), bg AS (
+  SELECT doc_id, g FROM g WHERE doc_id % 7 = 0
+), tg AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 7 <> 0
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM bg GROUP BY 1
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit
+  FROM bg JOIN tg USING (g) GROUP BY 1
+)
+SELECT d.doc_id AS bench_id,
+       coalesce(per.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN coalesce(per.n_ngrams, 0) > 0
+            THEN coalesce(hits.n_hit, 0)::DOUBLE / per.n_ngrams::DOUBLE
+       END AS contamination,
+       coalesce(hits.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+LEFT JOIN per USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+"""
+
+
 def _bpe_train_sql(num_merges: int = 16) -> str:
     from py_stringsimjoin_spark.operators.bpe import train_bpe_oracle_sql
 
@@ -4663,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_docs": q_domain_mix_docs,
         "bigram_entropy_docs": q_bigram_entropy_docs,
         "bpe_train_docs": q_bpe_train_docs,
+        "contamination_docs": q_contamination_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4808,6 +4858,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_docs": _domain_mix_sql(),
         "bigram_entropy_docs": _BIGRAM_ENTROPY_SQL,
         "bpe_train_docs": _bpe_train_sql(),
+        "contamination_docs": _contamination_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

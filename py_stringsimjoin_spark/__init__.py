@@ -123,6 +123,7 @@ from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
 from .operators.fusion import rrf_fuse
 from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
 from .operators.collocations import top_collocations
+from .operators.contamination import contamination_pairs, contamination_report
 from .operators.mixing import domain_mix_sample, domain_quotas
 from .operators.semdedup import semdedup
 from .operators.winnowing import fingerprint_matches, winnow_fingerprints
@@ -256,6 +257,8 @@ __all__ = [
     "remove_boilerplate_lines",
     "apply_bpe",
     "bigram_cross_entropy",
+    "contamination_pairs",
+    "contamination_report",
     "train_bpe",
     "train_bpe_df",
     "unigram_cross_entropy",
