@@ -2149,6 +2149,52 @@ FROM flags f LEFT JOIN chosen c ON c.src = f.src
 """
 
 
+def q_lpa_part(spark, sf_dir):
+    """Synchronous label propagation (operators/label_propagation.py,
+    Raghavan et al. 2007, deterministic min-label ties): 4 rounds over the
+    same jaccard match pairs star_cluster_part / connected_components_part
+    cluster — the density-sensitive middle ground between the two. The
+    iterative loop replays as generated SQL CTE stages (integer counts,
+    min/max only), so every round hash-matches the oracle."""
+    from py_stringsimjoin_spark.operators.label_propagation import label_propagation
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    return label_propagation(pairs, "_l_key", "_r_key", num_iters=4)
+
+
+def _lpa_sql(num_iters: int = 4) -> str:
+    from py_stringsimjoin_spark.operators.label_propagation import (
+        lpa_oracle_stages,
+    )
+
+    toks = _WS.duckdb_sql("p_name")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, {toks} AS toks FROM part WHERE p_name IS NOT NULL
+), sized AS (
+  SELECT id, toks, len(toks) AS sz FROM base
+), t AS (
+  SELECT id, sz, unnest(toks) AS tok FROM sized
+), pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS ov,
+         any_value(a.sz) AS ls, any_value(b.sz) AS rs
+  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+), match_pairs AS (
+  SELECT l_id, r_id FROM pairs WHERE {_J_SCORE} >= 0.5
+), e AS MATERIALIZED (
+  SELECT l_id AS src, r_id AS dst FROM match_pairs
+  UNION SELECT r_id, l_id FROM match_pairs
+),
+{lpa_oracle_stages("e", num_iters)}
+"""
+
+
 def q_cc_incremental_part(spark, sf_dir):
     """Incremental clustering: the jaccard match pairs are split
     deterministically into a base batch (~80%) and a delta batch
@@ -4713,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy_docs": q_bigram_entropy_docs,
         "bpe_train_docs": q_bpe_train_docs,
         "contamination_docs": q_contamination_docs,
+        "lpa_part": q_lpa_part,
         # -- 49-50: canary kernels (long-green; the judge asked that the
         # core joins stay inside the driver's first-50 window) -------------
         "jaccard_part": _set_sim_part("jaccard", 0.5),
@@ -4861,6 +4908,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_entropy_docs": _BIGRAM_ENTROPY_SQL,
         "bpe_train_docs": _bpe_train_sql(),
         "contamination_docs": _contamination_sql(),
+        "lpa_part": _lpa_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

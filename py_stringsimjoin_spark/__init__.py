@@ -59,6 +59,7 @@ from .operators.band_join import band_join
 from .operators.blocking import blocking_rule_stats, combine_blockers
 from .operators.canonical import canonicalize_clusters, golden_record
 from .operators.connected_components import connected_components, update_components
+from .operators.label_propagation import label_propagation
 from .operators.star_clustering import (
     merge_center_clustering,
     star_clustering,
@@ -197,6 +198,7 @@ __all__ = [
     "PreparedSetSimCorpus",
     "profile_table_for_join",
     "connected_components",
+    "label_propagation",
     "star_clustering",
     "merge_center_clustering",
     "brute_force_topk",
