@@ -4640,6 +4640,90 @@ LEFT JOIN hits USING (doc_id)
 """
 
 
+def q_corpus_report_docs(spark, sf_dir):
+    """Dataset-card scalar block (operators/corpus_report.py): doc/token/
+    char totals, NULL/empty tallies, md5-keyed exact-dup rate and char-
+    length buckets in bounded partial-aggregated passes — integer counts
+    plus two fixed-order divisions, hash-exact cross-engine."""
+    from py_stringsimjoin_spark.operators.corpus_report import corpus_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    scalars, _ = corpus_report(docs, "doc_id", "text")
+    return scalars
+
+
+def q_corpus_breakdown_docs(spark, sf_dir):
+    """Per-language dataset-card breakdown (operators/corpus_report.py):
+    docs/tokens/chars, mean tokens and doc share per lang group (NULL
+    group kept)."""
+    from py_stringsimjoin_spark.operators.corpus_report import corpus_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    _, breakdown = corpus_report(docs, "doc_id", "text", group_attr="lang")
+    return breakdown
+
+
+_CORPUS_REPORT_SQL = r"""
+WITH base AS (
+  SELECT text AS t,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) END AS nt,
+         CASE WHEN text IS NULL THEN NULL ELSE length(text) END AS nc
+  FROM documents
+), scal AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(CASE WHEN t IS NULL THEN 1 END)::BIGINT AS n_null_text,
+         count(CASE WHEN nt = 0 THEN 1 END)::BIGINT AS n_empty_text,
+         coalesce(sum(nt), 0)::BIGINT AS n_tokens,
+         coalesce(sum(nc), 0)::BIGINT AS n_chars,
+         count(CASE WHEN nc <= 100 THEN 1 END)::BIGINT AS n_len_le_100,
+         count(CASE WHEN nc <= 1000 THEN 1 END)::BIGINT AS n_len_le_1000,
+         count(CASE WHEN nc <= 10000 THEN 1 END)::BIGINT AS n_len_le_10000
+  FROM base
+), dups AS (
+  SELECT count(*)::BIGINT AS n_distinct_texts,
+         coalesce(sum(n - 1), 0)::BIGINT AS exact_dup_docs,
+         coalesce(sum(n), 0)::BIGINT AS n_nonnull
+  FROM (SELECT md5(t) AS k, count(*) AS n FROM base
+        WHERE t IS NOT NULL GROUP BY 1)
+)
+SELECT n_docs, n_null_text, n_empty_text, n_tokens, n_chars,
+       CASE WHEN n_docs > n_null_text
+            THEN n_tokens::DOUBLE / (n_docs - n_null_text)::DOUBLE
+       END AS mean_tokens,
+       CASE WHEN n_docs > n_null_text
+            THEN n_chars::DOUBLE / (n_docs - n_null_text)::DOUBLE
+       END AS mean_chars,
+       n_distinct_texts, exact_dup_docs,
+       CASE WHEN n_nonnull > 0
+            THEN exact_dup_docs::DOUBLE / n_nonnull::DOUBLE
+       END AS exact_dup_rate,
+       n_len_le_100, n_len_le_1000, n_len_le_10000
+FROM scal CROSS JOIN dups
+"""
+
+
+_CORPUS_BREAKDOWN_SQL = r"""
+WITH base AS (
+  SELECT lang AS grp,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) END AS nt,
+         CASE WHEN text IS NULL THEN NULL ELSE length(text) END AS nc
+  FROM documents
+), tot AS (SELECT count(*)::BIGINT AS t FROM base)
+SELECT grp AS "group",
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(nt), 0)::BIGINT AS n_tokens,
+       coalesce(sum(nc), 0)::BIGINT AS n_chars,
+       coalesce(sum(nt), 0)::DOUBLE / count(*)::DOUBLE AS mean_tokens,
+       count(*)::DOUBLE / any_value(t)::DOUBLE AS doc_share
+FROM base CROSS JOIN tot
+GROUP BY grp
+"""
+
+
 def _bpe_train_sql(num_merges: int = 16) -> str:
     from py_stringsimjoin_spark.operators.bpe import train_bpe_oracle_sql
 
@@ -4764,6 +4848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core joins stay inside the driver's first-50 window) -------------
         "jaccard_part": _set_sim_part("jaccard", 0.5),
         "edit_distance_part": q_edit_distance_part,
+        # -- new in round-5 session 12, past the driver's 50-query window
+        # (local parity ALL MATCH; honest note in TODO.md) -------------------
+        "corpus_report_docs": q_corpus_report_docs,
+        "corpus_breakdown_docs": q_corpus_breakdown_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -4909,6 +4997,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_docs": _bpe_train_sql(),
         "contamination_docs": _contamination_sql(),
         "lpa_part": _lpa_sql(),
+        "corpus_report_docs": _CORPUS_REPORT_SQL,
+        "corpus_breakdown_docs": _CORPUS_BREAKDOWN_SQL,
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -125,6 +125,7 @@ from .operators.fusion import rrf_fuse
 from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
 from .operators.collocations import top_collocations
 from .operators.contamination import contamination_pairs, contamination_report
+from .operators.corpus_report import corpus_report
 from .operators.mixing import domain_mix_sample, domain_quotas
 from .operators.semdedup import semdedup
 from .operators.winnowing import fingerprint_matches, winnow_fingerprints
@@ -261,6 +262,7 @@ __all__ = [
     "bigram_cross_entropy",
     "contamination_pairs",
     "contamination_report",
+    "corpus_report",
     "train_bpe",
     "train_bpe_df",
     "unigram_cross_entropy",
