@@ -134,6 +134,7 @@ from .operators.splits import assign_splits
 from .operators.textclean import dedup_substrings, remove_boilerplate_lines
 from .operators.textstats import (
     bigram_cross_entropy,
+    doc_keywords,
     top_tokens,
     unigram_cross_entropy,
 )

@@ -266,6 +266,75 @@ def bigram_cross_entropy(
     )
 
 
+def doc_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction: ``(id_col, token, tf,
+    doc_freq, score, rank)`` — each document's ``k`` highest-scoring terms
+    (Sparck Jones idf weighting; the per-doc summary a curation pipeline
+    attaches for search facets, topic audits, and cheap doc sketches).
+
+    ``score = tf · N / df`` — the log-free "rational" idf form (the
+    operators/bm25.py / weighted.py determinism split): tf, N, df are all
+    integers, so the score is two fixed-order float64 ops and the
+    (score DESC, token ASC) per-doc ranking is bit-identical cross-engine;
+    the ln form of idf differs by 1 ulp between Java and libm.
+    ``min_df`` / ``max_df_frac`` apply the usual df guards (hapax noise /
+    stopword head — the same Zipf head plans/skew.py salts).
+
+    Scale shape: one explode + one (doc, token) bag count + one
+    token-keyed df aggregation joined back on the token key (vocabulary-
+    sized — joined, never broadcast); the per-doc top-k is a
+    WindowGroupLimit partitioned by doc, not a global sort. Zero Python.
+    """
+    if not (k >= 1 and min_df >= 1):
+        raise AssertionError("require k >= 1 and min_df >= 1")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise AssertionError("max_df_frac must be in (0, 1]")
+    words = df.select(
+        F.col(id_col).alias("_id"), F.explode(_words(F.col(text_col))).alias("_w")
+    )
+    tf = words.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.col(id_col)).where(
+        F.col(id_col).isNotNull()
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = dfreq.where(F.col("doc_freq") >= int(min_df))
+    scored = tf.join(dfreq, "_w").crossJoin(F.broadcast(n_docs))
+    if max_df_frac is not None:
+        scored = scored.where(
+            F.col("doc_freq").cast("double")
+            <= F.lit(float(max_df_frac)) * F.col("_n").cast("double")
+        )
+    scored = scored.withColumn(
+        "score",
+        (F.col("tf").cast("double") * F.col("_n").cast("double"))
+        / F.col("doc_freq").cast("double"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("_w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("token"),
+            "tf",
+            "doc_freq",
+            "score",
+            "rank",
+        )
+    )
+
+
 def top_tokens(
     df: DataFrame,
     id_col: str,
