@@ -261,6 +261,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "apply_bpe",
     "bigram_cross_entropy",
+    "doc_keywords",
     "contamination_pairs",
     "contamination_report",
     "corpus_report",
