@@ -4702,6 +4702,37 @@ SELECT doc_id, w AS token, tf, doc_freq, score, rank FROM (
 """
 
 
+_TAG_PHRASES = ["hash join", "sort merge", "slow scan", "window", "batch"]
+
+
+def q_dictionary_tag_docs(spark, sf_dir):
+    """Gazetteer phrase tagging (operators/dictionary_tag.py): greedy
+    non-overlapping occurrence counts of a 5-phrase dictionary per doc via
+    the replace-length identity — one codegen'd scan per phrase, map-only,
+    integer counts ⇒ hash-exact. The O(|doc|+hits) Aho–Corasick Arrow path
+    for large gazetteers is pytest-mirrored (overlap semantics pinned)."""
+    from py_stringsimjoin_spark.operators.dictionary_tag import dictionary_tag
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dictionary_tag(docs, "doc_id", "text", _TAG_PHRASES, method="expr")
+    return out.select(F.col("id").alias("doc_id"), "phrase", "n_hits")
+
+
+def _dictionary_tag_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in _TAG_PHRASES)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+), hits AS (
+  SELECT doc_id, p AS phrase,
+         CAST((length(t) - length(replace(t, p, ''))) / length(p) AS BIGINT)
+           AS n_hits
+  FROM t, (VALUES {vals}) v(p)
+)
+SELECT doc_id, phrase, n_hits FROM hits WHERE n_hits > 0
+"""
+
+
 _CORPUS_REPORT_SQL = r"""
 WITH base AS (
   SELECT text AS t,
@@ -4892,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_docs": q_corpus_report_docs,
         "corpus_breakdown_docs": q_corpus_breakdown_docs,
         "doc_keywords_docs": q_doc_keywords_docs,
+        "dictionary_tag_docs": q_dictionary_tag_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -5040,6 +5072,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "corpus_breakdown_docs": _CORPUS_BREAKDOWN_SQL,
         "doc_keywords_docs": _doc_keywords_sql(),
+        "dictionary_tag_docs": _dictionary_tag_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -126,6 +126,7 @@ from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
 from .operators.collocations import top_collocations
 from .operators.contamination import contamination_pairs, contamination_report
 from .operators.corpus_report import corpus_report
+from .operators.dictionary_tag import dictionary_tag
 from .operators.mixing import domain_mix_sample, domain_quotas
 from .operators.semdedup import semdedup
 from .operators.winnowing import fingerprint_matches, winnow_fingerprints
@@ -265,6 +266,7 @@ __all__ = [
     "contamination_pairs",
     "contamination_report",
     "corpus_report",
+    "dictionary_tag",
     "train_bpe",
     "train_bpe_df",
     "unigram_cross_entropy",
