@@ -4702,6 +4702,38 @@ SELECT doc_id, w AS token, tf, doc_freq, score, rank FROM (
 """
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Length-proportional weighted sampling without replacement
+    (operators/weighted_sample.py, discrete Efraimidis–Spirakis): 50 docs
+    drawn ∝ n_chars via per-replica md5 hex draws + per-item min + top-k —
+    no floats anywhere (the A-Res u^(1/w) form would hit the Java-log
+    1-ulp problem), so the winner set, weights and ranks hash-match."""
+    from py_stringsimjoin_spark.operators.weighted_sample import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=50, seed=11)
+    return out.select(F.col("id").alias("doc_id"), "weight", "draw_rank")
+
+
+def _weighted_sample_sql(k: int = 50, seed: int = 11) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, least(n_chars, 1000000) AS weight
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), draws AS (
+  SELECT id, weight,
+         md5('{seed}|' || CAST(id AS VARCHAR) || '|' || CAST(r AS VARCHAR)) AS d
+  FROM (SELECT id, weight, unnest(range(1, weight + 1)) AS r FROM base)
+), keys AS (
+  SELECT id, any_value(weight) AS weight, min(d) AS key FROM draws GROUP BY 1
+)
+SELECT id AS doc_id, weight, draw_rank FROM (
+  SELECT id, weight, row_number() OVER (ORDER BY key, id) AS draw_rank
+  FROM keys
+) WHERE draw_rank <= {k}
+"""
+
+
 _TAG_PHRASES = ["hash join", "sort merge", "slow scan", "window", "batch"]
 
 
@@ -4924,6 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_breakdown_docs": q_corpus_breakdown_docs,
         "doc_keywords_docs": q_doc_keywords_docs,
         "dictionary_tag_docs": q_dictionary_tag_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -5073,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_breakdown_docs": _CORPUS_BREAKDOWN_SQL,
         "doc_keywords_docs": _doc_keywords_sql(),
         "dictionary_tag_docs": _dictionary_tag_sql(),
+        "weighted_sample_docs": _weighted_sample_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

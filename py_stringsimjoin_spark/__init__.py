@@ -144,6 +144,7 @@ from .operators.profiler import profile_table_for_join
 from .operators.set_sim_join import cosine_join, dice_join, jaccard_join, set_sim_join
 from .operators.topk_join import topk_edit_distance_join, topk_sim_join
 from .operators.weighted import soft_tfidf_score_pairs, tfidf_cosine_join
+from .operators.weighted_sample import weighted_sample
 from .plans.cache import engine_cache_scope, release_engine_caches
 from .session import get_spark
 from .sources.datasets import load_books_dataset, load_person_dataset
@@ -214,6 +215,7 @@ __all__ = [
     "domain_quotas",
     "fingerprint_matches",
     "top_collocations",
+    "weighted_sample",
     "winnow_fingerprints",
     "session_stats",
     "mutual_best_match",
