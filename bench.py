@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "tokenstats_docs",
     "connected_components_part",
     "bm25_docs",
+    "winnow_docs",
 ]
 
 # $SPARK_GRAFT_BENCH_QUERIES (comma-separated) overrides the list — used by
