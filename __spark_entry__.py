@@ -4702,6 +4702,59 @@ SELECT doc_id, w AS token, tf, doc_freq, score, rank FROM (
 """
 
 
+def q_corpus_divergence_docs(spark, sf_dir):
+    """Domain-shift divergence (operators/corpus_divergence.py): the
+    English documents vs everything else — total-variation and χ²-vs-
+    mixture over the word distributions (integer counts → fixed-order
+    divisions → ascending folds, hash-exact) plus the size context.
+    ``js`` needs ln (Java 1-ulp rule) so the driver query DROPS it; pytest
+    validates it at 1e-12."""
+    from py_stringsimjoin_spark.operators.corpus_divergence import corpus_divergence
+
+    docs = _read(spark, sf_dir, "documents").select("text", "lang")
+    en = docs.where(F.col("lang") == "en")
+    rest = docs.where(F.col("lang") != "en")
+    out = corpus_divergence(en, rest, "text")
+    return out.drop("js")
+
+
+_CORPUS_DIVERGENCE_SQL = r"""
+WITH wa AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL AND lang = 'en'
+), wb AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL AND lang <> 'en'
+), ca AS (SELECT w, count(*)::BIGINT AS c FROM wa GROUP BY 1),
+cb AS (SELECT w, count(*)::BIGINT AS c FROM wb GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+  FROM ca FULL OUTER JOIN cb USING (w)
+), tot AS (
+  SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb,
+         count(CASE WHEN a > 0 THEN 1 END)::BIGINT AS va,
+         count(CASE WHEN b > 0 THEN 1 END)::BIGINT AS vb,
+         count(CASE WHEN a > 0 AND b > 0 THEN 1 END)::BIGINT AS vs
+  FROM j
+), terms AS (
+  SELECT
+    abs(a::DOUBLE / na::DOUBLE - b::DOUBLE / nb::DOUBLE) AS tvt,
+    ((a::DOUBLE / na::DOUBLE - (a::DOUBLE / na::DOUBLE + b::DOUBLE / nb::DOUBLE) / 2.0)
+     * (a::DOUBLE / na::DOUBLE - (a::DOUBLE / na::DOUBLE + b::DOUBLE / nb::DOUBLE) / 2.0))
+      / ((a::DOUBLE / na::DOUBLE + b::DOUBLE / nb::DOUBLE) / 2.0) AS c2t,
+    na, nb, va, vb, vs
+  FROM j CROSS JOIN tot
+)
+SELECT 0.5 * list_aggregate(list(tvt ORDER BY tvt), 'sum') AS tv,
+       list_aggregate(list(c2t ORDER BY c2t), 'sum') AS chi2,
+       na AS n_tokens_a, nb AS n_tokens_b,
+       va AS vocab_a, vb AS vocab_b, vs AS vocab_shared
+FROM terms GROUP BY na, nb, va, vb, vs
+"""
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Length-proportional weighted sampling without replacement
     (operators/weighted_sample.py, discrete Efraimidis–Spirakis): 50 docs
@@ -4957,6 +5010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords_docs": q_doc_keywords_docs,
         "dictionary_tag_docs": q_dictionary_tag_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "corpus_divergence_docs": q_corpus_divergence_docs,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -5107,6 +5161,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords_docs": _doc_keywords_sql(),
         "dictionary_tag_docs": _dictionary_tag_sql(),
         "weighted_sample_docs": _weighted_sample_sql(),
+        "corpus_divergence_docs": _CORPUS_DIVERGENCE_SQL,
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -125,6 +125,7 @@ from .operators.fusion import rrf_fuse
 from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
 from .operators.collocations import top_collocations
 from .operators.contamination import contamination_pairs, contamination_report
+from .operators.corpus_divergence import corpus_divergence
 from .operators.corpus_report import corpus_report
 from .operators.dictionary_tag import dictionary_tag
 from .operators.mixing import domain_mix_sample, domain_quotas
@@ -267,6 +268,7 @@ __all__ = [
     "doc_keywords",
     "contamination_pairs",
     "contamination_report",
+    "corpus_divergence",
     "corpus_report",
     "dictionary_tag",
     "train_bpe",
