@@ -1679,6 +1679,77 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_medoid_part(spark, sf_dir):
+    """Cluster medoid survivorship (operators/medoid.py): over the SAME
+    jaccard match pairs + connected components the other clustering
+    queries use, pick each cluster's most-central p_name (max total
+    within-cluster jaccard, ties → min id; singletons = their own medoid).
+    Integer set sizes + fixed-order division + ascending folds ⇒
+    hash-exact against the recursive-CTE replica."""
+    from py_stringsimjoin_spark.operators.connected_components import (
+        connected_components,
+    )
+    from py_stringsimjoin_spark.operators.medoid import cluster_medoid
+    from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = set_sim_join_pairs(
+        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    )
+    comp = connected_components(pairs, "_l_key", "_r_key").withColumnRenamed(
+        "node", "p_partkey"
+    )
+    return cluster_medoid(
+        part, comp, "p_partkey", "p_name", cluster_col="component"
+    ).withColumnsRenamed({"medoid_id": "medoid_key"})
+
+
+def _medoid_sql() -> str:
+    base = _connected_components_sql().strip().removeprefix("WITH RECURSIVE ")
+    head = base.rsplit("SELECT node, min(comp)", 1)[0]
+    return f"""
+WITH RECURSIVE {head.rstrip().rstrip(',')},
+comp AS (
+  SELECT node, min(comp) AS component FROM reach GROUP BY node
+), rec AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_name IS NULL THEN [] ELSE {_WS.duckdb_sql("p_name")} END AS toks
+  FROM part
+), asg AS (
+  SELECT rec.id, coalesce(comp.component, rec.id) AS c, rec.toks
+  FROM rec LEFT JOIN comp ON comp.node = rec.id
+), sims AS (
+  SELECT l.c, l.id AS lid,
+         CASE WHEN (len(l.toks) + len(r.toks)
+                    - len(list_intersect(l.toks, r.toks))) > 0
+              THEN len(list_intersect(l.toks, r.toks))::DOUBLE
+                   / (len(l.toks) + len(r.toks)
+                      - len(list_intersect(l.toks, r.toks)))::DOUBLE
+              ELSE 0.0 END AS s
+  FROM asg l JOIN asg r ON l.c = r.c AND l.id <> r.id
+), totals AS (
+  SELECT c, lid, list_aggregate(list(s ORDER BY s), 'sum') AS total,
+         count(*)::BIGINT AS n_others
+  FROM sims GROUP BY 1, 2
+), scored AS (
+  SELECT a.c, a.id, t.total, t.n_others
+  FROM asg a LEFT JOIN totals t ON t.c = a.c AND t.lid = a.id
+), sizes AS (
+  SELECT c, count(*)::BIGINT AS cluster_size FROM asg GROUP BY 1
+)
+SELECT s.c AS component, s.id AS medoid_key, z.cluster_size,
+       s.total AS total_sim, s.total / s.n_others::DOUBLE AS mean_sim
+FROM (
+  SELECT c, id, total, n_others,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY total DESC NULLS LAST, id) AS rn
+  FROM scored
+) s JOIN sizes z ON z.c = s.c
+WHERE s.rn = 1
+"""
+
+
 def q_random_negatives_part(spark, sf_dir):
     """Uniform random negative pairs (operators/cluster_stats.py
     random_negative_pairs): 2 deterministic md5-drawn partners per part key
@@ -5011,6 +5082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_tag_docs": q_dictionary_tag_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "corpus_divergence_docs": q_corpus_divergence_docs,
+        "medoid_part": q_medoid_part,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -5162,6 +5234,7 @@ def oracle_sql() -> dict[str, str]:
         "dictionary_tag_docs": _dictionary_tag_sql(),
         "weighted_sample_docs": _weighted_sample_sql(),
         "corpus_divergence_docs": _CORPUS_DIVERGENCE_SQL,
+        "medoid_part": _medoid_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

@@ -120,6 +120,7 @@ from .operators.overlap_join import overlap_coefficient_join, overlap_join
 from .operators.phonetic import soundex_blocking_pairs, soundex_column
 from .operators.pii import pii_stats
 from .operators.matching_utils import mutual_best_match, score_histogram
+from .operators.medoid import cluster_medoid
 from .operators.ann import brute_force_topk, expr_cosine_topk, lsh_topk
 from .operators.fusion import rrf_fuse
 from .operators.bpe import apply_bpe, train_bpe, train_bpe_df
@@ -268,6 +269,7 @@ __all__ = [
     "doc_keywords",
     "contamination_pairs",
     "contamination_report",
+    "cluster_medoid",
     "corpus_divergence",
     "corpus_report",
     "dictionary_tag",
