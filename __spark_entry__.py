@@ -1679,6 +1679,42 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+def q_funnel_events(spark, sf_dir):
+    """First-touch funnel (operators/funnel.py): view → click → purchase
+    per user within 1 hour of the first view — one entity-keyed shuffle +
+    a single JVM fold (no window, no per-step join cascade); exact epoch
+    microseconds, so completion flags and timestamps hash-match the
+    chained-min() CTE replay."""
+    from py_stringsimjoin_spark.operators.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    out = funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_us=3_600_000_000,
+    )
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "steps_completed",
+        "completed",
+        "t_first_us",
+        "t_complete_us",
+    )
+
+
+def _funnel_events_sql() -> str:
+    from py_stringsimjoin_spark.operators.funnel import funnel_oracle_sql
+
+    body = funnel_oracle_sql(
+        "ev", ["view", "click", "purchase"], within_us=3_600_000_000
+    )
+    return (
+        "WITH ev AS (SELECT user_id AS entity, epoch_us(ts) AS ts_us,"
+        " event_type AS ty FROM events"
+        " WHERE ts IS NOT NULL AND event_type IS NOT NULL),\n"
+        + body.replace("u.entity", "u.entity AS user_id", 1)
+    )
+
+
 def q_medoid_part(spark, sf_dir):
     """Cluster medoid survivorship (operators/medoid.py): over the SAME
     jaccard match pairs + connected components the other clustering
@@ -5083,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "corpus_divergence_docs": q_corpus_divergence_docs,
         "medoid_part": q_medoid_part,
+        "funnel_events": q_funnel_events,
         # -- last driver-verified in rounds 1-3 ------------------------------
         "verify_pairs_part": q_verify_pairs_part,
         "connected_components_part": q_connected_components_part,
@@ -5235,6 +5272,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _weighted_sample_sql(),
         "corpus_divergence_docs": _CORPUS_DIVERGENCE_SQL,
         "medoid_part": _medoid_sql(),
+        "funnel_events": _funnel_events_sql(),
         "tfidf_cosine_part": _tfidf_cosine_sql(),
         "jaccard_two_tables": _jaccard_two_tables_sql(),
         "delta_join_part": _delta_join_part_sql(),

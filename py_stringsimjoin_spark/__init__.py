@@ -83,6 +83,7 @@ from .operators.filters import (
     SizeFilter,
     SuffixFilter,
 )
+from .operators.funnel import funnel
 from .operators.fellegi_sunter import (
     add_tf_adjustment,
     agreement_vectors,
@@ -272,6 +273,7 @@ __all__ = [
     "cluster_medoid",
     "corpus_divergence",
     "corpus_report",
+    "funnel",
     "dictionary_tag",
     "train_bpe",
     "train_bpe_df",
