@@ -70,8 +70,15 @@ def build_bm25_postings(
     validate_attr(corpus, text_attr, "corpus")
     validate_attr_type(corpus, text_attr, "corpus")
     tok = tokenizer or WhitespaceTokenizer(return_set=False)
+    from ..plans.layout import widen_small_scan
+
     base = (
-        corpus.select(F.col(id_attr).alias("x_id"), F.col(text_attr).alias("_t"))
+        # tokenize + explode + the postings partial-agg run before the
+        # first exchange — widen a narrow scan (plans/layout.py; no-op at
+        # production split counts)
+        widen_small_scan(
+            corpus.select(F.col(id_attr).alias("x_id"), F.col(text_attr).alias("_t"))
+        )
         .where(F.col("_t").isNotNull())
         .withColumn("_toks", tok.spark_col(F.col("_t")))
         .where(F.size("_toks") > 0)

@@ -129,8 +129,15 @@ def minhash_band_rows(
     # tokens once, hash once per row, then ONE hash-aggregate with num_perm
     # codegen'd MIN columns — the array-expression form evaluates the
     # permutations interpreted per element and scales poorly
+    from ..plans.layout import widen_small_scan
+
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        # tokenize + per-token md5 + the signature partial-agg all run
+        # before the first exchange: widen a narrow scan or they serialize
+        # onto one task (plans/layout.py; no-op at production split counts)
+        widen_small_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
         .where(F.col("_t").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_t")))
         .where(F.size("_tokens") > 0)
@@ -288,8 +295,14 @@ def simhash_table(
     aggregation."""
     tok = tokenizer or ShingleTokenizer(n=2)
     n_salts = (bits + 27) // 28
+    from ..plans.layout import widen_small_scan
+
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        # 3 salted md5s per token before the first exchange — widen a
+        # narrow scan (plans/layout.py; production splits make it a no-op)
+        widen_small_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
         .where(F.col("_t").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_t")))
         .where(F.size("_tokens") > 0)

@@ -149,11 +149,12 @@ def edit_distance_join(
             add_dense_id,
         )
 
-    l_nn = (
+    from ..plans.layout import widen_small_scan
+
+    l_nn = widen_small_scan(
         ltable.select(F.col(l_key_attr).alias("_l_key"), F.col(l_join_attr).alias("_l_str"))
         .where(F.col("_l_str").isNotNull())
-        .withColumn("_tokens", tok.spark_col(F.col("_l_str")))
-    )
+    ).withColumn("_tokens", tok.spark_col(F.col("_l_str")))
     is_self = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
     if is_self:
         # tokenize/order/rank once; alias for the right side (see set_sim_join)
@@ -174,11 +175,10 @@ def edit_distance_join(
             "_size",
         )
     else:
-        r_nn = (
+        r_nn = widen_small_scan(
             rtable.select(F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str"))
             .where(F.col("_r_str").isNotNull())
-            .withColumn("_tokens", tok.spark_col(F.col("_r_str")))
-        )
+        ).withColumn("_tokens", tok.spark_col(F.col("_r_str")))
         ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(l_nn, ["_l_key"], "_tokens", ordering, "_ranked", "_size").select(
             "_l_key", "_l_str", F.length("_l_str").alias("_l_len"), "_ranked", "_size"

@@ -183,7 +183,12 @@ def set_sim_join_pairs(
     r_proj = rtable.select(
         F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
     )
-    l_nn = l_proj.where(F.col("_l_str").isNotNull()).withColumn(
+    # tokenize + the ordering/ranked-table partial aggs run before the first
+    # exchange — widen a narrow scan (plans/layout.py; no-op at production
+    # split counts)
+    from ..plans.layout import widen_small_scan
+
+    l_nn = widen_small_scan(l_proj.where(F.col("_l_str").isNotNull())).withColumn(
         "_tokens", tok.spark_col(F.col("_l_str"))
     )
     # self-join detection: same table object + same attrs → tokenize, build
@@ -284,9 +289,9 @@ def set_sim_join_pairs(
             F.col("_l_size").alias("_r_size"),
         )
     else:
-        r_nn = r_proj.where(F.col("_r_str").isNotNull()).withColumn(
-            "_tokens", tok.spark_col(F.col("_r_str"))
-        )
+        r_nn = widen_small_scan(
+            r_proj.where(F.col("_r_str").isNotNull())
+        ).withColumn("_tokens", tok.spark_col(F.col("_r_str")))
         ordering = build_token_ordering([(l_nn, "_tokens"), (r_nn, "_tokens")]).persist().transform(_tc)
         l_rk = add_ranked_tokens(
             l_nn, ["_l_key"], "_tokens", ordering, "_l_ranked", "_l_size"

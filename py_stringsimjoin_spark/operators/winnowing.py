@@ -59,18 +59,19 @@ def winnow_fingerprints(
     if not (k >= 1 and w >= 1):
         raise AssertionError("require k >= 1 and w >= 1")
 
+    from ..plans.layout import widen_small_scan
+
     ng = F.char_length(F.col("_t")) - F.lit(k) + F.lit(1)
-    src = df.select(F.col(id_attr).alias("id"), F.col(text_attr).alias("_t"))
     # The k-gram hashing is the HEAVY map work and it runs BEFORE any
     # shuffle, so it is bound by the SCAN's parallelism — on a small-file
     # corpus (one 128 MB-default split) that serializes the whole
     # fingerprint pass onto one task (measured: 17.9 s -> 4 s at sf0.1
-    # local[32]). Widen only when the scan is narrower than the session's
-    # shuffle parallelism; at production scale file splits already
-    # provide it and this is a no-op (no extra shuffle of raw text).
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if src.rdd.getNumPartitions() < n_shuffle:
-        src = src.repartition(n_shuffle)
+    # local[32]). plans/layout.widen_small_scan widens only when the scan
+    # is narrower than the session's shuffle parallelism; at production
+    # scale file splits already provide it and this is a no-op.
+    src = widen_small_scan(
+        df.select(F.col(id_attr).alias("id"), F.col(text_attr).alias("_t"))
+    )
     base = (
         src.where(F.col("_t").isNotNull() & (F.char_length(F.col("_t")) >= k))
         .withColumn("_ng", ng)
