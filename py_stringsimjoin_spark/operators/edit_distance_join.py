@@ -31,7 +31,7 @@ from ..functions.tokenizers import QgramTokenizer
 from ..plans import filter_math as fm
 from ..plans.output import assemble_output
 from ..plans.pairkey import resolve_pair_packer
-from ..plans.stats import value_dedup_auto, value_hash_col
+from ..plans.stats import dup_value_stats, value_hash_col
 from ..plans.validation import (
     validate_attr,
     validate_attr_type,
@@ -78,6 +78,7 @@ def edit_distance_join(
     tokenizer: QgramTokenizer | None = None,
     add_dense_id: bool | None = None,
     value_dedup: bool | str = "auto",
+    _join_rows_hint: int | None = None,
 ) -> DataFrame:
     """lev(l_join_attr, r_join_attr) comp_op threshold (int).
 
@@ -102,11 +103,13 @@ def edit_distance_join(
     q = tok.qval
 
     is_self_t = ltable is rtable and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    nd_est = None
     if value_dedup == "auto":
         sides = [(ltable, l_join_attr)]
         if not is_self_t:
             sides.append((rtable, r_join_attr))
-        value_dedup = value_dedup_auto(sides)  # ONE stats job (plans/stats.py)
+        n_est, nd_est = dup_value_stats(sides)  # ONE stats job (plans/stats.py)
+        value_dedup = n_est > 0 and nd_est / n_est < 0.6
     if value_dedup:
         lv = ltable.select(F.col(l_join_attr).alias("_v")).where(
             F.col("_v").isNotNull()
@@ -120,7 +123,7 @@ def edit_distance_join(
         vout = edit_distance_join(
             lv, rv, "_v", "_v", "_v", "_v", threshold, comp_op,
             allow_missing=False, out_sim_score=True, tokenizer=tokenizer,
-            value_dedup=False,
+            value_dedup=False, _join_rows_hint=nd_est,
         ).select(
             value_hash_col(F.col("l__v")).alias("_h1"),
             value_hash_col(F.col("r__v")).alias("_h2"),
@@ -231,21 +234,34 @@ def edit_distance_join(
     )
     n_shuffle = int(ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    # hotness measured on the PREFIX stream this join actually explodes, not
-    # the global vocabulary (plans/skew.exploded_hot_token_ranks: prefixes
-    # keep each record's rarest q-grams, so the global f² rule misses the
-    # buckets that carry the join's quadratic output)
-    probe = l_rk.withColumn(
-        "_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q)
-    ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
-    if not is_self:
-        probe = probe.unionByName(
-            r_rk.withColumn(
-                "_pfx",
-                fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q),
-            ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
-        )
-    hot = exploded_hot_token_ranks(probe, n_salts)
+    # Tiny-join gate (same policy as set_sim_join_pairs): when the caller
+    # proves the join input small (the value-dedup recursion passes the
+    # distinct-value count), skip the hot-token probe job and the exchange
+    # pinning — below this row count the worst-case unbalanced join is
+    # sub-second while the probe + pinned exchanges dominate.
+    probe_min = int(
+        ltable.sparkSession.conf.get("spark.py_stringsimjoin.saltProbeMinRows", "4096")
+    )
+    tiny_join = _join_rows_hint is not None and 0 < _join_rows_hint < probe_min
+    pin_n = None if tiny_join else n_shuffle
+    if tiny_join:
+        hot = {}
+    else:
+        # hotness measured on the PREFIX stream this join actually explodes,
+        # not the global vocabulary (plans/skew.exploded_hot_token_ranks:
+        # prefixes keep each record's rarest q-grams, so the global f² rule
+        # misses the buckets that carry the join's quadratic output)
+        probe = l_rk.withColumn(
+            "_pfx", fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q)
+        ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+        if not is_self:
+            probe = probe.unionByName(
+                r_rk.withColumn(
+                    "_pfx",
+                    fm.prefix_length_col(F.col("_size"), "edit_distance", t_int, q),
+                ).select(F.explode(F.expr("slice(_ranked, 1, _pfx)")).alias("_tok"))
+            )
+        hot = exploded_hot_token_ranks(probe, n_salts)
     # exact verify in pure JVM, inline in the join stage: Spark's built-in
     # threshold-bounded levenshtein(l, r, t) runs banded O(len·t) with early
     # exit inside whole-stage codegen and returns −1 when the distance
@@ -260,7 +276,7 @@ def edit_distance_join(
     else:  # "="
         keep = dd == t_int
     verified = (
-        salted_token_join(pl, pr, hot, n_salts, "_l_key", pin_partitions=n_shuffle)
+        salted_token_join(pl, pr, hot, n_salts, "_l_key", pin_partitions=pin_n)
         .where(F.abs(F.col("_l_len") - F.col("_r_len")) <= t_int)
         .where(ub >= alpha)
         .withColumn("_d", F.levenshtein(F.col("_l_str"), F.col("_r_str"), t_int))

@@ -118,6 +118,7 @@ def set_sim_join_pairs(
     shuffle_partitions: int | None = None,
     _plan_stats: dict | None = None,
     _prepared=None,
+    _join_rows_hint: int | None = None,
 ) -> DataFrame:
     """Core kernel → DataFrame(_l_key, _r_key, _sim_score).
 
@@ -244,6 +245,10 @@ def set_sim_join_pairs(
             position_filter=position_filter, self_join_dedup=False,
             verify=verify, strategy=strategy, value_dedup=False,
             shuffle_partitions=shuffle_partitions, _plan_stats=plan_stats,
+            # the inner join's row count is the DISTINCT-value count, not the
+            # corpus row count — pass it so the tiny-join gate below can skip
+            # the salt probe + exchange pinning for e.g. a 64-value join
+            _join_rows_hint=plan_stats["nd"] if plan_stats else None,
         ).select(
             value_hash_col(F.col("_l_key")).alias("_h1"),
             value_hash_col(F.col("_r_key")).alias("_h2"),
@@ -328,7 +333,26 @@ def set_sim_join_pairs(
         ltable.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     n_salts = resolve_salt_parallelism(ltable, n_shuffle)
-    if strategy == "count":
+    # Tiny-join gate: when the join input is provably small (the value-dedup
+    # recursion passes the distinct-value count; otherwise the already-paid
+    # sampled stats), skip the hot-token probe job and the exchange pinning —
+    # salting/pinning protect an EXPLODING join's balance, and below this row
+    # count even the worst-case single-bucket join is sub-second while the
+    # probe job + two pinned exchanges dominate the query. Never pays a new
+    # job: with no hint and no stats the full probe path runs as before.
+    # ``spark.py_stringsimjoin.saltProbeMinRows`` (default 4096) tunes it;
+    # 0 disables the gate.
+    probe_min = int(
+        ltable.sparkSession.conf.get("spark.py_stringsimjoin.saltProbeMinRows", "4096")
+    )
+    est_rows = _join_rows_hint
+    if est_rows is None and plan_stats is not None:
+        est_rows = plan_stats.get("n")
+    tiny_join = est_rows is not None and 0 < est_rows < probe_min
+    pin_n = None if tiny_join else n_shuffle
+    if tiny_join:
+        hot = {}
+    elif strategy == "count":
         # full-token explode: the global ordering frequencies ARE the join
         # stream frequencies, so the zero-job global rule is exact here
         hot = hot_token_ranks(ordering, n_salts)
@@ -366,7 +390,7 @@ def set_sim_join_pairs(
         ex_l = l_rk.select("_l_key", "_l_size", F.explode("_l_ranked").alias("_tok"))
         ex_r = r_rk.select("_r_key", "_r_size", F.explode("_r_ranked").alias("_tok"))
         joined = salted_token_join(
-            ex_l, ex_r, hot, n_salts, "_l_key", pin_partitions=n_shuffle
+            ex_l, ex_r, hot, n_salts, "_l_key", pin_partitions=pin_n
         ).where(
             (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
             & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
@@ -465,7 +489,7 @@ def set_sim_join_pairs(
     )
 
     joined = salted_token_join(
-        pl, pr, hot, n_salts, "_l_key", pin_partitions=n_shuffle
+        pl, pr, hot, n_salts, "_l_key", pin_partitions=pin_n
     ).where(
         (F.col("_r_size") >= fm.size_lower_bound_col(F.col("_l_size"), measure, threshold))
         & (F.col("_r_size") <= fm.size_upper_bound_col(F.col("_l_size"), measure, threshold))
