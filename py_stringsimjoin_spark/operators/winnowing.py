@@ -78,45 +78,42 @@ def winnow_fingerprints(
         # one window when the doc has fewer than w k-grams
         .withColumn("_nw", F.greatest(F.lit(1), F.col("_ng") - F.lit(w) + F.lit(1)))
     )
-    kg = base.select(
-        "id",
-        "_nw",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("_ng")),
-                lambda p: F.substring(F.md5(F.col("_t").substr(p, F.lit(k))), 1, 16),
-            )
-        ).alias("_p0", "_h"),
-    ).select(
-        "id",
-        "_nw",
-        (F.col("_p0") + 1).alias("_p"),  # 1-based k-gram position
-        "_h",
+    # Per-document array formulation (round-6 optimization): the previous
+    # plan exploded every k-gram into its ≤w windows (a ×w row blow-up) and
+    # selected each window's min with a corpus-wide hash aggregation + a
+    # final distinct — two shuffles and ~w× the rows, all to compute a
+    # quantity that is LOCAL to one document. Instead build the packed
+    # (hash, 10^9−pos) key array once per doc, take each window's min with
+    # slice + array_min inside a single projection (window wi covers k-gram
+    # positions wi..wi+w−1, exactly the old explode range transposed; the
+    # tail window's slice is naturally shorter, and the single-window short-
+    # doc case is slice(keys, 1, w) over all ng elements), and dedupe
+    # adjacent windows' repeated picks with array_distinct — which is
+    # precisely what the old corpus-wide ``distinct()`` removed, since
+    # (id, pos, fp) duplicates can only come from the same document. The
+    # result is the same fingerprint set from a map-only, zero-shuffle plan
+    # (measured sf0.1 local[32]: 142 core-s / 2 shuffles → ~40 core-s / 0).
+    keys = F.transform(
+        F.sequence(F.lit(1), F.col("_ng")),
+        lambda p: F.concat(
+            F.substring(F.md5(F.col("_t").substr(p, F.lit(k))), 1, 16),
+            F.lpad((F.lit(_POS_BASE) - p).cast("string"), 10, "0"),
+        ),
     )
-    # k-gram at position p participates in window starts
-    # max(1, p-w+1) .. min(p, n_windows)
-    ws = kg.select(
-        "id",
-        "_p",
-        "_h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(1), F.col("_p") - F.lit(w) + F.lit(1)),
-                F.least(F.col("_p"), F.col("_nw")),
-            )
-        ).alias("_w"),
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_nw")),
+            lambda wi: F.array_min(F.slice(F.col("_keys"), wi, F.lit(w))),
+        )
     )
-    # fixed-width packed key: min() picks (min hash, then max pos = rightmost)
-    key = F.concat(
-        F.col("_h"),
-        F.lpad((F.lit(_POS_BASE) - F.col("_p")).cast("string"), 10, "0"),
+    sel = base.withColumn("_keys", keys).select(
+        "id", F.explode(wins).alias("_key")
     )
-    sel = ws.groupBy("id", "_w").agg(F.min(key).alias("_key"))
     return sel.select(
         "id",
         (F.lit(_POS_BASE) - F.substring("_key", 17, 10).cast("long")).alias("pos"),
         F.substring("_key", 1, 16).alias("fp"),
-    ).distinct()
+    )
 
 
 def fingerprint_matches(
