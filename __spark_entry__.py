@@ -1633,18 +1633,64 @@ FROM part
 
 
 def q_connected_components_part(spark, sf_dir):
+    """CC over the jaccard>=0.5 self-join pairs — value-contracted plan.
+
+    Round-6 optimization (same result, oracle-checked): the join's pairs
+    are a VALUE expansion (p_name is heavily duplicated — ~64 distinct
+    values behind 20k rows), so running the large/small-star rounds over
+    the ~3.1M expanded row pairs redoes per-row what is decided per-VALUE.
+    Equivalence: rows sharing a value v form a clique in the row graph iff
+    J(v,v)=1 passes the threshold and v has >=2 rows (and a non-empty
+    token set — allow_empty=False drops empty-set pairs); a cross-value
+    row edge exists iff the VALUE pair passes the threshold. Hence row
+    components = value components (computed on the distinct-value graph,
+    64 nodes) expanded back to rows, with component id = min row key over
+    the value component; a row appears in the output iff its value is in
+    >=1 passing value pair or forms a same-value clique — exactly the
+    "appears in some edge" node set of the original formulation.
+    """
     from py_stringsimjoin_spark.operators.connected_components import (
         connected_components,
     )
     from py_stringsimjoin_spark.operators.set_sim_join import set_sim_join_pairs
+    from py_stringsimjoin_spark.plans.stats import value_hash_col
 
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
-    pairs = set_sim_join_pairs(
-        "jaccard", part, part, "p_partkey", "p_partkey", "p_name", "p_name",
-        _WS, 0.5, allow_empty=False, self_join_dedup=True,
+    nn = part.where(F.col("p_name").isNotNull())
+    vals = nn.select(F.col("p_name").alias("_v")).distinct()
+    vp = set_sim_join_pairs(
+        "jaccard", vals, vals, "_v", "_v", "_v", "_v",
+        _WS, 0.5, allow_empty=False, self_join_dedup=True, value_dedup=False,
     )
-    comp = connected_components(pairs, "_l_key", "_r_key")
-    return comp.select("node", "component")
+    ev = vp.select(
+        value_hash_col(F.col("_l_key")).alias("src"),
+        value_hash_col(F.col("_r_key")).alias("dst"),
+    )
+    vcomp = connected_components(ev, "src", "dst")
+    rmap = nn.select(
+        "p_partkey",
+        value_hash_col(F.col("p_name")).alias("_h"),
+        F.size(_WS.spark_col(F.col("p_name"))).alias("_nt"),
+    )
+    g = rmap.groupBy("_h").agg(
+        F.min("p_partkey").alias("_vmin"),
+        F.count(F.lit(1)).alias("_c"),
+        F.first("_nt").alias("_nt"),
+    )
+    va = g.join(vcomp, g["_h"] == vcomp["node"], "left").select(
+        "_h", "_vmin", "_c", "_nt",
+        F.coalesce(F.col("component"), F.col("_h")).alias("_vc"),
+        F.col("node").isNotNull().alias("_in_pairs"),
+    )
+    cm = va.groupBy("_vc").agg(F.min("_vmin").alias("component"))
+    keep = va.where(
+        F.col("_in_pairs") | ((F.col("_c") >= 2) & (F.col("_nt") > 0))
+    ).select("_h", "_vc")
+    return (
+        rmap.join(keep, "_h")
+        .join(cm, "_vc")
+        .select(F.col("p_partkey").alias("node"), "component")
+    )
 
 
 def _connected_components_sql() -> str:

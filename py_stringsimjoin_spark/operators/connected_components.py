@@ -31,11 +31,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     m = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
     m = m.withColumn("m", F.least("src", "m"))
+    # no trailing distinct: _small_star's first distinct (over the
+    # greatest/least-normalized edges) immediately dedups this output —
+    # keeping a distinct here would shuffle the same rows twice per round
     return (
         nbrs.join(m, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -73,7 +75,11 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    all_nodes = ckpt(
+    # lazy: derived from the CHECKPOINTED initial edge set, so the plan stays
+    # valid after ``e`` is rebound below; only consumed once by the final
+    # roots anti-join — materializing it eagerly was one extra driver
+    # round-trip + shuffle per call for no reuse
+    all_nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
