@@ -72,19 +72,36 @@ class Stage:
         )
         # Per-partition lineage without an O(#partitions) collect: one
         # summary row (counts + row-count quantiles) plus the TOP_PARTITIONS
-        # heaviest partitions — bounded driver traffic at any scale.
-        summary = per_part.agg(
+        # heaviest partitions — bounded driver traffic at any scale, and
+        # both branches collected in ONE action (the shared per-partition
+        # count stage is computed once inside it; two separate collects paid
+        # it twice plus an extra driver round-trip).
+        summary_branch = per_part.agg(
             F.count(F.lit(1)).alias("n_partitions"),
             F.coalesce(F.sum("count"), F.lit(0)).alias("n_rows"),
             F.min("count").alias("p_min"),
             F.max("count").alias("p_max"),
             F.expr("percentile_approx(count, array(0.5, 0.9, 0.99))").alias("q"),
-        ).collect()[0]
-        top = (
+        ).select(
+            F.lit(None).cast("int").alias("_p"),
+            F.lit(None).cast("long").alias("count"),
+            "n_partitions", "n_rows", "p_min", "p_max", "q",
+        )
+        top_branch = (
             per_part.orderBy(F.col("count").desc(), F.col("_p").asc())
             .limit(self.TOP_PARTITIONS)
-            .collect()
+            .select(
+                "_p", "count",
+                F.lit(None).cast("long").alias("n_partitions"),
+                F.lit(None).cast("long").alias("n_rows"),
+                F.lit(None).cast("long").alias("p_min"),
+                F.lit(None).cast("long").alias("p_max"),
+                F.lit(None).cast("array<double>").alias("q"),
+            )
         )
+        rows = summary_branch.unionByName(top_branch).collect()
+        summary = next(r for r in rows if r["n_partitions"] is not None)
+        top = [r for r in rows if r["_p"] is not None]
         q = summary["q"] or [None, None, None]
         manifest = {
             "fingerprint": fingerprint,
@@ -146,23 +163,28 @@ class LinkagePipeline:
         fp = _fingerprint({**self.params, "stage": "extract"})
         if st.done(fp):
             return st.manifest()
+        # per-row invariant: extracted text must be byte-identical to the
+        # stored text column (BASELINE.json input_hint). Asserted IN-PLAN
+        # (assert_true fails the write task loudly on the first violating
+        # row) instead of the previous url-self-join + limit(1).count(),
+        # which materialized the whole upstream (here: the synthetic-page
+        # generator, a Python stage) twice and shuffled the corpus once,
+        # before the write then computed it a third time. One pass total,
+        # nothing cached, no extra action — the 100 TB shape.
+        ext_text = extract_text_col(F.col("html"))
+        checked_text = F.when(
+            F.assert_true(
+                F.col("text").eqNullSafe(ext_text),
+                "extract_text(html) != stored text for some url",
+            ).isNull(),
+            ext_text,
+        )
         extracted = pages.select(
             "url",
-            extract_text_col(F.col("html")).alias("text"),
+            checked_text.alias("text"),
             extract_title_col(F.col("html")).alias("title"),
             "lang",
         )
-        # per-row invariant: extracted text must be byte-identical to the
-        # stored text column (BASELINE.json input_hint)
-        mismatches = (
-            pages.select("url", F.col("text").alias("stored"))
-            .join(extracted.select("url", "text"), "url")
-            .where(~F.col("stored").eqNullSafe(F.col("text")))
-            .limit(1)
-            .count()
-        )
-        if mismatches:
-            raise AssertionError("extract_text(html) != stored text for some url")
         return st.write(extracted, fp)
 
     def blocking(self) -> dict:
