@@ -46,8 +46,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # over-partitioning factor: bounds worst-case per-bucket work share at
-# ~(1 + 1/α) of fair while keeping replication ≤ α× the minimum needed
-SALT_ALPHA = 2
+# ~(1 + 1/α) of fair while keeping replication ≤ α× the minimum needed.
+# Overridable per session with spark.py_stringsimjoin.saltAlpha.
+# Round-6 measurement (sf0.1 local[32]): α=2 left the near-hot TAIL —
+# tokens just under the Σw/(αP) budget, each assigned whole to one random
+# partition — as the join's stragglers (jaccard_docs max task 8.0 s vs
+# 1.5 s fair share; the x2 rowlevel kernel 27.1 s). α=4 halves the budget,
+# pulling that tail into proportional salting: jaccard_docs 16.1→13.5 s,
+# jaccard x2 27.1→19.4 s, at ≤2× extra build-side replication of hot rows
+# only. α=8 was already past the replication break-even (x2: 22.2 s).
+SALT_ALPHA = 4
+
+
+def resolve_salt_alpha(spark) -> int:
+    v = spark.conf.get("spark.py_stringsimjoin.saltAlpha", None)
+    return int(v) if v else SALT_ALPHA
 
 
 def resolve_salt_parallelism(df: DataFrame, n_shuffle: int) -> int:
@@ -63,7 +76,7 @@ def resolve_salt_parallelism(df: DataFrame, n_shuffle: int) -> int:
 
 
 def hot_token_ranks(
-    ordering: DataFrame, parallelism: int, alpha: int = SALT_ALPHA
+    ordering: DataFrame, parallelism: int, alpha: int | None = None
 ) -> dict[int, int]:
     """{rank: S_t} for every token that needs ≥2 salt buckets.
 
@@ -74,6 +87,8 @@ def hot_token_ranks(
     this usually costs one bounded collect and no aggregation pass)."""
     if "_freq" not in ordering.columns or parallelism <= 1:
         return {}
+    if alpha is None:
+        alpha = resolve_salt_alpha(ordering.sparkSession)
     f = F.col("_freq").cast("double")
     stats = getattr(ordering, "_ssj_vocab_stats", None)
     if stats is not None:
@@ -153,7 +168,7 @@ def _hot_from_tok_stream(spark, tok_stream: DataFrame, parallelism: int,
 def exploded_hot_token_ranks(
     ex_probe: DataFrame,
     parallelism: int,
-    alpha: int = SALT_ALPHA,
+    alpha: int | None = None,
     tok_col: str = "_tok",
 ) -> dict:
     """{token_rank: S_t} measured on the JOIN'S OWN exploded token stream —
@@ -177,6 +192,8 @@ def exploded_hot_token_ranks(
     plan converges to the exact one (salting is output-invariant either
     way: a miss costs balance, never correctness)."""
     spark = ex_probe.sparkSession
+    if alpha is None:
+        alpha = resolve_salt_alpha(spark)
     p = float(
         spark.conf.get("spark.py_stringsimjoin.saltPrefixSampleFraction", "1.0")
     )
@@ -191,7 +208,7 @@ def sampled_hot_tokens(
     inputs: list,
     tokenizer,
     parallelism: int,
-    alpha: int = SALT_ALPHA,
+    alpha: int | None = None,
 ) -> dict:
     """{token: S_t} from a bounded row sample — no full-corpus pass.
 
@@ -204,6 +221,8 @@ def sampled_hot_tokens(
     exact-count plan while tokenizing only the sample. Salting is
     output-invariant: a sampling miss costs balance, never correctness.
     Set the conf to 1.0 for exact counts (one extra corpus pass)."""
+    if alpha is None:
+        alpha = resolve_salt_alpha(spark)
     p = float(spark.conf.get("spark.py_stringsimjoin.saltSampleFraction", "0.01"))
     tok_stream = None
     for t, a in inputs:
