@@ -81,10 +81,16 @@ def build_bm25_postings(
         )
         .where(F.col("_t").isNotNull())
         .withColumn("_toks", tok.spark_col(F.col("_t")))
-        .where(F.size("_toks") > 0)
+        # NOTE no size(_toks)>0 filter here: a pushable filter would drag the
+        # tokenizer below the widening exchange back onto the narrow scan.
+        # Empty-token docs instead drop out naturally: the explode emits no
+        # term rows for them, and the corpus stats below are derived from the
+        # PRE-stop-filter term rows, which cover exactly the docs with >=1
+        # raw token — the same doc set the old filter kept.
         .select("x_id", F.size("_toks").alias("_dl"), "_toks")
     )
-    terms = base.select("x_id", "_dl", F.explode("_toks").alias("_term"))
+    all_terms = base.select("x_id", "_dl", F.explode("_toks").alias("_term"))
+    terms = all_terms
     if stop_terms:
         terms = terms.where(~F.col("_term").isin(list(stop_terms)))
     postings = terms.groupBy("x_id", "_term").agg(
@@ -93,8 +99,12 @@ def build_bm25_postings(
     dfreq = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     # corpus stats over ALL indexed docs (incl. those made of only stop
     # terms' complement — dl counts every token, matching the standard
-    # definition where length normalization sees the raw document)
-    stats = base.agg(
+    # definition where length normalization sees the raw document); one
+    # doc-keyed reduce of the pre-stop-filter term rows, then the same
+    # count / sum-over-count arithmetic as before (integer sum → the
+    # division sees bit-identical operands)
+    doc_dl = all_terms.groupBy("x_id").agg(F.first("_dl").alias("_dl"))
+    stats = doc_dl.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "_avgdl"

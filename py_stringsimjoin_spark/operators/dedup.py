@@ -140,7 +140,9 @@ def minhash_band_rows(
         )
         .where(F.col("_t").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_t")))
-        .where(F.size("_tokens") > 0)
+        # no size(_tokens)>0 filter: the explode below drops empty-token rows
+        # identically, and the filter — being pushable — dragged the whole
+        # tokenizer below the widening exchange back onto the 1-task scan
     )
     rows = base.select("id", F.explode("_tokens").alias("_tok")).select(
         "id", _token_hash_col(F.col("_tok")).alias("_h")
@@ -305,7 +307,7 @@ def simhash_table(
         )
         .where(F.col("_t").isNotNull())
         .withColumn("_tokens", tok.spark_col(F.col("_t")))
-        .where(F.size("_tokens") > 0)
+        # no size filter — explode drops empties; see minhash_band_rows
     )
     t = F.col("_tok")
     rows = base.select("id", F.explode("_tokens").alias("_tok")).select(

@@ -87,6 +87,20 @@ def get_spark(
         and _tmpfs_has_headroom("/dev/shm")
     ):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND arr IS NOT NULL`
+    # below every non-outer explode. Every explode in this engine is over a
+    # COMPUTED array (tokenize / q-gram / shingle expressions), so the
+    # inferred filter duplicates the full tokenizer per row — and, being
+    # pushable, it drags that work below widening/repartition exchanges back
+    # onto the narrow scan (measured: the simhash signature map stage kept a
+    # 3.2 s single-task tokenize below the exchange purely from the inferred
+    # filter). Empty token arrays are vanishingly rare in text corpora and
+    # explode drops them anyway; excluding the rule removes the duplicated
+    # expression, it never changes results.
+    builder = builder.config(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     # MIN/MAX/COUNT aggregates over a bare parquet scan are answered from
     # row-group footer statistics instead of scanning rows (Spark 3.3+).
     # The pair-packer bounds job (plans/pairkey.py) is exactly that shape —
