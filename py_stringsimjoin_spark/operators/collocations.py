@@ -61,11 +61,17 @@ def top_collocations(
     if getattr(tok, "return_set", False):
         raise AssertionError("collocations need an order-preserving (bag) tokenizer")
 
+    from ..plans.layout import widen_small_scan
+
     base = (
-        df.select(F.col(text_attr).alias("_t"))
-        .where(F.col("_t").isNotNull())
-        .select(tok.spark_col(F.col("_t")).alias("_toks"))
-        .where(F.size("_toks") > 0)
+        # raw-text null filter BELOW the widening exchange (free pushdown);
+        # no size(_toks)>0 filter — a predicate on the computed array is
+        # pushable and would drag the tokenizer below the exchange, and
+        # empty docs contribute nothing anyway (explode drops them, the
+        # totals sums see 0)
+        widen_small_scan(
+            df.select(F.col(text_attr).alias("_t")).where(F.col("_t").isNotNull())
+        ).select(tok.spark_col(F.col("_t")).alias("_toks"))
     )
     toks = base.select(F.explode("_toks").alias("_w"))
     uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
@@ -74,9 +80,15 @@ def top_collocations(
         F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).alias("_nb"),
     )
     bi = (
-        base.where(F.size("_toks") >= 2)
-        .select(
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+        # WHEN-guarded sequence instead of a size>=2 filter (pushdown
+        # hazard; sequence(1, size-1) would go descending for size<2)
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
             "_toks",
         )
         .select(

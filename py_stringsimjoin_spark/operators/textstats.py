@@ -141,7 +141,9 @@ def unigram_cross_entropy(
     join back on word, one per-doc collect. No UDFs, nothing collected on
     the driver.
     """
-    words = df.select(
+    from ..plans.layout import widen_small_scan
+
+    words = widen_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("_w")
     )
     freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
@@ -213,17 +215,30 @@ def bigram_cross_entropy(
         raise AssertionError("lam must be in [0, 1]")
     if kind not in ("log2", "mean_prob"):
         raise AssertionError(f"unknown kind {kind!r}")
-    toks = df.select(
-        F.col(id_col), _words(F.col(text_col)).alias("_toks")
-    ).where(F.col("_toks").isNotNull())
+    from ..plans.layout import widen_small_scan
+
+    # null filter on the RAW text (pushes to the scan for free) rather than
+    # on the computed token array — a predicate on _toks is pushable and
+    # would drag the tokenizer below the widening exchange; _words() is
+    # non-null exactly when the text is
+    toks = widen_small_scan(
+        df.select(F.col(id_col), F.col(text_col)).where(F.col(text_col).isNotNull())
+    ).select(F.col(id_col), _words(F.col(text_col)).alias("_toks"))
     words = toks.select(id_col, F.explode("_toks").alias("_w"))
     uni = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     total = uni.agg(F.sum("_c").alias("_total"))
     occ = (
-        toks.where(F.size("_toks") >= 2)
-        .select(
+        # per-row WHEN guard instead of a size>=2 filter (same pushdown
+        # hazard as above); sequence(1, size-1) would go DESCENDING for
+        # size<2, so the guard stays semantically required
+        toks.select(
             id_col,
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
             "_toks",
         )
         .select(
@@ -296,8 +311,10 @@ def doc_keywords(
         raise AssertionError("require k >= 1 and min_df >= 1")
     if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
         raise AssertionError("max_df_frac must be in (0, 1]")
-    words = df.select(
-        F.col(id_col).alias("_id"), F.explode(_words(F.col(text_col))).alias("_w")
+    from ..plans.layout import widen_small_scan
+
+    words = widen_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", F.explode(_words(F.col(text_col))).alias("_w")
     )
     tf = words.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -357,8 +374,10 @@ def top_tokens(
     of vocabulary-sized data bounded by ``k`` via TakeOrdered, never a
     full global sort of the corpus.
     """
-    words = df.select(
-        F.col(id_col).alias("_id"), F.explode(_words(F.col(text_col))).alias("_w")
+    from ..plans.layout import widen_small_scan
+
+    words = widen_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", F.explode(_words(F.col(text_col))).alias("_w")
     )
     stats = words.groupBy("_w").agg(
         F.count(F.lit(1)).alias("freq"),
