@@ -114,7 +114,9 @@ def containment_join_pairs(
     r_proj = rtable.select(
         F.col(r_key_attr).alias("_r_key"), F.col(r_join_attr).alias("_r_str")
     )
-    l_nn = l_proj.where(F.col("_l_str").isNotNull()).withColumn(
+    from ..plans.layout import widen_small_scan
+
+    l_nn = widen_small_scan(l_proj.where(F.col("_l_str").isNotNull())).withColumn(
         "_tokens", tok.spark_col(F.col("_l_str"))
     )
     is_self = (
@@ -134,7 +136,7 @@ def containment_join_pairs(
             F.col("_l_size").alias("_r_size"),
         )
     else:
-        r_nn = r_proj.where(F.col("_r_str").isNotNull()).withColumn(
+        r_nn = widen_small_scan(r_proj.where(F.col("_r_str").isNotNull())).withColumn(
             "_tokens", tok.spark_col(F.col("_r_str"))
         )
         ordering = (

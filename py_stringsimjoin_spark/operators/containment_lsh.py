@@ -134,13 +134,17 @@ def containment_index_rows(
     if num_perm % rows_per_band:
         raise ValueError("num_perm must be divisible by rows_per_band")
     tok = as_set_tokenizer(tokenizer or ShingleTokenizer(n=3))
+    from ..plans.layout import widen_small_scan
+
     base = (
-        corpus.select(
-            F.col(id_attr).alias("x_id"), F.col(text_attr).alias("_t")
-        )
-        .where(F.col("_t").isNotNull())
-        .withColumn("_tokens", tok.spark_col(F.col("_t")))
-        .where(F.size("_tokens") > 0)
+        # widened narrow scan; no size(_tokens)>0 filter — the explode below
+        # drops empty-token docs identically, and a predicate on the computed
+        # array would drag the tokenizer below the widening exchange
+        widen_small_scan(
+            corpus.select(
+                F.col(id_attr).alias("x_id"), F.col(text_attr).alias("_t")
+            ).where(F.col("_t").isNotNull())
+        ).withColumn("_tokens", tok.spark_col(F.col("_t")))
     )
     rows = base.select(
         "x_id",
@@ -225,7 +229,9 @@ def containment_lsh_search(
         )
         .where(F.col("_t").isNotNull())
         .withColumn("_qtokens", tok.spark_col(F.col("_t")))
-        .where(F.size("_qtokens") > 0)
+        # no size filter: empty-token queries generate no band rows, so they
+        # can never reach the candidate join — same output, one less
+        # duplicated tokenizer evaluation
     )
     qrows = qbase.select(
         "q_id",

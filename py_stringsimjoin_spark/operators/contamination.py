@@ -39,14 +39,24 @@ def _doc_ngrams(
     if lowercase:
         t = F.lower(t)
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    from ..plans.layout import widen_small_scan
+
     return (
-        df.select(F.col(id_attr).alias("id"), toks.alias("_toks"))
-        .where(F.size("_toks") >= n)
+        # widened narrow scan; WHEN-guarded sequence instead of a size>=n
+        # filter — a predicate over the computed token array is pushable and
+        # would drag the tokenizer below the widening exchange (and
+        # sequence(1, size-n+1) would go descending for short docs, so the
+        # guard itself stays semantically required)
+        widen_small_scan(df.select(F.col(id_attr).alias("id"), F.col(text_attr)))
+        .select("id", toks.alias("_toks"))
         .select(
             "id",
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - F.lit(n) + 1)).alias(
-                "_i"
-            ),
+            F.explode(
+                F.when(
+                    F.size("_toks") >= n,
+                    F.sequence(F.lit(1), F.size("_toks") - F.lit(n) + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
             "_toks",
         )
         .select(
