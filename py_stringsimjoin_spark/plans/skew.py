@@ -16,7 +16,7 @@ token gets exactly the number of salt buckets its output share needs:
 
     S_t = ceil(α · P · w_t / Σw),   clamped to [1, α·P]
 
-with P the parallelism target and α a small over-partitioning factor (2).
+with P the parallelism target and α a small over-partitioning factor (4).
 Tokens with S_t == 1 (the long tail) are untouched; a head token carrying
 half the mass is split ~α·P/2 ways. On the probe side hot rows get
 ``salt = hash(row_key) % S_t``; on the build side hot rows are replicated
