@@ -108,6 +108,12 @@ def sample_plan_stats(
         u = p if u is None else u.unionByName(p)
     aggs = [F.count("*").alias("n"), F.approx_count_distinct("_v").alias("nd")]
     if tokenizer is not None:
+        # the global limit above collapses to ONE partition, so the sample's
+        # tokenize (the job's only real work) would run single-task; widen it
+        # back to the utility parallelism first (plans/layout.py)
+        from .layout import widen_small_scan
+
+        u = widen_small_scan(u)
         u = u.withColumn("_sz", F.size(tokenizer.spark_col(F.col("_v"))))
         aggs.append(F.avg("_sz").alias("s"))
         if prefix_col_fn is not None:
