@@ -96,8 +96,21 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _signature(e)
+    # Small-graph batching: below this edge count the per-round fixed cost
+    # (checkpoint job + signature job + ~4 exchanges of driver latency)
+    # dominates the actual star work, so two star rounds are folded into
+    # one checkpoint+signature. The converged edge set is a fixpoint of
+    # SS∘LS, so extra folded rounds past convergence are identity — the
+    # result is unchanged, only the detection granularity coarsens. The
+    # current edge count is already known from the signature, so the
+    # decision costs nothing; production-scale graphs stay at one round
+    # per checkpoint (lineage depth and memory between checkpoints).
+    small_edges = 200_000
     for _ in range(max_iterations):
-        e2 = ckpt(_small_star(_large_star(e)))
+        step = _small_star(_large_star(e))
+        if sig[0] is not None and sig[0] < small_edges:
+            step = _small_star(_large_star(step))
+        e2 = ckpt(step)
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
