@@ -74,8 +74,16 @@ def _ov_needed_col(l_size: Column, threshold: float) -> Column:
 
 
 def _prefix_len_col(l_size: Column, threshold: float) -> Column:
-    """ℓ(n) = n − ⌈t·n⌉ + 1 (0 for empty sets)."""
-    core = l_size - F.ceil(F.lit(float(threshold)) * l_size) + 1
+    """ℓ(n) = n − ⌈t·n⌉ + 1 (0 for empty sets).
+
+    ⌈t·n⌉ uses the same round-4-digit FP dodge as ``_ov_needed_col``
+    (round-5 advisor finding): with the raw product, upward FP noise at an
+    integer (e.g. t=0.7, n=10 → ceil(7.000000000000001)=8) shortens the
+    prefix by one token relative to the rounded required-overlap bound the
+    size/position filters and verify use, silently dropping a pair whose
+    shared tokens all rank outside the shortened prefix. Both bounds now
+    derive from the identical rounded product."""
+    core = l_size - F.ceil(F.round(F.lit(float(threshold)) * l_size, 4)) + 1
     return F.when(l_size == 0, F.lit(0)).otherwise(core).cast("int")
 
 

@@ -81,7 +81,12 @@ def _make_kernel(gap: int):
                 closed.append((key[0], si, start, last, n, last - start))
                 si, start, last, n = si + 1, ts, ts, 1
             else:
-                last, n = max(last, ts), n + 1
+                # start = min(start, ts): a late (out-of-order) event that
+                # still folds into the open session must be able to LOWER
+                # the session start, or start/duration silently diverge
+                # from the batch operator under bounded disorder (round-5
+                # advisor finding). In-order streams never hit the min.
+                start, last, n = min(start, ts), max(last, ts), n + 1
         state.update((si, start, last, n))
         yield pd.DataFrame(closed, columns=[f.name for f in _OUT_SCHEMA])
 
@@ -97,9 +102,25 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Append-mode stream of CLOSED sessions: (key, session_index,
     session_start, session_end, n_events, duration). NULL key/ts events are
-    dropped (same carve-out as the batch operator)."""
+    dropped (same carve-out as the batch operator).
+
+    Column-type contract (round-5 advisor finding): id/key/ts must be
+    integral (byte/short/int/long) — the state schema is long-typed.
+    Validated up front with a clear error instead of the previous silent
+    cast, which under ANSI mode threw mid-stream on non-numeric strings
+    and under non-ANSI collapsed every non-castable key into one NULL
+    state group (merging sessions across entities)."""
     if not (gap > 0):
         raise AssertionError("gap must be > 0")
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    dtypes = dict(stream.dtypes)
+    for attr in (id_attr, key_attr, ts_attr):
+        if dtypes.get(attr) not in _INTEGRAL:
+            raise TypeError(
+                f"streaming_sessionize requires integral id/key/ts columns; "
+                f"{attr!r} is {dtypes.get(attr)!r} — cast it (or map string "
+                f"keys to a surrogate id) before sessionizing"
+            )
     keyed = stream.where(
         F.col(ts_attr).isNotNull() & F.col(key_attr).isNotNull()
     ).select(
