@@ -24,8 +24,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
-    rows = queries.select(id_col, vec_col).collect()
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int = 100_000
+):
+    # Driver-memory guard: the query set is broadcast whole, so an
+    # oversized query table must fail fast with a route to the
+    # distributed searchers, not OOM the driver.  limit(max+1) makes the
+    # probe and the fetch one job (token_ordering's small-vocab pattern).
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; brute_force_topk "
+            "collects all query vectors onto the driver. Use lsh_topk or "
+            "ivf_topk for large query sets, or raise max_queries explicitly."
+        )
     qids = [r[id_col] for r in rows]
     Q = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     return qids, Q
@@ -39,10 +51,11 @@ def brute_force_topk(
     k: int = 10,
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
     query_id_col = query_id_col or id_col
-    qids, Q = _collect_queries(queries, query_id_col, vec_col)
+    qids, Q = _collect_queries(queries, query_id_col, vec_col, max_queries)
     if len(qids) == 0:
         raise ValueError("no query vectors")
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)

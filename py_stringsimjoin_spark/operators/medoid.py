@@ -26,8 +26,9 @@ Scale shape (100 TB test): ONE shuffle keyed on the cluster id (already
 the data's natural partitioning post-clustering) for the within-cluster
 self-join; the O(|cluster|²) similarity work is the medoid definition's
 own cost and real clusters are small by construction — a huge cluster is
-an upstream over-merge (``cluster_stats`` is the audit; cap it there, not
-here). One window per cluster picks the argmax. Zero Python, nothing on
+an upstream over-merge (``cluster_stats`` is the audit;
+``max_cluster_size`` here skips-and-flags it rather than paying quadratic
+work). One window per cluster picks the argmax. Zero Python, nothing on
 the driver.
 """
 
@@ -47,9 +48,18 @@ def cluster_medoid(
     text_attr: str,
     cluster_col: str = "component",
     tokenizer: Tokenizer | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(cluster_col, medoid_id, cluster_size, total_sim, mean_sim) — one
-    row per cluster (singletons included; their sims are NULL)."""
+    row per cluster (singletons included; their sims are NULL).
+
+    ``max_cluster_size`` guards the O(|cluster|²) self-join against an
+    upstream over-merge: clusters larger than the cap are skipped — their
+    row carries the true ``cluster_size`` but NULL medoid_id/total_sim/
+    mean_sim and ``skipped=true`` — instead of quadratic work on a
+    pathological component. The ``skipped`` column is only added when a
+    cap is set; ``None`` (default) computes every cluster and keeps the
+    historical schema and plan."""
     validate_attr(records, id_col, "records")
     validate_attr(records, text_attr, "records")
     validate_attr_type(records, text_attr, "records")
@@ -74,12 +84,20 @@ def cluster_medoid(
             .alias("_toks"),
         )
     )
-    l = base.select(
+    sizes = base.groupBy("_c").agg(F.count(F.lit(1)).alias("cluster_size"))
+    if max_cluster_size is not None:
+        ok_ids = sizes.where(
+            F.col("cluster_size") <= F.lit(max_cluster_size)
+        ).select("_c")
+        inlier = base.join(ok_ids, "_c", "left_semi")
+    else:
+        inlier = base
+    l = inlier.select(
         F.col("_c").alias("_c"),
         F.col("_id").alias("_l_id"),
         F.col("_toks").alias("_l_toks"),
     )
-    r = base.select(
+    r = inlier.select(
         F.col("_c").alias("_c"),
         F.col("_id").alias("_r_id"),
         F.col("_toks").alias("_r_toks"),
@@ -102,14 +120,13 @@ def cluster_medoid(
         ).alias("_total"),
         F.count(F.lit(1)).alias("_n_others"),
     )
-    scored = base.select("_c", F.col("_id").alias("_l_id")).join(
+    scored = inlier.select("_c", F.col("_id").alias("_l_id")).join(
         totals, ["_c", "_l_id"], "left"
     )
     w = Window.partitionBy("_c").orderBy(
         F.col("_total").desc_nulls_last(), F.col("_l_id").asc()
     )
-    sizes = base.groupBy("_c").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .join(sizes, "_c")
@@ -120,4 +137,19 @@ def cluster_medoid(
             F.col("_total").alias("total_sim"),
             (F.col("_total") / F.col("_n_others").cast("double")).alias("mean_sim"),
         )
+    )
+    if max_cluster_size is None:
+        return out
+    id_type = base.schema["_id"].dataType
+    flagged = sizes.where(
+        F.col("cluster_size") > F.lit(max_cluster_size)
+    ).select(
+        F.col("_c").alias(cluster_col),
+        F.lit(None).cast(id_type).alias("medoid_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.lit(None).cast("double").alias("total_sim"),
+        F.lit(None).cast("double").alias("mean_sim"),
+    )
+    return out.withColumn("skipped", F.lit(False)).unionByName(
+        flagged.withColumn("skipped", F.lit(True))
     )

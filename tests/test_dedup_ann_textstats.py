@@ -248,3 +248,20 @@ def test_top_tokens(spark):
     assert got == {"b": (3, 2, 1), "c": (3, 2, 2)}
     all_ranks = {r.token: r.rank for r in top_tokens(df, "doc_id", "text", k=10).collect()}
     assert all_ranks == {"b": 1, "c": 2, "a": 3}
+
+
+def test_brute_force_topk_bounds_query_collect(spark):
+    """brute_force_topk refuses an over-cap query set with a clear route
+    to the distributed searchers instead of collecting it whole."""
+    import pytest
+
+    from py_stringsimjoin_spark.operators.ann import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="lsh_topk or"):
+        brute_force_topk(df, df, k=2, max_queries=3)
+    # under the cap the guard is invisible
+    out = brute_force_topk(df, df, k=2, max_queries=8)
+    assert out.count() > 0

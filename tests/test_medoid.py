@@ -83,3 +83,41 @@ def test_medoid_beats_outlier(spark):
     cls = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["rid", "component"])
     got = cluster_medoid(recs, cls, "rid", "name").first()
     assert got["medoid_id"] == 2  # central, not the longest (3)
+
+
+def test_max_cluster_size_skips_and_flags(spark):
+    """Over-cap clusters are flagged with NULL medoid, not computed;
+    under-cap clusters match the uncapped output exactly."""
+    recs = spark.createDataFrame(RECORDS, ["rid", "name"])
+    cls = spark.createDataFrame(CLUSTERS, ["rid", "component"])
+    capped = {
+        r["component"]: r
+        for r in cluster_medoid(
+            recs, cls, "rid", "name", max_cluster_size=2
+        ).collect()
+    }
+    # cluster 100 has 3 members -> skipped
+    big = capped[100]
+    assert big["skipped"] is True
+    assert big["medoid_id"] is None
+    assert big["total_sim"] is None and big["mean_sim"] is None
+    assert big["cluster_size"] == 3
+    # every under-cap cluster identical to the uncapped run
+    base = {
+        r["component"]: r
+        for r in cluster_medoid(recs, cls, "rid", "name").collect()
+    }
+    assert set(capped) == set(base)
+    for c, r in capped.items():
+        if c == 100:
+            continue
+        assert r["skipped"] is False
+        for f in ("medoid_id", "cluster_size", "total_sim", "mean_sim"):
+            assert r[f] == base[c][f], (c, f)
+
+
+def test_no_cap_keeps_schema(spark):
+    recs = spark.createDataFrame(RECORDS, ["rid", "name"])
+    cls = spark.createDataFrame(CLUSTERS, ["rid", "component"])
+    cols = cluster_medoid(recs, cls, "rid", "name").columns
+    assert "skipped" not in cols
